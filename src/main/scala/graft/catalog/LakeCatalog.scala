@@ -1,0 +1,61 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Catalog registration — the Glue-crawler role (SURVEY.md §2.6 C1-C3):
+  * register the delivered lake as a partitioned external table and keep
+  * partitions discovered as batches land.
+  */
+object LakeCatalog {
+
+  /** C1: schema inference + table registration over a delivered lake dir.
+    * Uses the files' own footer schema (crawler-style inference); partition
+    * columns are discovered from the Hive layout.
+    */
+  def registerLake(spark: SparkSession, table: String, lakeDir: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = spark.read.parquet(lakeDir).schema
+    val dataCols = schema.fields.filterNot(f =>
+      Seq("year", "month", "day", "hour").contains(f.name))
+    val colsDdl = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $table ($colsDdl, year INT, month INT, day INT, hour INT)
+         |USING parquet
+         |PARTITIONED BY (year, month, day, hour)
+         |LOCATION '$lakeDir'""".stripMargin)
+    refreshPartitions(spark, table)
+  }
+
+  /** C2: incremental partition registration (`MSCK REPAIR` ≙ crawler pass).
+    *
+    * When the lake was written by the streaming file sink, its
+    * `_spark_metadata` transaction log takes over both visibility and
+    * partition discovery (the catalog then records no partition columns —
+    * Spark resolves the location through `MetadataLogFileIndex`, which is
+    * partitioning-aware). MSCK is unsupported and unneeded in that case:
+    * the commit log *is* the crawler.
+    */
+  def refreshPartitions(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** C3: event-driven refresh — a listener that re-crawls after every
+    * committed micro-batch (the EventBridge → crawler trigger,
+    * README.md:524-549).
+    */
+  def eventDrivenRefresh(spark: SparkSession, table: String): StreamingQueryListener = {
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) refreshPartitions(spark, table)
+    }
+    spark.streams.addListener(l)
+    l
+  }
+}

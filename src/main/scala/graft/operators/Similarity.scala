@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[bruteForceKnn]]: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one pass, no shuffle of the corpus, then
+  *    a per-query top-k window on the (|Q| × n) similarity table.
+  *  - [[lshAnn]]: random-hyperplane LSH bucketing — corpus is hashed once
+  *    to sign-pattern buckets; queries probe only their own bucket. At
+  *    100 TB this turns a full scan per query into a bucket-local scan;
+  *    buckets are the shuffle key, so the corpus shuffles once, ever, and
+  *    can be persisted bucketed for repeated querying.
+  */
+object Similarity {
+
+  /** Exact top-k: `queries` (qid, embedding) is broadcast; `corpus`
+    * (id, embedding) streams through codegen'd cosine expressions.
+    */
+  /** `rankScale`: ranking compares similarities rounded to this many
+    * decimals (ties broken by nid), so top-k membership is stable across
+    * engines/summation orders — sub-1e-4 similarity differences must not
+    * reorder results between runs.
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int, rankScale: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), toDouble(col("embedding")).as("qe")))
+    val c = corpus.select(col("id").as("nid"), toDouble(col("embedding")).as("ne"))
+    val sims = c.join(q)
+      .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), rankScale).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: coefficient (p,i) derives from
+    * md5("p:i") — reproducible across runs/engines with no RNG state.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+      ((h(0) & 0xff) - 127.5) / 127.5 // in [-1, 1]
+    }
+  }
+
+  /** Sign-pattern bucket id for every row of `df` (id, embedding). */
+  def withBucket(df: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val e = toDouble(col("embedding"))
+    val bucket = planes.zipWithIndex.map { case (plane, p) =>
+      when(dot(e, typedLit(plane.toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * `nPlanes` trades recall for bucket size (16 planes ⇒ 65k buckets).
+    */
+  def lshAnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = broadcast(withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
+      .select(col("qid"), toDouble(col("embedding")).as("qe"), col("bucket")))
+    val c = withBucket(corpus.select(col("id").as("nid"), col("embedding")), nPlanes, dim)
+      .select(col("nid"), toDouble(col("embedding")).as("ne"), col("bucket"))
+    val sims = c.join(q, Seq("bucket"))
+      .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+}

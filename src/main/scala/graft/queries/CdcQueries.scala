@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.codec.Envelope
+import graft.model.CdcEnvelope
+import graft.operators.Upsert
+import graft.queries.Registry.tbl
+
+/** CDC / stream-shaped capabilities exercised as batch queries over the
+  * `events` table (ts = event time, user_id = partition key, props = open
+  * JSON payload — FIXTURES.md §B). These are the batch-equivalent forms of
+  * the reference's streaming semantics: envelope codec (T1-T4), time
+  * partition derivation (T9), dedup-to-latest / upsert (K7/K8), hourly
+  * analytics (README.md:38), exactly-once dedup invariant (README.md:178).
+  */
+object CdcQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def dsumSql(e: String) =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- hourly tumbling aggregation (the "hourly analytics" claim)
+    Q("q20_hourly_analytics", (s, d) =>
+      tbl(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_ts"), col("event_type")),
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+              | CAST(COUNT(*) AS BIGINT) AS n_events,
+              | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+              | ${dsumSql("value")} AS total_value
+              |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin),
+      bench = true),
+
+    // ---- T9 partition derivation: year/month/day/hour columns + counts
+    Q("q21_time_partitions", (s, d) => {
+      val e = Envelope.withTimePartitions(tbl(s, d, "events"), col("ts"))
+      e.groupBy(col("year"), col("month"), col("day"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("year"), col("month"), col("day"), col("hour"))
+    }, Some(
+      """SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+        | CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // ---- open-payload JSON extraction (T2 ad-hoc form)
+    Q("q22_json_payload", (s, d) =>
+      tbl(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k")),
+      Some("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY k ORDER BY k")),
+
+    // ---- envelope codec roundtrip (T1-T4): struct→json→base64→decode→extract
+    Q("q23_envelope_roundtrip", (s, d) => {
+      val wire = Envelope.encode(struct(
+        struct(col("user_id").as("id"), col("event_type").as("status")).as("data"),
+        struct(lit("U").as("op")).as("metadata")))
+      tbl(s, d, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"), wire.as("wire"))
+        .select(col("event_id"),
+          Envelope.decode(col("wire"), CdcEnvelope.ordersSchema).as("env"))
+        .select(col("event_id"),
+          col("env.data.id").as("id"), col("env.data.status").as("status"),
+          col("env.metadata.op").as("op"))
+        .orderBy(col("event_id"))
+    }, Some(
+      // DuckDB mirrors the roundtrip with its own JSON/base64 primitives;
+      // only the decoded field values are compared (wire format is engine-local).
+      """WITH wire AS (
+        |  SELECT event_id,
+        |    to_base64(encode(to_json(struct_pack(
+        |      data := struct_pack(id := user_id, status := event_type),
+        |      metadata := struct_pack(op := 'U'))))) AS w
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id,
+        |  CAST(json_extract_string(decode(from_base64(w)), '$.data.id') AS BIGINT) AS id,
+        |  json_extract_string(decode(from_base64(w)), '$.data.status') AS status,
+        |  json_extract_string(decode(from_base64(w)), '$.metadata.op') AS op
+        |FROM wire ORDER BY event_id""".stripMargin)),
+
+    // ---- dedup-to-latest per key (K7 last-writer-wins, window ranking)
+    Q("q24_latest_per_user", (s, d) =>
+      Upsert.latestPerKey(tbl(s, d, "events"), col("user_id"), col("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          col("ts").as("last_ts"))
+        .orderBy(col("user_id")),
+      Some(
+        """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+          | value AS last_value, ts AS last_ts
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          |      FROM events) t
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- K8 CDC upsert: state from first half of the stream, changes from
+    // the second half, 'error' events act as deletes. Must equal
+    // latest-overall-per-key minus deleted keys.
+    Q("q25_cdc_upsert", (s, d) => {
+      val e = tbl(s, d, "events").withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      val half = 5000L // sf-independent split; events ids are 0..n-1
+      val targetState = Upsert
+        .latestPerKey(e.filter(col("event_id") < half), col("user_id"), col("event_id"))
+        .where(col("op") =!= "D").drop("op")
+      val changes = e.filter(col("event_id") >= half)
+      Upsert.applyChanges(targetState, changes, "user_id", "op", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }, Some(
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin)),
+
+    // ---- exactly-once invariant as a query: replayed (duplicated) stream
+    // deduped by record id returns the original stream (README.md:178, 204)
+    Q("q26_replay_dedup", (s, d) => {
+      val e = tbl(s, d, "events")
+      val replayed = e.unionAll(e.filter(col("event_id") % 3 === 0)) // partial replay
+      replayed.dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }, Some(
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("value")} AS total_value
+         |FROM (SELECT DISTINCT ON (event_id) * FROM
+         |  (SELECT * FROM events UNION ALL SELECT * FROM events WHERE event_id % 3 = 0) u
+         |  ORDER BY event_id) t
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- T11 key salting: hot key spread over N sub-keys; multiset of
+    // records preserved (order traded for balance, README.md:84-86)
+    Q("q27_salted_counts", (s, d) => {
+      val salted = tbl(s, d, "events").withColumn("salted_key",
+        concat(col("user_id").cast("string"), lit("||"),
+          pmod(col("event_id"), lit(16)).cast("string")))
+      salted.groupBy(col("salted_key")).agg(count(lit(1)).as("n"))
+        .groupBy().agg(count(lit(1)).as("n_subkeys"), sum(col("n")).as("n_records"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_subkeys, CAST(SUM(n) AS BIGINT) AS n_records
+        |FROM (SELECT CAST(user_id AS VARCHAR) || '||' || CAST(event_id % 16 AS VARCHAR) AS salted_key,
+        |             COUNT(*) AS n
+        |      FROM events GROUP BY 1) t""".stripMargin))
+  )
+}

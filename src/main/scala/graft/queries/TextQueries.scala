@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, SimHash}
+import graft.queries.Registry.tbl
+
+/** Training-data text operators over `documents`: stats/quality/language-ID/
+  * token counting, exact dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Near-dup queries plant mutated copies of the first docs (id+100000,
+  * text ‖ " extra words...") so the pair-finding path is exercised with a
+  * known non-empty answer — the same planting is mirrored in the oracle SQL.
+  */
+object TextQueries {
+
+  /** documents ∪ planted near-duplicate mutations of docs 0..49. */
+  private def withPlanted(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graft extra trailing words")).as("text")))
+  }
+
+  private val plantedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text || ' graft extra trailing words' AS text
+      |FROM documents WHERE doc_id < 50""".stripMargin
+
+  /** Token list SQL (mirror of TextFunctions.tokens). */
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- per-document stats: chars, tokens, bpe-ish tokens, punct ratio
+    Q("q30_text_stats", (s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.charCount(col("text")).as("chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text"), TextFunctions.StopwordsEn), 4)
+          .as("stop_ratio"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""SELECT doc_id,
+           | CAST(length(text) AS BIGINT) AS chars,
+           | CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+           | ROUND(CASE WHEN length(text) = 0 THEN 0.0
+           |   ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END, 4) AS punct_ratio,
+           | ROUND(CASE WHEN len($toksSql) = 0 THEN 0.0
+           |   ELSE CAST(len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
+           |        / len($toksSql) END, 4) AS stop_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring
+    Q("q31_quality_score", (s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""SELECT doc_id, ROUND(
+           |   0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+           | + 0.3 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+           |     ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END))
+           | + 0.3 * least(1.0, (CASE WHEN len($toksSql) = 0 THEN 0.0
+           |     ELSE CAST(len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
+           |          / len($toksSql) END) * 4.0), 4) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID heuristic (argmax of function-word hits)
+    Q("q32_lang_id", (s, d) =>
+      tbl(s, d, "documents").select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")),
+      Some(
+        s"""WITH scored AS (SELECT doc_id,
+           |  len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS c_en,
+           |  len(list_filter($toksSql, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) AS c_es,
+           |  len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t))) AS c_de,
+           |  len(list_filter($toksSql, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) AS c_fr
+           | FROM documents)
+           |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM (
+           | SELECT CASE
+           |   WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+           |   WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+           |   WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+           |   WHEN c_de >= c_fr THEN 'de'
+           |   ELSE 'fr' END AS lang_pred
+           | FROM scored) t GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
+
+    // ---- content fingerprint + exact dedup over planted corpus
+    Q("q33_exact_dedup", (s, d) =>
+      Dedup.exact(withPlanted(s, d), "doc_id", "text")
+        .orderBy(col("fp")),
+      Some(
+        s"""SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           | CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+           |FROM ($plantedSql) docs
+           |GROUP BY fp ORDER BY fp""".stripMargin)),
+
+    // ---- n-gram Jaccard near-dup pairs over planted corpus
+    Q("q34_jaccard_near_dups", (s, d) =>
+      Dedup.jaccardNearDups(withPlanted(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(
+        s"""WITH docs AS ($plantedSql),
+           |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+           |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+           |FROM common JOIN counts ca ON ca.doc_id = id_a
+           |            JOIN counts cb ON cb.doc_id = id_b
+           |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- MinHash signatures + LSH bands (signature math oracle-checked)
+    Q("q35_minhash_bands", (s, d) =>
+      Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16), rowsPerBand = 4)
+        .select(col("id").as("doc_id"), col("band"), col("band_sig"))
+        .orderBy(col("doc_id"), col("band")),
+      Some(
+        s"""WITH docs AS ($plantedSql),
+           |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+           |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+           |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+           |        GROUP BY doc_id, i)
+           |SELECT doc_id, CAST(i // 4 AS INT) AS band,
+           |  md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+           |FROM sig GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin)),
+
+    // ---- LSH candidate pairs (the actual near-dup join over bands)
+    Q("q36_minhash_lsh_pairs", (s, d) =>
+      Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16), rowsPerBand = 4))
+        .orderBy(col("id_a"), col("id_b")),
+      Some(
+        s"""WITH docs AS ($plantedSql),
+           |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+           |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+           |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+           |        GROUP BY doc_id, i),
+           |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+           |          FROM sig GROUP BY doc_id, band)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+           |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SimHash fingerprints + hamming distance on planted pairs
+    Q("q37_simhash", (s, d) => {
+      val planted = withPlanted(s, d)
+      val fps = SimHash.fingerprints(planted, "doc_id", "text")
+      val bits = SimHash.fingerprintBits(planted, "doc_id", "text")
+      val pairs = tbl(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      SimHash.hammingOnPairs(pairs, bits)
+        .join(fps.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "simhash_a"), Seq("id_a"))
+        .select(col("id_a"), col("id_b"), col("simhash_a"), col("hamming"))
+        .orderBy(col("id_a"))
+    }, Some(
+      s"""WITH docs AS ($plantedSql),
+         |toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM docs),
+         |bits AS (SELECT doc_id, bitpos,
+         |   CAST(floor(
+         |     (strpos('0123456789abcdef', substr(substr(md5(tok), 1, 8), CAST(8 - floor(bitpos / 4) AS INT), 1)) - 1)
+         |     / (CASE bitpos % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
+         |   ) AS BIGINT) % 2 AS bit
+         | FROM toks, UNNEST(generate_series(0, 31)) AS g(bitpos)),
+         |votes AS (SELECT doc_id, bitpos, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, bitpos),
+         |fp AS (SELECT doc_id, bitpos, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS simbit FROM votes),
+         |hashes AS (SELECT doc_id, CAST(SUM(CAST(simbit AS DOUBLE) * power(2.0, bitpos)) AS BIGINT) AS simhash
+         |           FROM fp GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, a.doc_id + 100000 AS id_b, ha.simhash AS simhash_a,
+         |  CAST(SUM(CASE WHEN fa.simbit <> fb.simbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a
+         |JOIN fp fa ON fa.doc_id = a.doc_id
+         |JOIN fp fb ON fb.doc_id = a.doc_id + 100000 AND fb.bitpos = fa.bitpos
+         |JOIN hashes ha ON ha.doc_id = a.doc_id
+         |GROUP BY a.doc_id, ha.simhash ORDER BY id_a""".stripMargin)),
+
+    // ---- multimodal plumbing: opaque binary payload + typed metadata +
+    // deterministic "decode" stub (SURVEY.md §7.1(10)); the binary column
+    // stands in for image/audio bytes, features are engine-portable
+    Q("q38_multimodal_payload", (s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          struct(lit("text/plain").as("mime"), col("source").as("origin")).as("meta"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          lower(hex(substring(col("payload"), 1, 8))).as("head_hex"),
+          col("meta.mime").as("mime"), col("meta.origin").as("origin"))
+        .orderBy(col("doc_id")),
+      Some(
+        """SELECT doc_id,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          | md5(text) AS payload_md5,
+          | lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+          | 'text/plain' AS mime, source AS origin
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.queries.Registry.tbl
+
+/** Similarity search over the `embeddings` table (vec_id, array<float> x64,
+  * label): exact brute-force cosine top-k (oracle-checked against DuckDB's
+  * list_cosine_similarity) and the LSH-bucketed approximate scale path
+  * (rows-only: approximation has no SQL-exact oracle).
+  */
+object VectorQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- embedding norms / stats (vector math sanity + portability)
+    Q("q40_embedding_stats", (s, d) => {
+      val e = VectorFunctions.toDouble(col("embedding"))
+      tbl(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(VectorFunctions.norm2(e), 4).as("l2_norm"),
+        round(VectorFunctions.dot(e, e), 4).as("self_dot"))
+        .orderBy(col("vec_id"))
+    }, Some(
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        | ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
+        | ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS self_dot
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- exact cosine top-5 for 10 query vectors against the rest
+    Q("q41_knn_bruteforce", (s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.bruteForceKnn(queries, corpus, k = 5)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("nid"))
+    }, Some(
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, ROUND(list_cosine_similarity(q.e, c.e), 4) AS sim FROM q, c)
+        |SELECT qid, nid, sim
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s) t
+        |WHERE rn <= 5 ORDER BY qid, sim DESC, nid""".stripMargin),
+      bench = true),
+
+    // ---- label centroids: groupBy over vector column with element-wise agg
+    Q("q42_label_centroid_norm", (s, d) => {
+      val e = tbl(s, d, "embeddings")
+      // mean vector per label = element-wise sum / count, then its L2 norm.
+      // posexplode → (label, pos) agg keeps the shuffle narrow: 64·|labels|.
+      val exploded = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      exploded.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast("decimal(28,10)")).cast("double").as("sv"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(round(sqrt(sum(pow(col("sv") / col("n"), 2))), 4).as("centroid_norm"),
+          max(col("n")).as("n_vectors"))
+        .orderBy(col("label"))
+    }, Some(
+      """WITH ex AS (SELECT label, g.x AS pos, embedding[g.x] AS v
+        |            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(x)),
+        |agg AS (SELECT label, pos,
+        |          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS sv, COUNT(*) AS n
+        |        FROM ex GROUP BY label, pos)
+        |SELECT label, ROUND(sqrt(SUM(power(sv / n, 2))), 4) AS centroid_norm,
+        |  CAST(MAX(n) AS BIGINT) AS n_vectors
+        |FROM agg GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- LSH-bucketed approximate NN: the 100 TB scale path (rows-only —
+    // approximate results have no SQL-exact oracle; recall is asserted in
+    // SimilaritySpec against the brute-force answer)
+    Q("q43_knn_lsh_ann", (s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 6, dim = 64)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("nid"))
+    }, None)
+  )
+}

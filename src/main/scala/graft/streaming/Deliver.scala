@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.codec.Envelope
+
+/** The lake-delivery path (Firehose equivalent, SURVEY.md §7.1(4)):
+  * micro-batch buffer → decode/enrich → Hive-partitioned parquet+snappy →
+  * transactional visibility → portable manifest → error/DLQ + raw backup.
+  *
+  * Exactly-once: the parquet `FileStreamSink` commits each batch into
+  * `_spark_metadata` (the native equivalent of the reference's
+  * data-then-manifest protocol, README.md:291-303) and the checkpoint
+  * stores source offsets (README.md:305-309) — at-least-once read +
+  * idempotent/transactional sink ⇒ end-to-end exactly-once.
+  */
+object Deliver {
+
+  final case class Config(
+      lakeDir: String,
+      checkpointDir: String,
+      errorDir: Option[String] = None,
+      backupDir: Option[String] = None,
+      manifestDir: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"), // README.md:117 IntervalInSeconds=60
+      maxRecordsPerFile: Long = 5000000,
+      clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
+
+  /** Decode wire records and derive the delivered-lake columns:
+    * payload fields + processed_at + year/month/day/hour partitions.
+    * Partition values derive from the payload event time when present,
+    * else the arrival timestamp (README.md:130's timestamp template).
+    */
+  def transform(records: DataFrame, payloadSchema: StructType,
+      clock: Option[java.sql.Timestamp]): DataFrame = {
+    val decoded = records
+      .withColumn("env", Envelope.decode(col("data"), payloadSchema))
+      .withColumn("__ok", col("env").isNotNull && col("env.data").isNotNull)
+    val ts = coalesce(col("env.data.ts"), col("approx_arrival_ts"))
+    Envelope.withTimePartitions(
+      Envelope.withProcessedAt(decoded, clock), ts)
+  }
+
+  /** Start the delivery query: transactional partitioned parquet sink with
+    * snappy compression (F1/F2/K1/K2/K3), plus — via foreachBatch when any
+    * side output is configured — the portable manifest (K2), the error
+    * prefix (K4) and the raw backup (K5).
+    */
+  def start(records: DataFrame, payloadSchema: StructType, cfg: Config): StreamingQuery = {
+    val frame = transform(records, payloadSchema, cfg.clock)
+    val flat = frame.select(
+      col("partition_key"), col("sequence_number"),
+      col("env.data.*"), col("env.metadata.op").as("op"),
+      col("processed_at"), col("year"), col("month"), col("day"), col("hour"),
+      col("__ok"), col("data").as("__raw"))
+
+    val needForeach = cfg.errorDir.isDefined || cfg.backupDir.isDefined || cfg.manifestDir.isDefined
+    if (!needForeach) {
+      flat.where(col("__ok")).drop("__ok", "__raw")
+        .writeStream
+        .format("parquet")
+        .option("path", cfg.lakeDir)
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+        .partitionBy("year", "month", "day", "hour")
+        .option("checkpointLocation", cfg.checkpointDir)
+        .trigger(cfg.trigger)
+        .start()
+    } else {
+      flat.writeStream
+        .option("checkpointLocation", cfg.checkpointDir)
+        .trigger(cfg.trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          deliverBatch(batch, batchId, cfg)
+        }
+        .start()
+    }
+  }
+
+  /** One buffer flush (README.md:282-303): write data files, then — strictly
+    * after — the manifest listing exactly the files of this batch. A reader
+    * honoring the manifest never sees partial batches.
+    */
+  private[streaming] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+    val ok = batch.where(col("__ok")).drop("__ok", "__raw")
+    val spark = batch.sparkSession
+
+    // 1. data files (PUT #1)
+    ok.write.mode("append")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(cfg.lakeDir)
+
+    // 2. manifest (PUT #2, only after data success — README.md:419-430)
+    cfg.manifestDir.foreach { mdir =>
+      // Deterministic listing of this batch's files is not recoverable from
+      // an append write; the portable manifest lists the lake's current
+      // files (same visibility rule: listed ⇔ committed).
+      val files = listParquet(cfg.lakeDir)
+      val entries = files.map(f => s"""{"url": "$f", "mandatory": true}""")
+        .mkString("[", ",", "]")
+      Files.createDirectories(Paths.get(mdir))
+      Files.writeString(Paths.get(mdir, f"manifest-$batchId%010d.json"),
+        s"""{"entries": $entries}""")
+    }
+
+    // 3. failed records → errors/ prefix partitioned by time (README.md:426)
+    cfg.errorDir.foreach { edir =>
+      batch.where(!col("__ok"))
+        .select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"),
+          col("processed_at"), col("year"), col("month"), col("day"), col("hour"))
+        .write.mode("append").partitionBy("year", "month", "day", "hour").parquet(edir)
+    }
+
+    // 4. raw backup (S3BackupMode=AllData, README.md:605)
+    cfg.backupDir.foreach { bdir =>
+      batch.select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"))
+        .write.mode("append").parquet(bdir)
+    }
+  }
+
+  private def listParquet(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) Seq.empty
+    else {
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_spark_metadata"))
+          .map(_.toString).toVector.sorted
+      } finally s.close()
+    }
+  }
+}
