@@ -17,13 +17,16 @@ object Envelope {
   def encode(payload: Column): Column = base64(to_json(payload).cast("binary"))
 
   /** T1+T2 decode: base64 wire string → JSON text → typed struct.
-    * Malformed JSON yields nulls in the struct (routed by [[routeErrors]]).
+    * Malformed base64 or JSON yields null (routed by [[routeErrors]]) —
+    * `try_to_binary` instead of `unbase64`, which throws on bad padding;
+    * a poison record must reach the DLQ, not kill the stream (K4).
     */
   def decode(wire: Column, schema: StructType): Column =
-    from_json(unbase64(wire).cast("string"), schema)
+    from_json(decodeText(wire), schema)
 
   /** Raw decoded JSON text (for ad-hoc `get_json_object` access). */
-  def decodeText(wire: Column): Column = unbase64(wire).cast("string")
+  def decodeText(wire: Column): Column =
+    try_to_binary(wire, lit("base64")).cast("string")
 
   /** T3 enrichment: append `processed_at`. The reference stamps wall-clock
     * time (README.md:145); tests/oracles inject a fixed clock for

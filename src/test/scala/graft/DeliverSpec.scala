@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.audit.AuditListener
+import graft.sources.ShardedLog
+import graft.streaming.{Alert, Deliver}
+
+/** End-to-end delivery-path invariants (SURVEY.md §5): exactly-once under
+  * restart, manifest visibility, error routing, raw backup, replay, audit.
+  */
+class DeliverSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val payloadSchema = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampType),
+      StructField("event_id", LongType)))),
+    StructField("metadata", StructType(Seq(StructField("op", StringType))))))
+
+  private val clock = Some(java.sql.Timestamp.valueOf("2025-11-07 14:32:09.13"))
+
+  private def events = graft.queries.Registry.tbl(spark, sfDir, "events").limit(200)
+
+  test("delivery is exactly-once: restart from checkpoint adds no duplicates (K2/K3)") {
+    val base = tmpDir("graft-eo-")
+    ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+      trigger = Trigger.AvailableNow(), clock = clock)
+    val q1 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(s"$base/lake").count()
+    // restart with the same checkpoint: nothing new to process
+    val q2 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg)
+    q2.awaitTermination()
+    val n2 = spark.read.parquet(s"$base/lake").count()
+    assert(n1 == 200 && n2 == n1)
+    // new records appended to the log are processed exactly once
+    ShardedLog.put(ShardedLog.fromEvents(
+      graft.queries.Registry.tbl(spark, sfDir, "events")
+        .where($"event_id" >= 200 && $"event_id" < 250)), s"$base/log")
+    val q3 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg)
+    q3.awaitTermination()
+    val lake = spark.read.parquet(s"$base/lake")
+    assert(lake.count() == 250)
+    assert(lake.select($"event_id").distinct().count() == 250)
+  }
+
+  test("uncommitted files are invisible through the sink manifest (K2)") {
+    val base = tmpDir("graft-vis-")
+    ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+    val q = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck", trigger = Trigger.AvailableNow(), clock = clock))
+    q.awaitTermination()
+    val before = spark.read.parquet(s"$base/lake").count()
+    // simulate a torn write: copy a data file in place without a commit entry
+    val part = Files.walk(Paths.get(s"$base/lake")).iterator()
+    import scala.jdk.CollectionConverters._
+    val dataFile = part.asScala.find(p =>
+      p.toString.endsWith(".parquet") && !p.toString.contains("_spark_metadata")).get
+    Files.copy(dataFile, dataFile.resolveSibling("part-99999-orphan.snappy.parquet"))
+    val after = spark.read.parquet(s"$base/lake").count()
+    assert(after == before, "reader must consult the commit log, not the directory listing")
+  }
+
+  test("failed records route to errors/, raw backup keeps everything (K4/K5)") {
+    val base = tmpDir("graft-err-")
+    val good = ShardedLog.fromEvents(events.limit(10))
+    val bad = good.limit(3).withColumn("data", lit("%%%not-base64%%%"))
+      .withColumn("sequence_number", concat(lit("bad-"), col("sequence_number")))
+    ShardedLog.put(good.unionByName(bad), s"$base/log")
+    val q = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck",
+        errorDir = Some(s"$base/errors"), backupDir = Some(s"$base/backup"),
+        manifestDir = Some(s"$base/manifest"),
+        trigger = Trigger.AvailableNow(), clock = clock))
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/lake").count() == 10)
+    assert(spark.read.parquet(s"$base/errors").count() == 3)
+    assert(spark.read.parquet(s"$base/backup").count() == 13)
+    val manifests = new java.io.File(s"$base/manifest").listFiles()
+    assert(manifests.nonEmpty)
+    val manifest = spark.read.option("multiLine", true).json(s"$base/manifest")
+    assert(manifest.select(explode($"entries")).count() > 0)
+  }
+
+  test("replay from retained log reprocesses everything with a fresh checkpoint (S5)") {
+    val base = tmpDir("graft-replay-")
+    ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+    val q1 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake1", s"$base/ck1", trigger = Trigger.AvailableNow(), clock = clock))
+    q1.awaitTermination()
+    // replay = new consumer position (fresh checkpoint, fresh sink)
+    val q2 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake2", s"$base/ck2", trigger = Trigger.AvailableNow(), clock = clock))
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$base/lake1").count() ==
+      spark.read.parquet(s"$base/lake2").count())
+  }
+
+  test("per-key ordering survives the shard layout (S2: same key ⇒ same shard)") {
+    val recs = ShardedLog.fromEvents(events)
+    val keyShards = recs.groupBy($"partition_key")
+      .agg(countDistinct($"shard_id").as("n_shards"))
+      .agg(max($"n_shards")).as[Long].head()
+    assert(keyShards == 1L)
+    // within a shard, sequence numbers are unique and lexically ordered == numerically ordered
+    val seqs = recs.select($"shard_id", $"sequence_number").as[(String, String)].collect()
+    assert(seqs.map(_._2).distinct.length == seqs.length)
+  }
+
+  test("audit listener records per-batch progress (O1-O4)") {
+    val base = tmpDir("graft-audit-")
+    val audit = new AuditListener
+    spark.streams.addListener(audit)
+    try {
+      ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+      val q = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", trigger = Trigger.AvailableNow(), clock = clock))
+      q.awaitTermination()
+      // listener delivery is async; wait briefly for the progress event
+      val deadline = System.currentTimeMillis() + 10000
+      while (audit.entries.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(audit.entries.nonEmpty)
+      assert(audit.entries.map(_.numInputRows).sum == 200)
+      assert(audit.entries.forall(_.batchDurationMs >= 0))
+    } finally spark.streams.removeListener(audit)
+  }
+
+  test("alert path fires the predicate exactly on matching records (T8/K6)") {
+    val base = tmpDir("graft-alert-")
+    ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+    val hits = new java.util.concurrent.atomic.AtomicLong
+    val q = Alert.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      pred = $"env.metadata.op" === "D",
+      checkpointDir = s"$base/ck",
+      notify = b => hits.addAndGet(b.count()),
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val expected = events.where($"event_type" === "error").count()
+    assert(hits.get() == expected)
+  }
+}
