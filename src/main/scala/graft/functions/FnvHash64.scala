@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit FNV-1a string hash as a native Catalyst expression with full
+  * whole-stage codegen (`doGenCode` emits the tight loop inline — no UDF
+  * boxing, no codegen fallback). The cheap non-cryptographic rolling hash
+  * for fingerprint/bucketing hot paths where md5's cost and 128 bits are
+  * overkill: ~10× less work per row than md5, stays inside the generated
+  * stage.
+  */
+case class FnvHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    FnvHash64.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |byte[] ${ev.value}_bytes = $c.getBytes();
+         |long ${ev.value}_h = ${FnvHash64.OffsetBasis}L;
+         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_bytes.length; ${ev.value}_i++) {
+         |  ${ev.value}_h ^= (${ev.value}_bytes[${ev.value}_i] & 0xffL);
+         |  ${ev.value}_h *= ${FnvHash64.Prime}L;
+         |}
+         |${ev.value} = ${ev.value}_h;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): FnvHash64 =
+    copy(child = newChild)
+}
+
+object FnvHash64 {
+  val OffsetBasis: Long = 0xcbf29ce484222325L
+  val Prime: Long = 0x100000001b3L
+
+  def hash(bytes: Array[Byte]): Long = {
+    var h = OffsetBasis
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+
+  /** Column API: `fnv_hash64($"text")`. */
+  def fnv_hash64(c: Column): Column =
+    ColumnBridge.column(FnvHash64(ColumnBridge.expression(c)))
+
+  /** Register as a SQL function: `SELECT fnv_hash64(text) FROM docs`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv_hash64", exprs => FnvHash64(exprs.head), "built-in")
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, Sessionize}
+import graft.queries.Registry.tbl
+
+/** Second-wave capabilities: exact percentiles, as-of join, sessionization,
+  * ORC output format, approximate distinct-count (accuracy asserted in the
+  * oracle), streaming windowed aggregation with watermark.
+  */
+object MoreQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def dsumSql(e: String) =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact percentiles (sort-based agg; linear interpolation parity)
+    Q("q13_percentiles", (s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("qty_p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("qty_p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+        .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag,
+          | ROUND(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+          | ROUND(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+          | ROUND(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+          | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- backward as-of join: attach the signup value in effect at each
+    // purchase (time-versioned dimension enrichment)
+    Q("q14_asof_join", (s, d) => {
+      val e = tbl(s, d, "events")
+      val wTies = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val signups = e.filter(col("event_type") === "signup")
+        .withColumn("__rn", row_number().over(wTies)).where(col("__rn") === 1)
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin.backward(purchases, signups, "user_id", "ts", "ts", Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), col("signup_value"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH r AS (SELECT user_id, ts, value AS signup_value FROM
+        |   (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'signup') t WHERE rn = 1),
+        |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin)),
+
+    // ---- gaps-and-islands sessionization (30-minute inactivity gap)
+    Q("q28_sessionization", (s, d) =>
+      Sessionize.sessions(tbl(s, d, "events"),
+        col("user_id"), col("ts"), col("event_id"), "INTERVAL 30 MINUTE")
+        .orderBy(col("key"), col("session_id")),
+      Some(
+        """WITH o AS (SELECT user_id, ts, event_id,
+          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |  FROM events),
+          |g AS (SELECT user_id, ts, event_id,
+          |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          |  FROM o),
+          |sess AS (SELECT user_id, ts,
+          |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+          |  FROM g)
+          |SELECT user_id AS key, session_id, MIN(ts) AS session_start,
+          |  MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events
+          |FROM sess GROUP BY key, session_id ORDER BY key, session_id""".stripMargin)),
+
+    // ---- ORC output format (F3): write-read roundtrip preserves content
+    Q("q15_orc_roundtrip", (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-orc-").toString + "/events"
+      tbl(s, d, "events").select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }, Some(
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- approximate distinct count (HLL): accuracy contract in the oracle
+    Q("q16_approx_distinct", (s, d) =>
+      tbl(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.1).as("within_10pct"))
+        .orderBy(col("event_type")),
+      Some(
+        """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+          | TRUE AS within_10pct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- streaming windowed aggregation with watermark (the event-time
+    // analytics layer): stateful streaming agg must equal the batch answer
+    Q("q53_stream_windowed_agg", (s, d) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-win-").toString + "/events"
+      val e = tbl(s, d, "events").select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      e.write.mode("overwrite").parquet(src)
+      val name = "graft_q53_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(e.schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("window.start").as("hour_ts"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }, Some(
+      s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         | CAST(COUNT(*) AS BIGINT) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin))
+  )
+}

@@ -31,7 +31,8 @@ object Registry {
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   lazy val all: Seq[Q] =
-    CoreQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++ VectorQueries.qs ++ StreamQueries.qs
+    CoreQueries.qs ++ MoreQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++
+      VectorQueries.qs ++ StreamQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.Registry
+
+/** Plan-quality gate (the 100 TB design discipline, SURVEY.md §7.3): these
+  * assertions pin the physical-plan properties that keep the headline
+  * queries scalable — pushdown reaching the scan, pruned read schemas,
+  * broadcast dimensions, top-k short-circuits, rank-limit pushdown. A
+  * regression that silently turns a broadcast join into a cartesian or
+  * drops a pushed filter fails here, not at 100 TB.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).run(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 point lookup pushes the key predicate into the parquet scan") {
+    val p = plan("q02_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"), p)
+  }
+
+  test("q01 scan reads only the 7 needed columns of 11 (column pruning)") {
+    val p = plan("q01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey") &&
+      !read.contains("l_suppkey") && !read.contains("l_linenumber"), read)
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("q04 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05 star join broadcasts every dimension (no shuffle join on dims)") {
+    val p = plan("q05_nation_revenue")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"want >=4 broadcast joins, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q41 knn pushes the rank limit below the window (WindowGroupLimit)") {
+    val p = plan("q41_knn_bruteforce")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q24 latest-per-key also benefits from rank-limit pushdown") {
+    val p = plan("q24_latest_per_user")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("whole-stage codegen covers the q01 aggregation pipeline") {
+    val df = Registry.byName("q01_pricing_summary").run(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Op" prefixes mark WholeStageCodegen stages; both aggregates and
+    // the sort must be inside generated stages
+    assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"), p)
+    assert(p.linesIterator.count(_.matches(".*\\*\\(\\d+\\) .*")) >= 3, p)
+  }
+
+  test("partitioned lake point query prunes to the matching hour partition") {
+    val base = tmpDir("graft-prune-")
+    import org.apache.spark.sql.functions._
+    // hive-layout lake written directly (catalog-partitioned path)
+    val e = Registry.tbl(spark, sfDir, "events").limit(500)
+    graft.codec.Envelope.withTimePartitions(e, col("ts"))
+      .write.partitionBy("year", "month", "day", "hour").parquet(s"$base/lake")
+    graft.catalog.LakeCatalog.registerLake(spark, "prune_test", s"$base/lake")
+    val df = spark.sql("SELECT event_id FROM prune_test WHERE day = 3 AND hour = 12")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val meta = scans.head.metadata
+    assert(meta("PartitionFilters").contains("hour"), meta.toString)
+    val allParts = spark.sql("SHOW PARTITIONS prune_test").count()
+    val readParts = scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters).size
+    assert(readParts < allParts, s"read $readParts of $allParts partitions")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.{AsofJoin, Sessionize}
+import org.apache.spark.sql.functions._
+
+/** Custom streaming state (SURVEY.md §2.7 "stateful ops") + as-of join and
+  * sessionization operator edge cases.
+  */
+class StatefulSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mapGroupsWithState keeps running per-key counts across micro-batches") {
+    val input = MemoryStream[(Long, Double)](spark)
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+    val q = counts.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("stateful_counts").start()
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, 3.0), (3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    // latest emitted state per key
+    val last = spark.table("stateful_counts").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("as-of join: no version in effect yields null; <= semantics at exact ts") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 200.0))
+      .toDF("user_id", "ts", "v")
+    val left = Seq(
+      (0L, 1L, ts("2024-01-01 09:59:59")), // before any version → null
+      (1L, 1L, ts("2024-01-01 10:00:00")), // exactly at version ts → 100
+      (2L, 1L, ts("2024-01-01 11:30:00")), // between → 100
+      (3L, 1L, ts("2024-01-01 12:00:00")), // at second → 200
+      (4L, 2L, ts("2024-01-01 15:00:00"))) // key with no versions → null
+      .toDF("event_id", "user_id", "ts")
+    val got = AsofJoin.backward(left, right, "user_id", "ts", "ts", Seq("v"))
+      .select($"event_id", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(0L -> None, 1L -> Some(100.0), 2L -> Some(100.0),
+      3L -> Some(200.0), 4L -> None))
+  }
+
+  test("sessionization splits exactly at the gap boundary") {
+    val rows = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:29:59")), // within 30 min of previous
+      (1L, 12L, ts("2024-01-01 11:00:00")), // exactly 30:01 after → new session
+      (2L, 20L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts").select($"user_id", $"ts", $"event_id")
+    val got = Sessionize.sessions(rows, $"user_id", $"ts", $"event_id")
+      .select($"key", $"session_id", $"n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}
