@@ -15,10 +15,8 @@ import graft.queries.Registry.tbl
   */
 object CdcQueries {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,4)")).cast("double")
-  private def dsumSql(e: String) =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  private def dsum(c: org.apache.spark.sql.Column) = Agg.moneySum(c)
+  private def dsumSql(e: String) = Agg.moneySumSql(e)
 
   val qs: Seq[Q] = Seq(
 

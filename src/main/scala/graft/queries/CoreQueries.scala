@@ -18,10 +18,8 @@ object CoreQueries {
   /** Exact double sum: per-row cast to DECIMAL(18,4) → exact decimal sum →
     * back to double. Engine-order-independent, unlike naive double sums.
     */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,4)")).cast("double")
-  private def dsumSql(e: String) =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  private def dsum(c: org.apache.spark.sql.Column) = Agg.moneySum(c)
+  private def dsumSql(e: String) = Agg.moneySumSql(e)
 
   /** The money columns are exact 2-decimal values, so revenue/charge terms
     * are computed in decimal from the start: each factor cast to its exact
