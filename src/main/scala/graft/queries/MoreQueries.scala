@@ -105,6 +105,18 @@ object MoreQueries {
           | TRUE AS within_10pct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- CUBE lattice over a join (full grouping-set coverage with rollup)
+    Q("q17_cube_type_priority", (s, d) =>
+      tbl(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some(
+        s"""SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           | ${dsumSql("o_totalprice")} AS total
+           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // ---- streaming windowed aggregation with watermark (the event-time
     // analytics layer): stateful streaming agg must equal the batch answer
     Q("q53_stream_windowed_agg", (s, d) => {

@@ -196,6 +196,38 @@ object TextQueries {
          |JOIN hashes ha ON ha.doc_id = a.doc_id
          |GROUP BY a.doc_id, ha.simhash ORDER BY id_a""".stripMargin)),
 
+    // ---- rolling-hash document fingerprint via the native FNV-1a codegen
+    // expression (rows-only: FNV isn't expressible in the oracle engine;
+    // correctness is pinned to published vectors in FnvHashSpec)
+    Q("q39_fnv_fingerprint", (s, d) => {
+      graft.functions.FnvHash64.register(s)
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.FnvHash64.fnv_hash64(
+            graft.functions.TextFunctions.normalizedText(col("text"))).as("fp64"))
+        .groupBy(col("fp64")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(col("fp64"))
+    }, None),
+
+    // ---- multimodal frame sampling: fixed-size byte frames from the opaque
+    // payload (the shape of video frame-extraction plumbing; the "decode" is
+    // a deterministic stub per the offline container contract)
+    Q("q45_multimodal_frames", (s, d) =>
+      tbl(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0), ((length(col("payload")) - 1) / 32).cast("int"))).as("frame_no"))
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          md5(col("payload").substr(col("frame_no") * 32 + 1, lit(32))).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_no")),
+      Some(
+        """SELECT doc_id, g.x AS frame_no,
+          | md5(substr(text, CAST(g.x * 32 + 1 AS INT), 32)) AS frame_md5
+          |FROM documents, UNNEST(generate_series(0, (length(text) - 1) // 32)) AS g(x)
+          |WHERE doc_id < 100
+          |ORDER BY doc_id, frame_no""".stripMargin)),
+
     // ---- multimodal plumbing: opaque binary payload + typed metadata +
     // deterministic "decode" stub (SURVEY.md §7.1(10)); the binary column
     // stands in for image/audio bytes, features are engine-portable

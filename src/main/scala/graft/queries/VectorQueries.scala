@@ -71,6 +71,26 @@ object VectorQueries {
         |  CAST(MAX(n) AS BIGINT) AS n_vectors
         |FROM agg GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ---- embedding-cosine near-duplicate detection (the vector-space twin
+    // of MinHash dedup): all pairs above a cosine threshold
+    Q("q44_embedding_near_dups", (s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"),
+        VectorFunctions.toDouble(col("embedding")).as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"),
+        VectorFunctions.toDouble(col("embedding")).as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorFunctions.cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+        .where(col("cos") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- LSH-bucketed approximate NN: the 100 TB scale path (rows-only —
     // approximate results have no SQL-exact oracle; recall is asserted in
     // SimilaritySpec against the brute-force answer)

@@ -27,6 +27,7 @@ object Deliver {
       manifestDir: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"), // README.md:117 IntervalInSeconds=60
       maxRecordsPerFile: Long = 5000000,
+      compact: Boolean = false, // B2: one output file per flush (README.md:259, 379-380)
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -85,7 +86,10 @@ object Deliver {
     * honoring the manifest never sees partial batches.
     */
   private[streaming] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
-    val ok = batch.where(col("__ok")).drop("__ok", "__raw")
+    val okAll = batch.where(col("__ok")).drop("__ok", "__raw")
+    // B2 batch compaction: the reference's buffer flush emits ONE object per
+    // flush (1000 records → 1 part file); coalesce(1) reproduces that.
+    val ok = if (cfg.compact) okAll.coalesce(1) else okAll
     val spark = batch.sparkSession
 
     // 1. data files (PUT #1)
