@@ -106,6 +106,40 @@ object StreamQueries {
       LakeCatalog.registerLake(s, "cdc_orders", lakeDir)
       s.sql("SELECT id, status, processed_at FROM cdc_orders WHERE hour = 14 LIMIT 1")
     }, Some("SELECT CAST(98765 AS BIGINT) AS id, 'shipped' AS status, " +
-      "TIMESTAMP '2025-11-07 14:32:09.13' AS processed_at"))
+      "TIMESTAMP '2025-11-07 14:32:09.13' AS processed_at")),
+
+    // ---- stream-stream interval join with watermarks on both sides:
+    // purchases matched to signups of the same user within the prior 2 h
+    // (state-bounded by the time constraint; oracle = batch range join)
+    Q("q54_stream_stream_join", (s, d) => {
+      val src = tmp("graft-ssj-") + "/events"
+      val e = tbl(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      e.write.mode("overwrite").parquet(src)
+      val name = "graft_q54_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val purchases = s.readStream.schema(e.schema).parquet(src)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val signups = s.readStream.schema(e.schema).parquet(src)
+        .where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+          col("ts").as("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+      val q = purchases.join(signups,
+        expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 2 hours"))
+        .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).orderBy(col("purchase_id"), col("signup_id"))
+    }, Some(
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        | AND s.event_type = 'signup'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+        |ORDER BY purchase_id, signup_id""".stripMargin))
   )
 }

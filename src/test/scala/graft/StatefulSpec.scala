@@ -65,5 +65,22 @@ class StatefulSpec extends SparkSuite {
     assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("dropDuplicatesWithinWatermark suppresses replays across batches") {
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww").start()
+    input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // replayed id=1 within the watermark window must not re-emit
+    input.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddww").select($"id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
