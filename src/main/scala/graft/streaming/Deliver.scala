@@ -28,6 +28,10 @@ object Deliver {
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"), // README.md:117 IntervalInSeconds=60
       maxRecordsPerFile: Long = 5000000,
       compact: Boolean = false, // B2: one output file per flush (README.md:259, 379-380)
+      // true = reference semantics (README.md:130: partitions from the
+      // PROCESSING-time template — each flush lands in one hour folder);
+      // false = event-time partitions (deterministic for oracle tests)
+      partitionByProcessingTime: Boolean = false,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -36,13 +40,16 @@ object Deliver {
     * else the arrival timestamp (README.md:130's timestamp template).
     */
   def transform(records: DataFrame, payloadSchema: StructType,
-      clock: Option[java.sql.Timestamp]): DataFrame = {
+      clock: Option[java.sql.Timestamp],
+      partitionByProcessingTime: Boolean = false): DataFrame = {
     val decoded = records
       .withColumn("env", Envelope.decode(col("data"), payloadSchema))
       .withColumn("__ok", col("env").isNotNull && col("env.data").isNotNull)
-    val ts = coalesce(col("env.data.ts"), col("approx_arrival_ts"))
-    Envelope.withTimePartitions(
-      Envelope.withProcessedAt(decoded, clock), ts)
+    val withPt = Envelope.withProcessedAt(decoded, clock)
+    val ts =
+      if (partitionByProcessingTime) col("processed_at")
+      else coalesce(col("env.data.ts"), col("approx_arrival_ts"))
+    Envelope.withTimePartitions(withPt, ts)
   }
 
   /** Start the delivery query: transactional partitioned parquet sink with
@@ -51,7 +58,7 @@ object Deliver {
     * prefix (K4) and the raw backup (K5).
     */
   def start(records: DataFrame, payloadSchema: StructType, cfg: Config): StreamingQuery = {
-    val frame = transform(records, payloadSchema, cfg.clock)
+    val frame = transform(records, payloadSchema, cfg.clock, cfg.partitionByProcessingTime)
     val flat = frame.select(
       col("partition_key"), col("sequence_number"),
       col("env.data.*"), col("env.metadata.op").as("op"),
