@@ -88,14 +88,16 @@ object CoreQueries {
 
     // ---- top-k revenue orders: agg + join + TakeOrderedAndProject
     Q("q04_topk_orders", (s, d) => {
+      // per-order groups are ~7 rows — cent-long sums are overflow-safe at
+      // any scale for high-cardinality keys, and 3× faster than decimal
       val rev = tbl(s, d, "lineitem").groupBy(col("l_orderkey"))
-        .agg(sum(discPrice).cast("double").as("revenue"))
+        .agg(Agg.money4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       rev.join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     }, Some(
       s"""SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
-         |FROM (SELECT l_orderkey, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+         |FROM (SELECT l_orderkey, ${Agg.money4SumSql("l_extendedprice*(1.0-l_discount)")} AS revenue
          |      FROM lineitem GROUP BY l_orderkey) r
          |JOIN orders ON l_orderkey = o_orderkey
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),

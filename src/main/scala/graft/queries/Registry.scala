@@ -36,6 +36,17 @@ object Agg {
     sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100
   def moneySumSql(e: String): String =
     s"CAST(SUM(CAST(FLOOR(($e) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100"
+
+  /** 4-decimal variant for exact products of two 2-dec factors (e.g.
+    * price·(1−disc)). Scaled headroom is 1e4 smaller than [[moneySum]], so
+    * reserve it for HIGH-cardinality groupings where per-group row counts
+    * stay modest (per-order, per-user); giant low-cardinality groups use
+    * exact DECIMAL instead (CoreQueries.discPrice).
+    */
+  def money4Sum(c: Column): Column =
+    sum(floor(c * 10000 + 0.5).cast("long")).cast("double") / 10000
+  def money4SumSql(e: String): String =
+    s"CAST(SUM(CAST(FLOOR(($e) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000"
 }
 
 object Registry {

@@ -32,6 +32,10 @@ object Deliver {
       // PROCESSING-time template — each flush lands in one hour folder);
       // false = event-time partitions (deterministic for oracle tests)
       partitionByProcessingTime: Boolean = false,
+      // K9 dynamic partitioning by content (README.md:157, 433): route each
+      // record to a per-table folder derived from its partition key
+      // ("schema-table-id" → table prefix)
+      routeByTable: Boolean = false,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -59,11 +63,17 @@ object Deliver {
     */
   def start(records: DataFrame, payloadSchema: StructType, cfg: Config): StreamingQuery = {
     val frame = transform(records, payloadSchema, cfg.clock, cfg.partitionByProcessingTime)
-    val flat = frame.select(
+    val baseCols = Seq(
       col("partition_key"), col("sequence_number"),
       col("env.data.*"), col("env.metadata.op").as("op"),
       col("processed_at"), col("year"), col("month"), col("day"), col("hour"),
       col("__ok"), col("data").as("__raw"))
+    val flat =
+      if (cfg.routeByTable)
+        frame.select(substring_index(col("partition_key"), "-", 1).as("table") +: baseCols: _*)
+      else frame.select(baseCols: _*)
+    val partCols =
+      (if (cfg.routeByTable) Seq("table") else Seq.empty) ++ Seq("year", "month", "day", "hour")
 
     val needForeach = cfg.errorDir.isDefined || cfg.backupDir.isDefined || cfg.manifestDir.isDefined
     if (!needForeach) {
@@ -73,7 +83,7 @@ object Deliver {
         .option("path", cfg.lakeDir)
         .option("compression", "snappy")
         .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
-        .partitionBy("year", "month", "day", "hour")
+        .partitionBy(partCols: _*)
         .option("checkpointLocation", cfg.checkpointDir)
         .trigger(cfg.trigger)
         .start()
@@ -97,13 +107,14 @@ object Deliver {
     // B2 batch compaction: the reference's buffer flush emits ONE object per
     // flush (1000 records → 1 part file); coalesce(1) reproduces that.
     val ok = if (cfg.compact) okAll.coalesce(1) else okAll
-    val spark = batch.sparkSession
+    val partCols =
+      (if (cfg.routeByTable) Seq("table") else Seq.empty) ++ Seq("year", "month", "day", "hour")
 
     // 1. data files (PUT #1)
     ok.write.mode("append")
       .option("compression", "snappy")
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
-      .partitionBy("year", "month", "day", "hour")
+      .partitionBy(partCols: _*)
       .parquet(cfg.lakeDir)
 
     // 2. manifest (PUT #2, only after data success — README.md:419-430)

@@ -55,6 +55,19 @@ class ManifestSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/lake").count() == 1000)
   }
 
+  test("routeByTable lands records in per-table folders (K9)") {
+    val base = tmpDir("graft-route-")
+    ShardedLog.put(ShardedLog.fromEvents(events(50)), s"$base/log")
+    val q = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck", routeByTable = true,
+        trigger = Trigger.AvailableNow(), clock = clock))
+    q.awaitTermination()
+    // partition_key = "events-<user>" → table prefix "events"
+    assert(new java.io.File(s"$base/lake/table=events").isDirectory)
+    val lake = spark.read.parquet(s"$base/lake")
+    assert(lake.count() == 50 && lake.columns.contains("table"))
+  }
+
   test("rate-limited admission processes the log in multiple micro-batches (O3/B1)") {
     val base = tmpDir("graft-rate-")
     val audit = new graft.audit.AuditListener
