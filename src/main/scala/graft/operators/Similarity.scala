@@ -1,6 +1,8 @@
 package graft.operators
 
 import java.security.MessageDigest
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -82,6 +84,40 @@ object Similarity {
     val c = withBucket(corpus.select(col("id").as("nid"), col("embedding")), nPlanes, dim)
       .select(col("nid"), toDouble(col("embedding")).as("ne"), col("bucket"))
     val sims = c.join(q, Seq("bucket"))
+      .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  /** IVF (inverted-file) approximate NN: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query scans only its
+    * `nprobe` nearest cells. The classic ANN scale path: the corpus is
+    * assigned once (and can be persisted bucketed by cell); per-query work
+    * drops from O(n) to O(n·nprobe/nlist). Deterministic via fixed seed.
+    */
+  def ivfAnn(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .fit(cVec)
+    val assigned = model.transform(cVec)
+      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
+        col(model.getPredictionCol).as("cell"))
+    // rank each query's centroids; probe the nprobe nearest cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      (i, ctr.toArray.toSeq)
+    }.toSeq
+    val centDf = broadcast(queries.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid"))
+    val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+    val probes = qe.crossJoin(centDf)
+      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val sims = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 4).desc, col("nid"))

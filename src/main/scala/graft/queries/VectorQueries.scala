@@ -103,6 +103,19 @@ object VectorQueries {
       Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 6, dim = 64)
         .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
         .orderBy(col("qid"), col("sim").desc, col("nid"))
+    }, None),
+
+    // ---- IVF-bucketed approximate NN: KMeans coarse quantizer + nprobe
+    // cell scan (rows-only; recall asserted vs brute force in DedupSpec)
+    Q("q46_knn_ivf_ann", (s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.ivfAnn(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("nid"))
     }, None)
   )
 }

@@ -61,6 +61,18 @@ class DedupSpec extends SparkSuite {
     (0L to 9L).foreach(i => assert(ham((i, i + 2000)) <= 6, s"pair $i too far: ${ham((i, i + 2000))}"))
   }
 
+  test("IVF ANN recall ≥ 0.6 vs brute force on sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding")
+    val corpus = emb.filter($"vec_id" >= 20).select($"vec_id".as("id"), $"embedding")
+    val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("LSH ANN recall ≥ 0.6 vs brute force on sf0.001 embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding")

@@ -65,6 +65,32 @@ class StatefulSpec extends SparkSuite {
     assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("streaming session_window agg matches the batch Sessionize operator") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val sessions = input.toDF().toDF("user_id", "ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_stream").start()
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:20:00"), 2L), // same session (gap < 30m)
+      (1L, ts("2024-01-01 11:30:00"), 3L), // new session
+      (2L, ts("2024-01-01 10:00:00"), 4L))
+    rows.foreach(r => input.addData(r))
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("sess_stream")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val batch = Sessionize.sessions(rows.toDF("user_id", "ts", "event_id"),
+      $"user_id", $"ts", $"event_id")
+      .select($"key", $"n_events").as[(Long, Long)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(streaming == batch)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays across batches") {
     val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val deduped = input.toDF().toDF("id", "ts")
