@@ -46,11 +46,11 @@ object Bench {
     // pins 2.1 s for transform+write of a 2.79 MB buffer (README.md:359);
     // measure our micro-batch transform → partitioned parquet write on a
     // wire-record batch of matched byte size.
-    val deliverSec = {
+    val deliverSec = try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
       val base = java.nio.file.Files.createTempDirectory("graft-bench-dlv-").toString
-      val events = Registry.tbl(spark, "/root/testdata/sf0.1", "events")
+      val events = Registry.tbl(spark, sfDir, "events")
       val sample = graft.sources.ShardedLog.fromEvents(events.limit(1000))
       val avgLen = sample.agg(avg(length(col("data")))).head().getDouble(0)
       val n = math.ceil(2.79e6 / avgLen).toLong
@@ -78,6 +78,9 @@ object Bench {
         graft.sources.ShardedLog.fromEvents(events.limit(100)), s"$base/warmlog")
       deliverOnce(s"$base/warmlog", s"$base/warm")
       deliverOnce(s"$base/log", s"$base/run")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] deliver segment failed: ${e.getMessage}")
+      -1.0
     }
 
     val all = results :+ ("stream_deliver_2p79mb" -> deliverSec)

@@ -13,6 +13,12 @@ object LakeCatalog {
   /** C1: schema inference + table registration over a delivered lake dir.
     * Uses the files' own footer schema (crawler-style inference); partition
     * columns are discovered from the Hive layout.
+    *
+    * For lakes written by the streaming file sink, Spark resolves the
+    * location through the `_spark_metadata` commit log even via the catalog
+    * table (orphan/uncommitted files stay invisible — pinned by
+    * DeliverSpec); the PARTITIONED BY clause is ignored for such locations
+    * and pruning comes from the log's partitioning-aware file index.
     */
   def registerLake(spark: SparkSession, table: String, lakeDir: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -29,10 +29,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Word n-gram shingles of the token array; docs shorter than `n` tokens
-    * produce no shingles (callers filter first — mirrored in oracles).
+    * produce an empty array (a negative-length `sequence` would otherwise
+    * generate descending indices and crash `slice` at runtime).
     */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Per-document distinct shingle table: (id, shingle). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
@@ -94,7 +97,11 @@ object Dedup {
     */
   def jaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    // not cached: the table is cheap to recompute relative to the join, and
+    // a library-held cache would leak executor storage across invocations —
+    // callers running this repeatedly should persist the shingle table
+    // themselves with a lifetime they control
+    val sh = shingleTable(docs, idCol, textCol, n)
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))

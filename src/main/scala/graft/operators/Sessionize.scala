@@ -24,8 +24,11 @@ object Sessionize {
     val order = Window.partitionBy(key).orderBy(ts, tiebreak)
     val withGap = events
       .withColumn("__prev_ts", lag(ts, 1).over(order))
+      // >= matches Structured Streaming's session_window: windows are
+      // end-exclusive [t, t+gap), so an event at exactly prev+gap starts a
+      // NEW session in both engines
       .withColumn("__new_session",
-        when(col("__prev_ts").isNull || ts > expr(s"__prev_ts + $gapExpr"), 1L)
+        when(col("__prev_ts").isNull || ts >= expr(s"__prev_ts + $gapExpr"), 1L)
           .otherwise(0L))
     val withId = withGap.withColumn("session_id",
       sum(col("__new_session")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)

@@ -75,8 +75,11 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64, probeBits: Int = 1): DataFrame = {
     val q0 = withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
       .select(col("qid"), toDouble(col("embedding")).as("qe"), col("bucket"))
-    val flips: Seq[org.apache.spark.sql.Column] =
-      lit(0L) +: (if (probeBits >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Seq.empty)
+    // all XOR masks with ≤ probeBits bits set over nPlanes planes
+    val masks = (0 until (1 << nPlanes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+      .map(m => lit(m.toLong))
+    val flips: Seq[org.apache.spark.sql.Column] = masks
     val q = broadcast(q0
       .withColumn("__flip", explode(array(flips: _*)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))

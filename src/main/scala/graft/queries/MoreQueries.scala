@@ -67,7 +67,7 @@ object MoreQueries {
           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
           |  FROM events),
           |g AS (SELECT user_id, ts, event_id,
-          |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          |    CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
           |  FROM o),
           |sess AS (SELECT user_id, ts,
           |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

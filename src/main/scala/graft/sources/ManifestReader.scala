@@ -28,8 +28,10 @@ object ManifestReader {
   def read(spark: SparkSession, manifestDir: String): DataFrame = {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
-    // basePath preserves the Hive partition columns of the listed files
-    val base = files.head.replaceAll("/year=.*$", "")
+    // basePath preserves the Hive partition columns of the listed files:
+    // strip from the FIRST `name=value` path segment (handles both
+    // year=.../... and table=.../year=.../... layouts)
+    val base = files.head.replaceAll("/[^/=]+=[^/]*(/.*)?$", "")
     spark.read.option("basePath", base).parquet(files: _*)
   }
 }

@@ -99,16 +99,28 @@ object Deliver {
   }
 
   /** One buffer flush (README.md:282-303): write data files, then — strictly
-    * after — the manifest listing exactly the files of this batch. A reader
-    * honoring the manifest never sees partial batches.
+    * after — the manifest extending the previous one with exactly this
+    * batch's files, then the batch commit marker. Replayed batches (crash
+    * between sink work and checkpoint commit) are skipped via the marker;
+    * a replay after a crash mid-batch re-writes the data, and the dir-diff
+    * manifest lists only the successful attempt — earlier partial files
+    * become orphans that manifest/commit-log readers never see. Exactly-once
+    * therefore holds for manifest readers and checkpointed restarts; a raw
+    * recursive directory listing (which the reference also forbids,
+    * README.md:429 "never the folder") may see orphans.
     */
   private[streaming] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+    val marker = Paths.get(cfg.lakeDir, "_commits", f"$batchId%010d")
+    if (Files.exists(marker)) return // replayed, already fully delivered
+
     val okAll = batch.where(col("__ok")).drop("__ok", "__raw")
     // B2 batch compaction: the reference's buffer flush emits ONE object per
     // flush (1000 records → 1 part file); coalesce(1) reproduces that.
     val ok = if (cfg.compact) okAll.coalesce(1) else okAll
     val partCols =
       (if (cfg.routeByTable) Seq("table") else Seq.empty) ++ Seq("year", "month", "day", "hour")
+
+    val before = listParquet(cfg.lakeDir).toSet
 
     // 1. data files (PUT #1)
     ok.write.mode("append")
@@ -117,14 +129,15 @@ object Deliver {
       .partitionBy(partCols: _*)
       .parquet(cfg.lakeDir)
 
-    // 2. manifest (PUT #2, only after data success — README.md:419-430)
+    // 2. manifest (PUT #2, only after data success — README.md:419-430):
+    // previous manifest's entries + exactly the files this attempt added
     cfg.manifestDir.foreach { mdir =>
-      // Deterministic listing of this batch's files is not recoverable from
-      // an append write; the portable manifest lists the lake's current
-      // files (same visibility rule: listed ⇔ committed).
-      val files = listParquet(cfg.lakeDir)
-      val entries = files.map(f => s"""{"url": "$f", "mandatory": true}""")
-        .mkString("[", ",", "]")
+      val added = listParquet(cfg.lakeDir).filterNot(before)
+      val prev = Option(new java.io.File(mdir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("manifest-")).sortBy(_.getName).lastOption
+        .map(f => parseManifestUrls(Files.readString(f.toPath))).getOrElse(Seq.empty)
+      val entries = (prev ++ added).distinct.sorted
+        .map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
       Files.createDirectories(Paths.get(mdir))
       Files.writeString(Paths.get(mdir, f"manifest-$batchId%010d.json"),
         s"""{"entries": $entries}""")
@@ -143,7 +156,14 @@ object Deliver {
       batch.select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"))
         .write.mode("append").parquet(bdir)
     }
+
+    // 5. commit marker — the batch is fully delivered; replays become no-ops
+    Files.createDirectories(marker.getParent)
+    Files.writeString(marker, "")
   }
+
+  private def parseManifestUrls(json: String): Seq[String] =
+    """"url"\s*:\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toVector
 
   private def listParquet(dir: String): Seq[String] = {
     val root = Paths.get(dir)

@@ -50,6 +50,12 @@ object UpsertSink {
 
   private[streaming] def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String]): Unit = {
+    // Replay idempotence: the pointer encodes the batch id of the snapshot
+    // it names. If a crash landed between our pointer swap and the stream's
+    // checkpoint commit, the batch replays — the pointer already names
+    // snap-<batchId> (or later), so re-applying would both double-apply the
+    // changes and overwrite the snapshot the merge plan is reading from.
+    if (currentSnapshot(tableDir).exists(_ >= f"snap-$batchId%010d")) return
     val spark = batch.sparkSession
     val tableCols = batch.columns.filterNot(c => c == opCol || seqCols.contains(c))
     val target = readTable(spark, tableDir).getOrElse(
