@@ -52,6 +52,17 @@ object ShardedLog {
   def put(records: DataFrame, dir: String): Unit =
     records.write.mode("append").partitionBy("shard_id").parquet(dir)
 
+  /** Resharding (the reference's on-demand auto-scaling, README.md:36, 74:
+    * shard count changes under load). Records are reassigned by the same
+    * key-hash over the new shard count; per-key ordering is preserved
+    * because a key's records still land in exactly one (new) shard and
+    * sequence numbers are unchanged.
+    */
+  def reshard(records: DataFrame, newShards: Int): DataFrame =
+    records.withColumn("shard_id",
+      concat(lit("shardId-"),
+        lpad(pmod(hash(col("partition_key")), lit(newShards)).cast("string"), 12, "0")))
+
   /** S3/S4 consumer: stream the log back. `maxFilesPerTrigger` caps batch
     * admission (the size-bound half of the reference's 64 MB/60 s buffer).
     */
