@@ -63,6 +63,25 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.matches(".*\\*\\(\\d+\\) .*")) >= 3, p)
   }
 
+  test("no registry query plans a CartesianProduct (global plan hygiene)") {
+    // intended all-pairs comparisons use broadcast nested-loop (small side
+    // broadcast); an unhinted CartesianProduct would shuffle-explode at scale
+    val skip = Set("q50_stream_deliver", "q51_stream_alerts", "q52_golden_row",
+      "q53_stream_windowed_agg", "q54_stream_stream_join") // run streaming jobs, not plain plans
+    Registry.all.filterNot(q => skip(q.name)).foreach { q =>
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("as-of join is a single key-shuffle (one Exchange below the window)") {
+    val p = plan("q14_asof_join")
+    // union of both sides shuffles once on the key for the carry-forward
+    // window; no join operator (and so no join explosion) appears at all
+    assert(!p.contains("Join") || !p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("partitioned lake point query prunes to the matching hour partition") {
     val base = tmpDir("graft-prune-")
     import org.apache.spark.sql.functions._

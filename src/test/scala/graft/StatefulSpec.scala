@@ -65,6 +65,27 @@ class StatefulSpec extends SparkSuite {
     assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("flatMapGroupsWithState: stateful first-seen dedup emits each key once across batches") {
+    val input = MemoryStream[(Long, String)](spark)
+    val firstSeen = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          val seen = state.getOption.getOrElse(false)
+          state.update(true)
+          if (seen) Iterator.empty else rows.take(1).map { case (k, v) => (k, v) }
+      }
+    val q = firstSeen.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("first_seen").start()
+    input.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    input.addData((1L, "a-dup-later-batch"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("first_seen").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("streaming session_window agg matches the batch Sessionize operator") {
     val input = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
     val sessions = input.toDF().toDF("user_id", "ts", "event_id")
