@@ -21,16 +21,18 @@ object CoreQueries {
   private def dsum(c: org.apache.spark.sql.Column) = Agg.moneySum(c)
   private def dsumSql(e: String) = Agg.moneySumSql(e)
 
-  /** The money columns are exact 2-decimal values, so revenue/charge terms
-    * are computed in decimal from the start: each factor cast to its exact
-    * 2-dp decimal, multiplied in decimal (exact in both engines), summed
-    * exactly. A double product cast to decimal would diverge between
-    * engines at rounding boundaries; this never rounds at all.
+  /** The money columns are exact 2-decimal values, so revenue/charge
+    * products have exactly 4 resp. 6 decimals; Spark sums their scaled
+    * cents with the custom CentSum128 aggregate (exact at any group size,
+    * long-speed hot path — see functions/CentSum128), while the oracle
+    * computes the same exact value with decimal arithmetic. Both equal the
+    * exact mathematical sum, so they hash-match.
     */
-  private val one2 = lit(1).cast("decimal(3,2)")
-  private def discPrice = col("l_extendedprice").cast("decimal(18,2)") *
-    (one2 - col("l_discount").cast("decimal(4,2)"))
-  private def charge = discPrice * (one2 + col("l_tax").cast("decimal(4,2)"))
+  import graft.functions.CentSum128.centSum128
+  private def discPriceSum = centSum128(
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4 + 0.5).cast("long"), 4)
+  private def chargeSum = centSum128(
+    floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 1e6 + 0.5).cast("long"), 6)
   private val discPriceSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))"
   private val chargeSql = s"$discPriceSql * (1.00 + CAST(l_tax AS DECIMAL(4,2)))"
@@ -45,8 +47,8 @@ object CoreQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(discPrice).cast("double").as("sum_disc_price"),
-          sum(charge).cast("double").as("sum_charge"),
+          discPriceSum.as("sum_disc_price"),
+          chargeSum.as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -120,7 +122,7 @@ object CoreQueries {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(discPrice).cast("double").as("revenue"),
+        .agg(discPriceSum.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }, Some(

@@ -53,14 +53,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("whole-stage codegen covers the q01 aggregation pipeline") {
-    val df = Registry.byName("q01_pricing_summary").run(spark, sfDir)
+  test("whole-stage codegen covers the q20 aggregation pipeline") {
+    val df = Registry.byName("q20_hourly_analytics").run(spark, sfDir)
     df.collect() // finalize the adaptive plan so codegen stages materialize
     val p = df.queryExecution.executedPlan.toString
     // "*(n) Op" prefixes mark WholeStageCodegen stages; both aggregates and
     // the sort must be inside generated stages
     assert(p.contains("*(1) HashAggregate") || p.contains("WholeStageCodegen"), p)
     assert(p.linesIterator.count(_.matches(".*\\*\\(\\d+\\) .*")) >= 3, p)
+  }
+
+  test("q01 plans the custom CentSum128 as a two-phase ObjectHashAggregate") {
+    val df = Registry.byName("q01_pricing_summary").run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the custom TypedImperativeAggregate runs in ObjectHashAggregate with
+    // partial + final phases (map-side combine preserved)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_cent_sum_128") || p.contains("partial_centsum128")
+      || p.toLowerCase.contains("partial_cent"), p)
   }
 
   test("no registry query plans a CartesianProduct (global plan hygiene)") {
