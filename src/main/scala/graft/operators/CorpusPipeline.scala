@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** The composed training-data cleaning pipeline — the end-to-end use case
+  * the extension operators exist for: quality-gate → exact dedup → near-dup
+  * removal → language filter, emitting the clean corpus plus an audit of
+  * why each rejected document was dropped.
+  *
+  * Every stage is a deterministic column program over the operators in this
+  * package, so the whole pipeline remains engine-portable (oracle-checkable)
+  * and shuffle-minimal: one fingerprint groupBy (exact), one shingle join
+  * over LSH candidates (near), everything else narrow.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.5,
+      minTokens: Int = 5,
+      languages: Seq[String] = Seq("en"),
+      jaccardThreshold: Double = 0.5)
+
+  /** Annotate each doc with pipeline verdicts. Output columns:
+    * doc_id, text, quality, lang_pred, n_tokens, reject_reason (null = kept).
+    * Rejection precedence: low_quality > too_short > wrong_lang >
+    * exact_dup > near_dup (a doc gets its first failing gate).
+    * For duplicate groups the smallest doc_id survives.
+    */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val base = docs.select(
+      col("doc_id"), col("text"),
+      round(TextFunctions.qualityScore(col("text")), 4).as("quality"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.fingerprint(col("text")).as("__fp"))
+
+    // exact dups: keep the smallest id per fingerprint
+    val keepers = base.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep_id"))
+    val withExact = base.join(keepers, Seq("__fp"))
+      .withColumn("__exact_dup", col("doc_id") =!= col("__keep_id"))
+
+    // near dups among surviving candidates: LSH candidates verified by
+    // Jaccard; the larger id of each confirmed pair is dropped
+    val survivors = withExact.where(!col("__exact_dup"))
+      .select(col("doc_id"), col("text"))
+    val nearPairs = Dedup.jaccardNearDups(survivors, "doc_id", "text",
+      n = 3, threshold = cfg.jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("__near_dup", lit(true))
+
+    withExact.join(nearPairs, Seq("doc_id"), "left")
+      .withColumn("reject_reason",
+        when(col("quality") < cfg.minQuality, "low_quality")
+          .when(col("n_tokens") < cfg.minTokens, "too_short")
+          .when(!col("lang_pred").isin(cfg.languages: _*), "wrong_lang")
+          .when(col("__exact_dup"), "exact_dup")
+          .when(coalesce(col("__near_dup"), lit(false)), "near_dup"))
+      .select(col("doc_id"), col("text"), col("quality"), col("lang_pred"),
+        col("n_tokens"), col("reject_reason"))
+  }
+
+  /** The clean corpus: annotated docs with no rejection. */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    annotate(docs, cfg).where(col("reject_reason").isNull)
+
+  /** Audit summary: kept/dropped counts per reason. */
+  def auditSummary(annotated: DataFrame): DataFrame =
+    annotated.groupBy(coalesce(col("reject_reason"), lit("kept")).as("verdict"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("verdict"))
+}

@@ -15,23 +15,52 @@ import graft.queries.Registry.tbl
   */
 object TextQueries {
 
-  /** documents ∪ planted near-duplicate mutations of docs 0..49. */
-  private def withPlanted(s: SparkSession, d: String): DataFrame = {
+  /** documents ∪ planted near-duplicate mutations of docs 0..49 ∪ planted
+    * exact copies of docs 0..19 (so both dedup branches have real work).
+    */
+  private[queries] def withPlanted(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" graft extra trailing words")).as("text")))
+      .unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
   }
 
-  private val plantedSql =
+  private[queries] val plantedSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text || ' graft extra trailing words' AS text
-      |FROM documents WHERE doc_id < 50""".stripMargin
+      |FROM documents WHERE doc_id < 50
+      |UNION ALL
+      |SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 20""".stripMargin
 
   /** Token list SQL (mirror of TextFunctions.tokens). */
-  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[queries] val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Oracle mirrors of TextFunctions.qualityScore and langId (DuckDB SQL). */
+  private[queries] val qualitySql =
+    s"""(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 500.0)
+       | + 0.3 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |     ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) END))
+       | + 0.3 * least(1.0, (CASE WHEN len($toksSql) = 0 THEN 0.0
+       |     ELSE CAST(len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) AS DOUBLE)
+       |          / len($toksSql) END) * 4.0))""".stripMargin
+  private[queries] val langIdSql =
+    s"""(CASE
+       |   WHEN len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) = 0
+       |    AND len(list_filter($toksSql, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) = 0
+       |    AND len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t))) = 0
+       |    AND len(list_filter($toksSql, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) = 0 THEN 'und'
+       |   WHEN len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) >= len(list_filter($toksSql, t -> list_contains(['el','la','de','que','y','los','en','un'], t)))
+       |    AND len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) >= len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t)))
+       |    AND len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) >= len(list_filter($toksSql, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) THEN 'en'
+       |   WHEN len(list_filter($toksSql, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) >= len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t)))
+       |    AND len(list_filter($toksSql, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) >= len(list_filter($toksSql, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) THEN 'es'
+       |   WHEN len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t))) >= len(list_filter($toksSql, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) THEN 'de'
+       |   ELSE 'fr' END)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -229,6 +258,42 @@ object TextQueries {
           |FROM documents, UNNEST(generate_series(0, (length(text) - 1) // 32)) AS g(x)
           |WHERE doc_id < 100 AND length(text) > 0
           |ORDER BY doc_id, frame_no""".stripMargin)),
+
+    // ---- the composed training-data cleaning pipeline: quality gate →
+    // exact dedup → LSH+Jaccard near-dup removal → language filter, with a
+    // per-verdict audit — the end-to-end use case of the extension ops
+    Q("q47_corpus_pipeline", (s, d) =>
+      graft.operators.CorpusPipeline.auditSummary(
+        graft.operators.CorpusPipeline.annotate(withPlanted(s, d))),
+      Some(
+        s"""WITH docs AS ($plantedSql),
+           |base AS (SELECT doc_id, text, ROUND($qualitySql, 4) AS quality,
+           |  $langIdSql AS lang_pred, len($toksSql) AS n_tokens,
+           |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs),
+           |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
+           |we AS (SELECT base.*, doc_id <> keep_id AS exact_dup FROM base JOIN keep USING (fp)),
+           |survivors AS (SELECT doc_id, text FROM we WHERE NOT exact_dup),
+           |toks AS (SELECT doc_id, $toksSql AS t FROM survivors WHERE len($toksSql) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+           |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2),
+           |near AS (SELECT DISTINCT id_b AS doc_id FROM common
+           |         JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+           |         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+           |verdicts AS (SELECT we.quality,
+           |  CASE WHEN quality < 0.5 THEN 'low_quality'
+           |       WHEN n_tokens < 5 THEN 'too_short'
+           |       WHEN lang_pred <> 'en' THEN 'wrong_lang'
+           |       WHEN exact_dup THEN 'exact_dup'
+           |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+           |       ELSE 'kept' END AS verdict
+           |  FROM we LEFT JOIN near ON we.doc_id = near.doc_id)
+           |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+           |  ROUND(AVG(quality), 4) AS avg_quality
+           |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin)),
 
     // ---- multimodal plumbing: opaque binary payload + typed metadata +
     // deterministic "decode" stub (SURVEY.md §7.1(10)); the binary column
