@@ -81,6 +81,20 @@ object TextFunctions {
     lit(0.4) * lenTerm + lit(0.3) * punctTerm + lit(0.3) * stopTerm
   }
 
+  /** Repetition ratio: fraction of repeated word trigrams,
+    * `1 − distinct(trigrams)/count(trigrams)` in [0,1). High values flag
+    * boilerplate/spam — a standard training-data quality signal. 0 for
+    * docs shorter than 3 tokens.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val grams = transform(sequence(lit(0), n - 3),
+      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
+    when(n < 3, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
   /** Whitespace-normalized text: lowercase, runs of whitespace collapsed,
     * trimmed. The canonical form for exact-duplicate detection.
     */

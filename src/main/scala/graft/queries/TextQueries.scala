@@ -259,6 +259,64 @@ object TextQueries {
           |WHERE doc_id < 100 AND length(text) > 0
           |ORDER BY doc_id, frame_no""".stripMargin)),
 
+    // ---- repetition ratio (boilerplate/spam signal): repeated-trigram
+    // fraction per doc; repetitive docs planted by repeating the first
+    // 10 tokens 10 times
+    Q("q48_repetition_ratio", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val repeaty = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", flatten(array_repeat(
+            slice(graft.functions.TextFunctions.tokens(col("text")), 1, 10), 10))).as("text"))
+      docs.unionByName(repeaty)
+        .select(col("doc_id"),
+          round(graft.functions.TextFunctions.repetitionRatio(col("text")), 4).as("rep_ratio"))
+        .where(col("rep_ratio") > 0.05)
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(flatten([list_slice($toksSql, 1, 10) FOR i IN generate_series(1, 10)]), ' ') AS text
+         |  FROM documents WHERE doc_id < 10),
+         |grams AS (SELECT doc_id, len($toksSql) AS n,
+         |  [t[x] || ' ' || t[x+1] || ' ' || t[x+2]
+         |   FOR x IN generate_series(1, len($toksSql) - 2)] AS g
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM docs) sub)
+         |SELECT doc_id, rep_ratio FROM (
+         |  SELECT doc_id, ROUND(CASE WHEN n < 3 THEN 0.0
+         |    ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) END, 4) AS rep_ratio
+         |  FROM grams) t
+         |WHERE rep_ratio > 0.05 ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus-level token statistics (corpus token counting)
+    Q("q49_corpus_stats", (s, d) => {
+      val docs = tbl(s, d, "documents")
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val perDoc = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      val vocab = docs.select(explode(toks).as("tok")).agg(countDistinct(col("tok")).as("v")).
+        select(col("v"))
+      perDoc.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
+        count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(vocab.withColumnRenamed("v", "vocab_size")))
+    }, Some(
+      s"""SELECT
+         | CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
+         | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+         | ROUND(quantile_cont(len($toksSql), 0.5), 4) AS p50_tokens,
+         | ROUND(quantile_cont(len($toksSql), 0.9), 4) AS p90_tokens,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents) u) AS vocab_size
+         |FROM documents""".stripMargin)),
+
     // ---- the composed training-data cleaning pipeline: quality gate →
     // exact dedup → LSH+Jaccard near-dup removal → language filter, with a
     // per-verdict audit — the end-to-end use case of the extension ops

@@ -39,6 +39,28 @@ class BucketSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    // 95% of the left side on one key; thresholds lowered so the tiny
+    // corpus triggers the same machinery a 100 TB hot key would
+    val left = (1 to 60000).map(i =>
+      (if (i % 20 == 0) i.toLong % 97 else 7L, s"payload-$i-${"x" * 40}")).toDF("k", "v")
+    val right = (0L to 96L).map(k => (k, s"dim-$k")).toDF("k", "d")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val joined = left.join(right, Seq("k"))
+      assert(joined.collect().length == 60000) // collect finalizes THIS plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("skew=true"), s"skew split did not fire:\n$p")
+    }
+  }
+
   private lazy val Registry = graft.queries.Registry
 
   private def withConf(kvs: (String, String)*)(f: => Unit): Unit = {
