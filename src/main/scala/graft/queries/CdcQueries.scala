@@ -56,6 +56,28 @@ object CdcQueries {
       Some("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
         "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY k ORDER BY k")),
 
+    // ---- open-payload envelope (§1.3 dynamic schemas): unknown per-table
+    // row image decoded as map<string,string> instead of a fixed struct
+    Q("q19_open_envelope", (s, d) =>
+      tbl(s, d, "events")
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))).as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("n_values"),
+          min(col("v").cast("long")).as("min_v"), max(col("v").cast("long")).as("max_v"))
+        .orderBy(col("k")),
+      Some(
+        """SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+          | CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values,
+          | CAST(MIN(CAST(v AS BIGINT)) AS BIGINT) AS min_v,
+          | CAST(MAX(CAST(v AS BIGINT)) AS BIGINT) AS max_v
+          |FROM (SELECT unnest(json_keys(props)) AS k,
+          |        json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
+          |      FROM events) t
+          |GROUP BY k ORDER BY k""".stripMargin)),
+
     // ---- envelope codec roundtrip (T1-T4): struct→json→base64→decode→extract
     Q("q23_envelope_roundtrip", (s, d) => {
       val wire = Envelope.encode(struct(
