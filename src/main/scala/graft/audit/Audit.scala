@@ -38,4 +38,12 @@ final class AuditListener extends StreamingQueryListener {
     import scala.jdk.CollectionConverters._
     log.iterator().asScala.toVector
   }
+
+  /** O4: the audit trail as data — queryable/persistable like any table
+    * (the reference's forensic runbook, README.md:200-330, as a DataFrame).
+    */
+  def toDF(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    entries.toDF()
+  }
 }
