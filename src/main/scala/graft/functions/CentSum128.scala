@@ -83,6 +83,12 @@ object CentSum128 {
     var hi: BigInteger = BigInteger.ZERO
 
     def add(c: Long): Unit = {
+      // inputs beyond 2^61 would break the no-wrap invariant silently —
+      // reject loudly (2^61 cents at scale 6 is $2.3e12 per row; any real
+      // money value is orders of magnitude below)
+      if (c >= SpillAt || c <= -SpillAt)
+        throw new ArithmeticException(
+          s"cent_sum_128 input $c exceeds ±2^61; pre-scale the column down")
       lo += c
       if (lo >= SpillAt || lo <= -SpillAt) spill()
     }

@@ -81,17 +81,24 @@ object TextFunctions {
     lit(0.4) * lenTerm + lit(0.3) * punctTerm + lit(0.3) * stopTerm
   }
 
+  /** Word n-grams of a token array, space-joined; token lists shorter than
+    * `n` yield an empty array (guarding the negative-length `sequence` that
+    * would otherwise crash `slice`). Shared by shingling (Dedup) and
+    * repetition scoring.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Repetition ratio: fraction of repeated word trigrams,
     * `1 − distinct(trigrams)/count(trigrams)` in [0,1). High values flag
     * boilerplate/spam — a standard training-data quality signal. 0 for
     * docs shorter than 3 tokens.
     */
   def repetitionRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    val grams = transform(sequence(lit(0), n - 3),
-      i => concat_ws(" ", slice(toks, i + 1, lit(3))))
-    when(n < 3, lit(0.0)).otherwise(
+    val grams = ngrams(tokens(text), 3)
+    when(size(grams) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
   }
 

@@ -29,13 +29,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Word n-gram shingles of the token array; docs shorter than `n` tokens
-    * produce an empty array (a negative-length `sequence` would otherwise
-    * generate descending indices and crash `slice` at runtime).
+    * produce an empty array. Delegates to the shared n-gram builder.
     */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  def shingles(toks: Column, n: Int): Column = TextFunctions.ngrams(toks, n)
 
   /** Per-document distinct shingle table: (id, shingle). */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

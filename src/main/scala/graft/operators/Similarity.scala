@@ -75,11 +75,12 @@ object Similarity {
       nPlanes: Int = 8, dim: Int = 64, probeBits: Int = 1): DataFrame = {
     val q0 = withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
       .select(col("qid"), toDouble(col("embedding")).as("qe"), col("bucket"))
-    // all XOR masks with ≤ probeBits bits set over nPlanes planes
-    val masks = (0 until (1 << nPlanes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
-      .map(m => lit(m.toLong))
-    val flips: Seq[org.apache.spark.sql.Column] = masks
+    // all XOR masks with ≤ probeBits bits set over nPlanes planes —
+    // enumerated as bit-position combinations (C(nPlanes, ≤probeBits)
+    // masks), never 2^nPlanes
+    val masks: Seq[Long] = (0 to probeBits).flatMap(sz =>
+      (0 until nPlanes).combinations(sz).map(_.foldLeft(0L)((m, p) => m | (1L << p))))
+    val flips: Seq[org.apache.spark.sql.Column] = masks.map(lit(_))
     val q = broadcast(q0
       .withColumn("__flip", explode(array(flips: _*)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))

@@ -133,8 +133,13 @@ object Deliver {
     // previous manifest's entries + exactly the files this attempt added
     cfg.manifestDir.foreach { mdir =>
       val added = listParquet(cfg.lakeDir).filterNot(before)
+      // prev = latest manifest of a STRICTLY EARLIER batch: a crashed
+      // attempt of THIS batch may have left manifest-<batchId> behind; its
+      // entries must not leak into the replay's manifest (double-listing)
       val prev = Option(new java.io.File(mdir).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("manifest-")).sortBy(_.getName).lastOption
+        .filter(f => f.getName.startsWith("manifest-") &&
+          f.getName < f"manifest-$batchId%010d.json")
+        .sortBy(_.getName).lastOption
         .map(f => parseManifestUrls(Files.readString(f.toPath))).getOrElse(Seq.empty)
       val entries = (prev ++ added).distinct.sorted
         .map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
@@ -143,18 +148,21 @@ object Deliver {
         s"""{"entries": $entries}""")
     }
 
-    // 3. failed records → errors/ prefix partitioned by time (README.md:426)
+    // 3. failed records → errors/ prefix (README.md:426). Batch-scoped
+    // subdir + overwrite ⇒ a mid-batch replay REPLACES the attempt instead
+    // of appending a duplicate (idempotent per batch).
     cfg.errorDir.foreach { edir =>
       batch.where(!col("__ok"))
         .select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"),
           col("processed_at"), col("year"), col("month"), col("day"), col("hour"))
-        .write.mode("append").partitionBy("year", "month", "day", "hour").parquet(edir)
+        .write.mode("overwrite").partitionBy("year", "month", "day", "hour")
+        .parquet(s"$edir/batch=$batchId")
     }
 
-    // 4. raw backup (S3BackupMode=AllData, README.md:605)
+    // 4. raw backup (S3BackupMode=AllData, README.md:605) — same idempotence
     cfg.backupDir.foreach { bdir =>
       batch.select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"))
-        .write.mode("append").parquet(bdir)
+        .write.mode("overwrite").parquet(s"$bdir/batch=$batchId")
     }
 
     // 5. commit marker — the batch is fully delivered; replays become no-ops

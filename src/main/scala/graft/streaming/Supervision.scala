@@ -29,7 +29,8 @@ object Supervision {
         case None => return Result(attempt, None)
         case Some(e) =>
           if (attempt >= maxRestarts) return Result(attempt, Some(e))
-          sleep(math.min(baseDelayMs << attempt, maxDelayMs))
+          // cap the exponent: an unbounded shift wraps long past attempt 54
+          sleep(math.min(baseDelayMs << math.min(attempt, 20), maxDelayMs))
           attempt += 1
       }
     }

@@ -51,11 +51,20 @@ object UpsertSink {
   private[streaming] def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String]): Unit = {
     // Replay idempotence: the pointer encodes the batch id of the snapshot
-    // it names. If a crash landed between our pointer swap and the stream's
-    // checkpoint commit, the batch replays — the pointer already names
-    // snap-<batchId> (or later), so re-applying would both double-apply the
-    // changes and overwrite the snapshot the merge plan is reading from.
-    if (currentSnapshot(tableDir).exists(_ >= f"snap-$batchId%010d")) return
+    // it names. A crash between pointer swap and checkpoint commit replays
+    // the SAME batch id — skip it (re-applying would double-apply and
+    // overwrite the snapshot the merge plan reads from). A pointer AHEAD of
+    // the incoming batch id means a fresh checkpoint is replaying history
+    // into an already-advanced table — fail fast rather than corrupt it
+    // (reprocess into a fresh tableDir instead).
+    val current = currentSnapshot(tableDir)
+    val thisSnap = f"snap-$batchId%010d"
+    if (current.contains(thisSnap)) return
+    if (current.exists(_ > thisSnap))
+      throw new IllegalStateException(
+        s"UpsertSink at $tableDir is at ${current.get} but received replayed batch " +
+          s"$batchId from an older/reset checkpoint; reprocessing into an existing " +
+          "table is not supported — use a fresh tableDir (and checkpoint) to rebuild")
     val spark = batch.sparkSession
     val tableCols = batch.columns.filterNot(c => c == opCol || seqCols.contains(c))
     val target = readTable(spark, tableDir).getOrElse(

@@ -23,8 +23,8 @@ class CentSumSpec extends SparkSuite {
   }
 
   test("exact past int64: sums that overflow a long spill into the wide part") {
-    // 200 rows of 2^61 cents overflow int64 ~50× over
-    val big = (1L << 61)
+    // 200 rows of 2^60 cents overflow int64 ~25× over
+    val big = (1L << 60)
     val df = Seq.fill(200)(big).toDF("c").repartition(4)
     val got = df.agg(centSum128($"c", 0)).as[Double].head()
     val expected = new java.math.BigDecimal(
@@ -38,5 +38,11 @@ class CentSumSpec extends SparkSuite {
   test("nulls are ignored like built-in sum") {
     val df = Seq(Some(100L), None, Some(23L)).toDF("c")
     assert(df.agg(centSum128($"c", 2)).as[Double].head() == 1.23)
+  }
+
+  test("inputs beyond the no-wrap invariant are rejected loudly") {
+    val df = Seq(1L << 61).toDF("c")
+    val e = intercept[Exception] { df.agg(centSum128($"c", 0)).collect() }
+    assert(e.getMessage != null)
   }
 }

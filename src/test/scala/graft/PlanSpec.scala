@@ -89,7 +89,7 @@ class PlanSpec extends SparkSuite {
     val p = plan("q14_asof_join")
     // union of both sides shuffles once on the key for the carry-forward
     // window; no join operator (and so no join explosion) appears at all
-    assert(!p.contains("Join") || !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
   }
 

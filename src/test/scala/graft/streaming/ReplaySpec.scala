@@ -41,6 +41,14 @@ class ReplaySpec extends SparkSuite {
     val urls = graft.sources.ManifestReader.latestManifestFiles(spark, s"$base/manifest")
     assert(urls.distinct.size == urls.size)
     assert(graft.sources.ManifestReader.read(spark, s"$base/manifest").count() == 50)
+
+    // crash window: manifest written but marker lost → replay must not
+    // double-list the batch (earlier attempt's files become orphans)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/lake", "_commits", f"${7L}%010d"))
+    Deliver.deliverBatch(batch, 7L, cfg)
+    assert(graft.sources.ManifestReader.read(spark, s"$base/manifest").count() == 50,
+      "manifest readers must see exactly one copy after a mid-batch replay")
   }
 
   test("replayed UpsertSink batch is a no-op (pointer-encoded batch id)") {
@@ -60,6 +68,11 @@ class ReplaySpec extends SparkSuite {
     val state2 = UpsertSink.readTable(spark, s"$base/table").get
       .select($"id", $"payload").as[(Long, String)].collect().toMap
     assert(state2 == Map(1L -> "v9", 2L -> "v2"))
+    // an OLDER batch id (fresh/reset checkpoint against an advanced table)
+    // must fail fast, not corrupt the table
+    intercept[IllegalStateException] {
+      UpsertSink.applyBatch(changes, 2L, s"$base/table", "id", "op", Seq("seq"))
+    }
   }
 
   test("orphan files stay invisible through the catalog table (commit-log read)") {
