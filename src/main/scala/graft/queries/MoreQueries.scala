@@ -105,6 +105,42 @@ object MoreQueries {
           | TRUE AS within_10pct
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- statistical aggregates (corr/stddev/var/covar): round(4) absorbs
+    // the engines' different accumulation algorithms (Welford vs naive)
+    Q("q18_stats_aggregates", (s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("stddev_qty"),
+          round(var_samp(col("l_discount")), 4).as("var_disc"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+        .orderBy(col("l_returnflag")),
+      Some(
+        """SELECT l_returnflag,
+          | ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+          | ROUND(stddev_samp(l_quantity), 4) AS stddev_qty,
+          | ROUND(var_samp(l_discount), 4) AS var_disc,
+          | ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- pivot: order counts and totals per priority, spread by status
+    Q("q29_pivot_status", (s, d) =>
+      tbl(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+          col("P").as("n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some(
+        """SELECT o_orderpriority,
+          | CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+          | CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+          | CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- CUBE lattice over a join (full grouping-set coverage with rollup)
     Q("q17_cube_type_priority", (s, d) =>
       tbl(s, d, "orders")
