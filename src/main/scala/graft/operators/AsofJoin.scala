@@ -33,24 +33,31 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Right values travel as ONE struct so the attached fields always come
+    // from the SAME matched right row: per-column last(..., ignoreNulls)
+    // would substitute an older version's value wherever the matched row
+    // holds a genuine NULL (and could stitch fields from different rows).
+    // struct(...) over a right row is non-null even when every field is
+    // null, so ignoreNulls only skips left-row placeholders.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left sorts after right at equal ts (<= semantics)
-      .select((col("__ts") +: col("__side") +: col(key).as("__key") +:
-        leftCols.map(col)) ++ rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(col("__ts") +: col("__side") +: col(key).as("__key") +:
+        lit(null).cast(rStructType).as("__r") +: leftCols.map(col): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .select((col("__ts") +: col("__side") +: col(key).as("__key") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+      .select(col("__ts") +: col("__side") +: col(key).as("__key") +:
+        struct(rightVals.map(c => col(c).as(c)): _*).as("__r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rlast.$c").as(c)): _*)
   }
 }

@@ -87,6 +87,48 @@ object Dedup {
         (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space twin of
+    * MinHash dedup, routed through sign-hyperplane LSH buckets so the pair
+    * generation is bucket-local, never all-pairs (the O(n²) broadcast
+    * nested-loop a naive `a.join(b, id_a < id_b)` produces).
+    *
+    * Multi-table LSH (the classic E2LSH AND-OR construction): `nTables`
+    * independent tables of `bitsPerTable` hyperplane sign bits each; two
+    * docs are candidates when they share a bucket in ANY table, and every
+    * candidate is cosine-verified, so output ⊆ the exact answer with miss
+    * probability (1 − (1 − θ/π)^b)^L per true pair — ≈0.2% at cos ≥ 0.9
+    * with the defaults (8 tables × 4 bits). Plan shape at 100 TB: the
+    * corpus fans out ×nTables and shuffles once on (table, bucket); pair
+    * count is bucket-bounded.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
+      roundScale: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import graft.operators.Similarity.hyperplanes
+    val planes = hyperplanes(nTables * bitsPerTable, dim)
+    val e = toDouble(col(embCol))
+    // bucket id per table t = sign bits of planes [t*b, t*b+b)
+    val bucketCols = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { p =>
+        when(dot(e, typedLit(planes(t * bitsPerTable + p).toSeq)) >= 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bits.as("b"))
+    }
+    val bucketed = emb.select(col(idCol).as("id"), e.as("e"),
+      explode(array(bucketCols: _*)).as("tb"))
+    val a = bucketed.select(col("tb"), col("id").as("id_a"), col("e").as("ea"))
+    val b = bucketed.select(col("tb"), col("id").as("id_b"), col("e").as("eb"))
+    a.join(b, Seq("tb"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .distinct() // a pair may collide in several tables
+      .select(col("id_a"), col("id_b"),
+        round(cosineSimilarity(col("ea"), col("eb")), roundScale).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold via a shingle-join (skips LSH;
     * right for the verify path and small-to-medium corpora — the shingle
     * join only materializes pairs that share a shingle).

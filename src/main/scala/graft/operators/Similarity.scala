@@ -101,10 +101,16 @@ object Similarity {
     * drops from O(n) to O(n·nprobe/nlist). Deterministic via fixed seed.
     */
   def ivfAnn(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxFitRows: Int = 100000): DataFrame = {
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
+    // Fit the coarse quantizer on a bounded, deterministic sample (first
+    // maxFitRows by id): KMeans over the FULL corpus is a multi-pass
+    // scale-killer at 100 TB, and centroid quality saturates long before
+    // 100k rows. The full corpus is still assigned to cells exactly once.
+    val fitSet = cVec.orderBy(col("id")).limit(maxFitRows)
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-      .fit(cVec)
+      .fit(fitSet)
     val assigned = model.transform(cVec)
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
         col(model.getPredictionCol).as("cell"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.queries.Registry.tbl
 
 /** Similarity search over the `embeddings` table (vec_id, array<float> x64,
@@ -72,17 +72,13 @@ object VectorQueries {
         |FROM agg GROUP BY label ORDER BY label""".stripMargin)),
 
     // ---- embedding-cosine near-duplicate detection (the vector-space twin
-    // of MinHash dedup): all pairs above a cosine threshold
+    // of MinHash dedup): LSH-bucketed candidate pairs + cosine verification.
+    // Oracle is the exact all-pairs SQL: the bucketed path must find every
+    // pair (8 tables × 4 bits ⇒ ~0.2% theoretical miss rate at cos ≥ 0.9;
+    // hash-match asserts it found them all on this data)
     Q("q44_embedding_near_dups", (s, d) => {
       val emb = tbl(s, d, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"),
-        VectorFunctions.toDouble(col("embedding")).as("ea"))
-      val b = emb.select(col("vec_id").as("id_b"),
-        VectorFunctions.toDouble(col("embedding")).as("eb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(VectorFunctions.cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
-        .where(col("cos") >= 0.9)
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -91,31 +87,59 @@ object VectorQueries {
         |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- LSH-bucketed approximate NN: the 100 TB scale path (rows-only —
-    // approximate results have no SQL-exact oracle; recall is asserted in
-    // SimilaritySpec against the brute-force answer)
+    // ---- LSH-bucketed approximate NN: the 100 TB scale path. Oracle
+    // contract (the q16 within-tolerance trick): the query emits the
+    // measured recall@5 vs the exact brute-force top-5 computed in the same
+    // job, plus `recall_ok` — DuckDB asserts the literal expectation, so a
+    // recall regression is a hash MISMATCH, not an unchecked row count.
     Q("q43_knn_lsh_ann", (s, d) => {
       val emb = tbl(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 6, dim = 64)
-        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
-        .orderBy(col("qid"), col("sim").desc, col("nid"))
-    }, None),
+      val approx = Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 4, dim = 64,
+        probeBits = 2)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
 
-    // ---- IVF-bucketed approximate NN: KMeans coarse quantizer + nprobe
-    // cell scan (rows-only; recall asserted vs brute force in DedupSpec)
+    // ---- IVF-bucketed approximate NN: KMeans coarse quantizer (fit on a
+    // bounded sample) + nprobe cell scan; same machine-checked recall
+    // contract as q43
     Q("q46_knn_ivf_ann", (s, d) => {
       val emb = tbl(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      Similarity.ivfAnn(queries, corpus, k = 5, nlist = 8, nprobe = 3)
-        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"))
-        .orderBy(col("qid"), col("sim").desc, col("nid"))
-    }, None)
+      val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle))
   )
+
+  /** One-row recall report: |approx ∩ exact| / |exact| over all queries,
+    * asserted against `minRecall`. Joined on (qid, nid) — similarity values
+    * don't need to agree beyond identifying the same neighbor set.
+    */
+  private def recallContract(approx: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame,
+      nQueries: Int, k: Int, minRecall: Double): org.apache.spark.sql.DataFrame = {
+    val hits = approx.select(col("qid"), col("nid"))
+      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+    val total = exact.agg(count(lit(1)).as("n_exact"),
+      countDistinct(col("qid")).as("n_queries"))
+    hits.agg(count(lit(1)).as("n_hit")).crossJoin(total)
+      .select(col("n_queries"),
+        lit(k).cast("int").as("k"),
+        (col("n_hit") >= lit(minRecall) * col("n_exact")).as("recall_ok"))
+  }
+
+  // def, not val: referenced from `qs` above — a val would still be null
+  // during object initialization
+  private def recallOracle: String =
+    """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+      | CAST(5 AS INT) AS k, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
 }

@@ -30,8 +30,17 @@ object ManifestReader {
     require(files.nonEmpty, s"no manifest in $manifestDir")
     // basePath preserves the Hive partition columns of the listed files:
     // strip from the FIRST `name=value` path segment (handles both
-    // year=.../... and table=.../year=.../... layouts)
-    val base = files.head.replaceAll("/[^/=]+=[^/]*(/.*)?$", "")
+    // year=.../... and table=.../year=.../... layouts). Unpartitioned
+    // manifests (no name=value segment anywhere) fall back to the files'
+    // common parent directory — basePath must be an ancestor DIRECTORY, and
+    // the unstripped first entry would be a data-file path Spark rejects.
+    val stripped = files.head.replaceAll("/[^/=]+=[^/]*(/.*)?$", "")
+    val base =
+      if (stripped != files.head) stripped
+      else files
+        .map(_.split('/').dropRight(1).toSeq) // parent dir segments
+        .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
+        .mkString("/")
     spark.read.option("basePath", base).parquet(files: _*)
   }
 }

@@ -64,6 +64,9 @@ object StreamIngest {
           col("key").cast("string").as("partition_key"),
           lpad(col("offset").cast("string"), 30, "0").as("sequence_number"),
           col("timestamp").as("approx_arrival_ts"),
-          col("value").cast("string").as("data"))
+          // envelope contract: `data` is base64 wire text. Kafka values are
+          // raw bytes — encode them like the Kinesis branch does, so a topic
+          // carrying non-base64 payloads can't silently DLQ the whole stream
+          base64(col("value")).as("data"))
   }
 }

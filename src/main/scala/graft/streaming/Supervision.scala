@@ -24,7 +24,14 @@ object Supervision {
     while (true) {
       val outcome =
         try { start().awaitTermination(); None }
-        catch { case e: Throwable => Some(e) }
+        catch {
+          // fatal JVM errors (OOM, LinkageError) must propagate — restarting
+          // past them masks corruption; interruption is a shutdown request,
+          // not a query failure: restore the flag and abort the loop
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt(); throw e
+          case scala.util.control.NonFatal(e) => Some(e)
+        }
       outcome match {
         case None => return Result(attempt, None)
         case Some(e) =>

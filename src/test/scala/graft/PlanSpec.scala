@@ -85,6 +85,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q44 near-dup pairs go through LSH buckets, not an all-pairs BNLJ") {
+    val p = plan("q44_embedding_near_dups")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q44 must pair within LSH buckets:\n$p")
+  }
+
   test("as-of join is a single key-shuffle (one Exchange below the window)") {
     val p = plan("q14_asof_join")
     // union of both sides shuffles once on the key for the carry-forward

@@ -52,6 +52,25 @@ class StatefulSpec extends SparkSuite {
       3L -> Some(200.0), 4L -> None))
   }
 
+  test("as-of join: matched row's genuine NULLs survive; no cross-row stitching") {
+    // version at 12:00 has v=null, w=9 — an event after it must see exactly
+    // (null, 9), NOT the older version's v=100 stitched with the newer w
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option(7.0)),
+      (1L, ts("2024-01-01 12:00:00"), None, Option(9.0)))
+      .toDF("user_id", "ts", "v", "w")
+    val left = Seq(
+      (0L, 1L, ts("2024-01-01 11:00:00")), // matches v=100, w=7
+      (1L, 1L, ts("2024-01-01 13:00:00"))) // matches v=null, w=9
+      .toDF("event_id", "user_id", "ts")
+    val got = AsofJoin.backward(left, right, "user_id", "ts", "ts", Seq("v", "w"))
+      .select($"event_id", $"v", $"w").as[(Long, Option[Double], Option[Double])]
+      .collect().map { case (k, v, w) => k -> (v, w) }.toMap
+    assert(got == Map(
+      0L -> (Some(100.0), Some(7.0)),
+      1L -> (None, Some(9.0))))
+  }
+
   test("sessionization splits exactly at the gap boundary") {
     val rows = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
