@@ -1,27 +1,38 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.streaming.ManifestChain
 
 /** S7 manifest-driven scan (README.md:291-303, 451-456): read ONLY the files
-  * listed in the newest manifest — "never the folder" — so torn writes and
+  * listed in the manifest chain — "never the folder" — so torn writes and
   * orphan files are invisible and re-delivered batches can't double-count.
   * The portable twin of the sink's `_spark_metadata` log for readers outside
   * Spark (the reference's Redshift `COPY ... FROM manifest`).
+  *
+  * Manifests are per-flush (incremental), with a periodic snapshot folding
+  * the chain; the visible file set is latest-snapshot ∪ later-incrementals,
+  * so a read lists O(chain-since-snapshot) manifest files, never the
+  * stream's full history.
   */
 object ManifestReader {
 
-  /** Parse a manifest directory and return the file list of the latest
-    * manifest (manifests are cumulative snapshots, numbered per batch).
+  /** Resolve the manifest chain and return the union of listed data files.
+    * All chain manifests are parsed in ONE Spark json read (a single job
+    * regardless of chain length); I/O goes through Hadoop FileSystem, so
+    * remote manifest dirs resolve against the right store.
     */
   def latestManifestFiles(spark: SparkSession, manifestDir: String): Seq[String] = {
-    val files = Option(new java.io.File(manifestDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("manifest-")).sortBy(_.getName)
-    files.lastOption.toSeq.flatMap { f =>
-      spark.read.option("multiLine", true).json(f.getPath)
-        .select(explode(col("entries")).as("e"))
-        .select(col("e.url")).collect().map(_.getString(0)).toSeq
-    }
+    val dir = new HPath(manifestDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val chain = ManifestChain.chainFiles(fs, dir)
+    if (chain.isEmpty) Seq.empty
+    else spark.read.option("multiLine", true)
+      .schema("entries array<struct<mandatory boolean, url string>>")
+      .json(chain.map(_.toString): _*)
+      .select(explode(col("entries")).as("e"))
+      .select(col("e.url")).distinct().collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Scan exactly the manifest-listed files (duplicate-proof, torn-write-proof). */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -36,6 +36,10 @@ object Deliver {
       // record to a per-table folder derived from its partition key
       // ("schema-table-id" → table prefix)
       routeByTable: Boolean = false,
+      // every Nth batch the manifest is a full snapshot folding the chain
+      // (Delta/Iceberg checkpoint pattern); batches in between write
+      // incremental manifests listing ONLY that flush's files
+      manifestCompactEvery: Int = 10,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -98,20 +102,36 @@ object Deliver {
     }
   }
 
-  /** One buffer flush (README.md:282-303): write data files, then — strictly
-    * after — the manifest extending the previous one with exactly this
-    * batch's files, then the batch commit marker. Replayed batches (crash
-    * between sink work and checkpoint commit) are skipped via the marker;
-    * a replay after a crash mid-batch re-writes the data, and the dir-diff
-    * manifest lists only the successful attempt — earlier partial files
-    * become orphans that manifest/commit-log readers never see. Exactly-once
-    * therefore holds for manifest readers and checkpointed restarts; a raw
-    * recursive directory listing (which the reference also forbids,
-    * README.md:429 "never the folder") may see orphans.
+  /** One buffer flush (README.md:282-303): stage this batch's data files
+    * under a batch-scoped prefix, promote them into the lake, then —
+    * strictly after — the per-batch manifest listing exactly this flush's
+    * files (the reference's manifests are per-flush too), then the batch
+    * commit marker. Every step is O(this batch): no directory walk of the
+    * lake, no cumulative manifest rewrite — the two O(history)
+    * scale-killers of a long-running 60 s-flush stream.
+    *
+    * Replayed batches (crash between sink work and checkpoint commit) are
+    * skipped via the marker; a replay after a crash mid-batch re-stages and
+    * re-promotes under fresh file names and OVERWRITES manifest-<batchId>,
+    * so earlier partial files become orphans that manifest/commit-log
+    * readers never see. Exactly-once therefore holds for manifest readers
+    * and checkpointed restarts; a raw recursive directory listing (which
+    * the reference also forbids, README.md:429 "never the folder") may see
+    * orphans.
+    *
+    * All marker/manifest/promotion I/O goes through Hadoop `FileSystem`, so
+    * hdfs:// and s3a:// lake URIs use the right store, not the driver's
+    * local disk. (On S3 the per-file promote rename is a copy; object-store
+    * deployments at scale should prefer the native `_spark_metadata` sink
+    * path, which commits without renames.)
     */
   private[streaming] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
-    val marker = Paths.get(cfg.lakeDir, "_commits", f"$batchId%010d")
-    if (Files.exists(marker)) return // replayed, already fully delivered
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val lake = new HPath(cfg.lakeDir)
+    val fs = lake.getFileSystem(hconf)
+    val marker = new HPath(lake, f"_commits/$batchId%010d")
+    if (fs.exists(marker)) return // replayed, already fully delivered
 
     val okAll = batch.where(col("__ok")).drop("__ok", "__raw")
     // B2 batch compaction: the reference's buffer flush emits ONE object per
@@ -120,35 +140,45 @@ object Deliver {
     val partCols =
       (if (cfg.routeByTable) Seq("table") else Seq.empty) ++ Seq("year", "month", "day", "hour")
 
-    val before = listParquet(cfg.lakeDir).toSet
-
-    // 1. data files (PUT #1)
-    ok.write.mode("append")
+    // 1. data files (PUT #1) → batch-scoped staging prefix; overwrite mode
+    // discards a crashed attempt's stage on replay
+    val stage = fs.makeQualified(new HPath(lake, f"_staging/batch-$batchId%010d"))
+    ok.write.mode("overwrite")
       .option("compression", "snappy")
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
       .partitionBy(partCols: _*)
-      .parquet(cfg.lakeDir)
+      .parquet(stage.toString)
 
-    // 2. manifest (PUT #2, only after data success — README.md:419-430):
-    // previous manifest's entries + exactly the files this attempt added
+    // 2. promote: move each staged parquet into its lake partition dir.
+    // The staged listing is the write's own output — O(batch files), never
+    // a walk of the lake.
+    val staged = {
+      val it = fs.listFiles(stage, true)
+      val buf = Vector.newBuilder[HPath]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
+    }
+    val stagePrefix = stage.toString + "/"
+    val added = staged.map { f =>
+      val rel = f.toString.stripPrefix(stagePrefix)
+      val dest = new HPath(lake, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(f, dest)
+      fs.makeQualified(dest).toString
+    }.sorted
+    fs.delete(stage, true)
+
+    // 3. manifest (PUT #2, only after data success — README.md:419-430):
+    // incremental per-batch listing; every Nth batch folds the chain into a
+    // snapshot so reader/compaction work stays O(batch + chain/N)
     cfg.manifestDir.foreach { mdir =>
-      val added = listParquet(cfg.lakeDir).filterNot(before)
-      // prev = latest manifest of a STRICTLY EARLIER batch: a crashed
-      // attempt of THIS batch may have left manifest-<batchId> behind; its
-      // entries must not leak into the replay's manifest (double-listing)
-      val prev = Option(new java.io.File(mdir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("manifest-") &&
-          f.getName < f"manifest-$batchId%010d.json")
-        .sortBy(_.getName).lastOption
-        .map(f => parseManifestUrls(Files.readString(f.toPath))).getOrElse(Seq.empty)
-      val entries = (prev ++ added).distinct.sorted
-        .map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
-      Files.createDirectories(Paths.get(mdir))
-      Files.writeString(Paths.get(mdir, f"manifest-$batchId%010d.json"),
-        s"""{"entries": $entries}""")
+      writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery)
     }
 
-    // 3. failed records → errors/ prefix (README.md:426). Batch-scoped
+    // 4. failed records → errors/ prefix (README.md:426). Batch-scoped
     // subdir + overwrite ⇒ a mid-batch replay REPLACES the attempt instead
     // of appending a duplicate (idempotent per batch).
     cfg.errorDir.foreach { edir =>
@@ -159,31 +189,87 @@ object Deliver {
         .parquet(s"$edir/batch=$batchId")
     }
 
-    // 4. raw backup (S3BackupMode=AllData, README.md:605) — same idempotence
+    // 5. raw backup (S3BackupMode=AllData, README.md:605) — same idempotence
     cfg.backupDir.foreach { bdir =>
       batch.select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"))
         .write.mode("overwrite").parquet(s"$bdir/batch=$batchId")
     }
 
-    // 5. commit marker — the batch is fully delivered; replays become no-ops
-    Files.createDirectories(marker.getParent)
-    Files.writeString(marker, "")
+    // 6. commit marker — the batch is fully delivered; replays become no-ops
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
 
-  private def parseManifestUrls(json: String): Seq[String] =
-    """"url"\s*:\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toVector
+  /** Write manifest-<id>.json (incremental: exactly `added`) or, when id is
+    * a multiple of `compactEvery`, manifest-<id>.snap.json (snapshot: the
+    * folded chain ∪ `added`). Written via temp-file + rename so readers
+    * never see a torn manifest. A crashed attempt's manifest for the SAME
+    * batch id is simply overwritten — per-batch manifests cannot
+    * double-list across attempts.
+    */
+  private def writeManifest(hconf: org.apache.hadoop.conf.Configuration,
+      mdir: String, batchId: Long, added: Seq[String], compactEvery: Int): Unit = {
+    val dir = new HPath(mdir)
+    val fs = dir.getFileSystem(hconf)
+    fs.mkdirs(dir)
+    val snapshot = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    val urls =
+      if (!snapshot) added
+      else (ManifestChain.chainUrls(fs, dir, upToExclusive = batchId) ++ added).distinct.sorted
+    val name = f"manifest-$batchId%010d" + (if (snapshot) ".snap.json" else ".json")
+    val entries = urls.map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
+    val tmp = new HPath(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"""{"entries": $entries}""".getBytes("UTF-8"))
+    out.close()
+    fs.delete(new HPath(dir, name), false)
+    fs.rename(tmp, new HPath(dir, name))
+  }
+}
 
-  private def listParquet(dir: String): Seq[String] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) Seq.empty
-    else {
-      val s = Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet") && !p.toString.contains("_spark_metadata"))
-          .map(_.toString).toVector.sorted
-      } finally s.close()
+/** Manifest-chain bookkeeping shared by the writer ([[Deliver]]) and reader
+  * ([[graft.sources.ManifestReader]]): per-batch incremental manifests plus
+  * periodic snapshots, resolved as latest-snapshot ∪ later-incrementals.
+  */
+private[graft] object ManifestChain {
+
+  /** (batchId, isSnapshot, path) for every manifest file in `dir`. */
+  def list(fs: FileSystem, dir: HPath): Seq[(Long, Boolean, HPath)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case n if n.startsWith("manifest-") && n.endsWith(".snap.json") =>
+          Some((n.stripPrefix("manifest-").stripSuffix(".snap.json").toLong, true, p))
+        case n if n.startsWith("manifest-") && n.endsWith(".json") =>
+          Some((n.stripPrefix("manifest-").stripSuffix(".json").toLong, false, p))
+        case _ => None
+      }
     }
   }
+
+  /** Resolve the chain `[latest snapshot] ∪ incrementals after it`,
+    * restricted to batches `< upToExclusive` (Long.MaxValue = all). The
+    * manifests READ is O(chain-since-snapshot), not O(history).
+    */
+  def chainFiles(fs: FileSystem, dir: HPath,
+      upToExclusive: Long = Long.MaxValue): Seq[HPath] = {
+    val all = list(fs, dir).filter(_._1 < upToExclusive)
+    val snapId = all.collect { case (id, true, _) => id }.maxOption
+    all.filter { case (id, isSnap, _) =>
+      snapId.forall(s => id > s || (id == s && isSnap))
+    }.sortBy(_._1).map(_._3)
+  }
+
+  /** Union of entry URLs across the resolved chain (driver-side read —
+    * bounded by chain length × batch size, used by writer-side compaction).
+    */
+  def chainUrls(fs: FileSystem, dir: HPath, upToExclusive: Long): Seq[String] =
+    chainFiles(fs, dir, upToExclusive).flatMap { p =>
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      parseUrls(body)
+    }.distinct
+
+  def parseUrls(json: String): Seq[String] =
+    """"url"\s*:\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toVector
 }

@@ -68,6 +68,63 @@ class ManifestSpec extends SparkSuite {
     assert(lake.count() == 50 && lake.columns.contains("table"))
   }
 
+  test("per-batch manifests are incremental: O(batch) entries, not O(history)") {
+    val base = tmpDir("graft-incr-")
+    // 4 shards → 4 files; 1 file per trigger → ≥4 batches, each with its own manifest
+    ShardedLog.put(ShardedLog.fromEvents(events(400)), s"$base/log")
+    val q = Deliver.start(
+      ShardedLog.readStream(spark, s"$base/log", maxFilesPerTrigger = Some(1)),
+      payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+        trigger = Trigger.AvailableNow(), clock = clock))
+    q.awaitTermination()
+    val hdir = new org.apache.hadoop.fs.Path(s"$base/manifest")
+    val fs = hdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = graft.streaming.ManifestChain.list(fs, hdir)
+    assert(manifests.size >= 2, s"expected one manifest per batch, got ${manifests.size}")
+    // each incremental manifest lists strictly fewer files than the whole
+    // lake: no manifest re-lists history
+    val totalFiles = graft.streaming.ManifestChain
+      .chainUrls(fs, hdir, Long.MaxValue).size
+    manifests.filterNot(_._2).foreach { case (id, _, p) =>
+      val in = fs.open(p)
+      val n = try graft.streaming.ManifestChain.parseUrls(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString).size finally in.close()
+      assert(n < totalFiles, s"manifest $id lists $n of $totalFiles files — cumulative, not incremental")
+    }
+    // the resolved chain still sees every delivered record exactly once
+    assert(ManifestReader.read(spark, s"$base/manifest").count() == 400)
+    // no staged batch leftovers in the lake (the empty _staging root may remain)
+    val stagingRoot = new org.apache.hadoop.fs.Path(s"$base/lake/_staging")
+    assert(!fs.exists(stagingRoot) || fs.listStatus(stagingRoot).isEmpty,
+      "staged batch dirs must be promoted and removed")
+  }
+
+  test("manifest chain compacts into a snapshot every Nth batch") {
+    val base = tmpDir("graft-snap-")
+    ShardedLog.put(ShardedLog.fromEvents(events(400)), s"$base/log")
+    val q = Deliver.start(
+      ShardedLog.readStream(spark, s"$base/log", maxFilesPerTrigger = Some(1)),
+      payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+        manifestCompactEvery = 2, trigger = Trigger.AvailableNow(), clock = clock))
+    q.awaitTermination()
+    val hdir = new org.apache.hadoop.fs.Path(s"$base/manifest")
+    val fs = hdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifests = graft.streaming.ManifestChain.list(fs, hdir)
+    val snaps = manifests.filter(_._2)
+    assert(snaps.nonEmpty, s"expected a snapshot manifest with compactEvery=2: $manifests")
+    // a snapshot folds everything before it: reading the chain equals
+    // reading snapshot ∪ later incrementals, and counts stay exact
+    assert(ManifestReader.read(spark, s"$base/manifest").count() == 400)
+    val resolved = graft.streaming.ManifestChain.chainFiles(fs, hdir)
+    val latestSnapId = snaps.map(_._1).max
+    assert(resolved.forall { p =>
+      val n = p.getName.stripPrefix("manifest-").takeWhile(_.isDigit).toLong
+      n >= latestSnapId
+    }, s"chain must start at the latest snapshot: ${resolved.map(_.getName)}")
+  }
+
   test("rate-limited admission processes the log in multiple micro-batches (O3/B1)") {
     val base = tmpDir("graft-rate-")
     val audit = new graft.audit.AuditListener
