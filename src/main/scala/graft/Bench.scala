@@ -31,16 +31,19 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // report steady-state latency: min of 2 runs per query (first run still
-    // pays per-plan codegen; the engine itself is warm either way)
+    // report steady-state latency: median of 3 runs per query — a single
+    // run can absorb sandbox contention (round 3 recorded a 7× phantom
+    // regression); the median rejects one-sided outliers while still
+    // reflecting real latency. All raw runs ship in the JSON so a noisy
+    // environment is visible rather than silently folded in.
     val results = headline.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      (q.name, times.sorted.apply(1), times)
     }
     // Streaming deliver segment at the reference's batch size: BASELINE.md
     // pins 2.1 s for transform+write of a 2.79 MB buffer (README.md:359);
@@ -83,10 +86,12 @@ object Bench {
       -1.0
     }
 
-    val all = results :+ ("stream_deliver_2p79mb" -> deliverSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val all = results :+ (("stream_deliver_2p79mb", deliverSec, Seq(deliverSec)))
+    val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val runs = all.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

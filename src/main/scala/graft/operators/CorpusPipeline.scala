@@ -20,7 +20,11 @@ object CorpusPipeline {
       minQuality: Double = 0.5,
       minTokens: Int = 5,
       languages: Seq[String] = Seq("en"),
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      // MinHash/LSH shape for the near-dup candidate stage (16 hashes in 4
+      // bands of 4 — the q35/q36 configuration)
+      minhashK: Int = 16,
+      rowsPerBand: Int = 4)
 
   /** Annotate each doc with pipeline verdicts. Output columns:
     * doc_id, text, quality, lang_pred, n_tokens, reject_reason (null = kept).
@@ -41,12 +45,20 @@ object CorpusPipeline {
     val withExact = base.join(keepers, Seq("__fp"))
       .withColumn("__exact_dup", col("doc_id") =!= col("__keep_id"))
 
-    // near dups among surviving candidates: LSH candidates verified by
-    // Jaccard; the larger id of each confirmed pair is dropped
+    // near dups among surviving candidates: MinHash → LSH bands → candidate
+    // pairs → exact Jaccard verify, all on the shared shingle table. The
+    // pair-generating join is on (band, band_sig) buckets — only
+    // near-identical docs collide — so pair fan-out is candidate-bounded,
+    // never the all-pairs shingle join (common shingles make that
+    // near-quadratic at corpus scale). The larger id of each confirmed pair
+    // is dropped.
     val survivors = withExact.where(!col("__exact_dup"))
       .select(col("doc_id"), col("text"))
-    val nearPairs = Dedup.jaccardNearDups(survivors, "doc_id", "text",
-      n = 3, threshold = cfg.jaccardThreshold)
+    val shingled = Dedup.shingleTable(survivors, "doc_id", "text", n = 3)
+    val candidates = Dedup.lshCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(shingled, cfg.minhashK), cfg.rowsPerBand))
+    val nearPairs = Dedup.jaccardOnPairs(candidates, shingled)
+      .where(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("__near_dup", lit(true))
 

@@ -140,6 +140,7 @@ object StreamQueries {
         |  ON p.user_id = s.user_id AND p.event_type = 'purchase'
         | AND s.event_type = 'signup'
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
-        |ORDER BY purchase_id, signup_id""".stripMargin))
+        |ORDER BY purchase_id, signup_id""".stripMargin),
+      bench = true)
   )
 }

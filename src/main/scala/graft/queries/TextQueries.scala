@@ -133,7 +133,8 @@ object TextQueries {
         s"""SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
            | CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
            |FROM ($plantedSql) docs
-           |GROUP BY fp ORDER BY fp""".stripMargin)),
+           |GROUP BY fp ORDER BY fp""".stripMargin),
+      bench = true),
 
     // ---- n-gram Jaccard near-dup pairs over planted corpus
     Q("q34_jaccard_near_dups", (s, d) =>
@@ -334,9 +335,18 @@ object TextQueries {
            |toks AS (SELECT doc_id, $toksSql AS t FROM survivors WHERE len($toksSql) >= 3),
            |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
            |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+           |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+           |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+           |        GROUP BY doc_id, i),
+           |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+           |          FROM sig GROUP BY doc_id, band),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+           |         WHERE a.doc_id < b.doc_id),
            |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
            |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
            |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |           JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
            |           GROUP BY 1, 2),
            |near AS (SELECT DISTINCT id_b AS doc_id FROM common
            |         JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
@@ -351,7 +361,8 @@ object TextQueries {
            |  FROM we LEFT JOIN near ON we.doc_id = near.doc_id)
            |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
            |  ROUND(AVG(quality), 4) AS avg_quality
-           |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin)),
+           |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin),
+      bench = true),
 
     // ---- multimodal plumbing: opaque binary payload + typed metadata +
     // deterministic "decode" stub (SURVEY.md §7.1(10)); the binary column

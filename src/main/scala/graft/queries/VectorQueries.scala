@@ -73,19 +73,43 @@ object VectorQueries {
 
     // ---- embedding-cosine near-duplicate detection (the vector-space twin
     // of MinHash dedup): LSH-bucketed candidate pairs + cosine verification.
-    // Oracle is the exact all-pairs SQL: the bucketed path must find every
-    // pair (8 tables × 4 bits ⇒ ~0.2% theoretical miss rate at cos ≥ 0.9;
-    // hash-match asserts it found them all on this data)
+    // Machine-checked CONTRACT form (the q43 pattern): the job computes the
+    // exact all-pairs answer alongside (broadcast — verifier runs at
+    // oracle-check scale only; the LSH path is the 100 TB plan, pinned in
+    // PlanSpec) and emits containment (every emitted pair is truly ≥
+    // threshold) + recall ≥ 95% — so a parameter tweak or data regen that
+    // degrades the bucketing fails loudly, while the ~0.2%-per-pair
+    // theoretical LSH miss cannot flip correctness by luck.
     Q("q44_embedding_near_dups", (s, d) => {
+      import graft.functions.VectorFunctions._
       val emb = tbl(s, d, "embeddings")
-      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim = 64, threshold = 0.9)
-        .orderBy(col("id_a"), col("id_b"))
+      val approx = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.9)
+      val e = toDouble(col("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"), e.as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), e.as("eb"))
+      val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val found = approx.select(col("id_a"), col("id_b"))
+      val hits = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+      val falsePos = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(falsePos.agg(count(lit(1)).as("n_false")))
+        .select(col("n_exact"),
+          (col("n_hit") >= lit(0.95) * col("n_exact")).as("recall_ok"),
+          (col("n_false") === 0).as("containment_ok"))
     }, Some(
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin)),
+      """WITH exact AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ok, TRUE AS containment_ok
+        |FROM exact""".stripMargin)),
 
     // ---- LSH-bucketed approximate NN: the 100 TB scale path. Oracle
     // contract (the q16 within-tolerance trick): the query emits the

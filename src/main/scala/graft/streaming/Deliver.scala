@@ -166,10 +166,12 @@ object Deliver {
       val rel = f.toString.stripPrefix(stagePrefix)
       val dest = new HPath(lake, rel)
       fs.mkdirs(dest.getParent)
-      fs.rename(f, dest)
+      // throw-on-false: a silently failed promote must abort the batch
+      // BEFORE the manifest lists a file that does not exist
+      FsOps.renameOrThrow(fs, f, dest)
       fs.makeQualified(dest).toString
     }.sorted
-    fs.delete(stage, true)
+    FsOps.deleteOrThrow(fs, stage, recursive = true)
 
     // 3. manifest (PUT #2, only after data success — README.md:419-430):
     // incremental per-batch listing; every Nth batch folds the chain into a
@@ -218,12 +220,10 @@ object Deliver {
       else (ManifestChain.chainUrls(fs, dir, upToExclusive = batchId) ++ added).distinct.sorted
     val name = f"manifest-$batchId%010d" + (if (snapshot) ".snap.json" else ".json")
     val entries = urls.map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
-    val tmp = new HPath(dir, s".$name.tmp")
-    val out = fs.create(tmp, true)
-    out.write(s"""{"entries": $entries}""".getBytes("UTF-8"))
-    out.close()
-    fs.delete(new HPath(dir, name), false)
-    fs.rename(tmp, new HPath(dir, name))
+    // atomic replace: no delete-then-rename window where the manifest is
+    // absent mid-chain, and a failed rename throws instead of returning false
+    FsOps.atomicWrite(hconf, fs, new HPath(dir, name),
+      s"""{"entries": $entries}""".getBytes("UTF-8"))
   }
 }
 

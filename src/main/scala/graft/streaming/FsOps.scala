@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.io.IOException
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+
+/** Filesystem mutations that must not fail silently. Hadoop's
+  * `FileSystem.rename`/`delete` return `false` instead of throwing on many
+  * stores (HDFS, S3A), so an unchecked call can "promote" a file that never
+  * moved and then publish a manifest/pointer naming data that does not
+  * exist. Every rename/delete on a commit path goes through these helpers.
+  */
+private[graft] object FsOps {
+
+  /** Rename that throws when the filesystem reports failure. */
+  def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst))
+      throw new IOException(s"rename failed (returned false): $src -> $dst")
+
+  /** Delete-if-exists that throws when an existing path fails to delete.
+    * (A missing path is success — delete is used for idempotent cleanup.)
+    */
+  def deleteOrThrow(fs: FileSystem, p: HPath, recursive: Boolean): Unit =
+    if (fs.exists(p) && !fs.delete(p, recursive))
+      throw new IOException(s"delete failed (returned false): $p")
+
+  /** Replace `dst` with `src` via FileContext rename-with-OVERWRITE — atomic
+    * on HDFS and viewfs, and on every store strictly safer than the
+    * delete-then-rename idiom (no window where `dst` is absent on stores
+    * with atomic rename; throws instead of returning false).
+    */
+  def atomicReplace(conf: Configuration, fs: FileSystem, src: HPath, dst: HPath): Unit = {
+    val q = fs.makeQualified(dst)
+    val fc = FileContext.getFileContext(q.toUri, conf)
+    fc.rename(fs.makeQualified(src), q, Options.Rename.OVERWRITE)
+  }
+
+  /** Write `body` to `dst` atomically: create a hidden temp sibling, fsync
+    * via close, then rename into place (replacing any previous version).
+    */
+  def atomicWrite(conf: Configuration, fs: FileSystem, dst: HPath, body: Array[Byte]): Unit = {
+    val tmp = new HPath(dst.getParent, s".${dst.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    atomicReplace(conf, fs, tmp, dst)
+  }
+}

@@ -5,81 +5,122 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import graft.operators.Upsert
 
 /** Streaming CDC upsert sink (K7/K8 streaming form): maintain a keyed table
   * under `tableDir`, applying each micro-batch of changes with the staged
-  * merge (`Upsert.applyChanges`) and publishing via atomic pointer swap —
-  * the "zero-downtime upsert" contract (README.md:571-575): readers see
-  * either the previous commit or the new one, never a partial state.
+  * merge (`Upsert.applyChanges`) and publishing via an atomic commit-file
+  * append — the "zero-downtime upsert" contract (README.md:571-575): readers
+  * see either the previous commit or the new one, never a partial state.
+  *
+  * Commit protocol (versioned, latest-wins — there is never a moment with
+  * no live commit, and a crash at ANY step leaves the previous commit
+  * intact):
+  *   - `commits/commit-<batchId>.json` is the full table state: bucket
+  *     count, live version dir per bucket, and the table schema (so an
+  *     empty table is readable without a second file).
+  *   - A batch writes its new bucket version dirs first (invisible — no
+  *     commit references them), then creates its commit file via temp +
+  *     rename to a NEW name. Resolution reads the highest-numbered commit;
+  *     older commits are pruned keeping one for in-flight readers.
+  *   - Nothing is ever deleted before its replacement is live, so the
+  *     delete-then-rename "no table" window cannot occur, and a crash
+  *     between any two steps is recovered by replaying the batch.
   *
   * Scale design: the table is hash-bucketed by key
   * (`buckets/b=<i>/v-<batchId>` version dirs). A batch's keys deterministically
   * land in a bounded set of buckets, so each micro-batch reads, merges and
   * rewrites ONLY the touched buckets — O(batch ∪ touched-buckets) I/O, not
-  * O(table) — then atomically rewrites the `current` pointer (a JSON map of
-  * bucket → live version). Untouched buckets' files are not opened, moved,
-  * or rewritten. Old versions of touched buckets are pruned keeping the
-  * immediately previous one for in-flight readers.
+  * O(table) — then commits the new bucket→version map. Untouched buckets'
+  * files are not opened, moved, or rewritten. Old versions of touched
+  * buckets are pruned keeping the immediately previous one for in-flight
+  * readers.
   *
-  * All pointer/promotion I/O goes through Hadoop FileSystem, so remote
-  * tableDir URIs (hdfs://, s3a://) resolve against the right store.
+  * All pointer/promotion I/O goes through Hadoop FileSystem (with
+  * throw-on-false wrappers — see [[FsOps]]), so remote tableDir URIs
+  * (hdfs://, s3a://) resolve against the right store and a silently failed
+  * rename can never publish a commit naming missing files.
   */
 object UpsertSink {
 
   /** A published table state: the batch that committed it, the bucket count
-    * it was written with, and the live version dir per non-empty bucket.
+    * it was written with, the live version dir per non-empty bucket, and
+    * the table schema (JSON, `StructType.json`).
     */
-  final case class Commit(batchId: Long, nBuckets: Int, versions: Map[Int, String])
+  final case class Commit(batchId: Long, nBuckets: Int, versions: Map[Int, String],
+      schemaJson: String)
+
+  private implicit val formats: Formats = DefaultFormats
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, HPath) = {
     val p = new HPath(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def readPointer(fs: FileSystem, table: HPath): Option[String] = {
-    val p = new HPath(table, "current")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
+  private def commitsDir(table: HPath) = new HPath(table, "commits")
+
+  private def commitName(batchId: Long) = f"commit-$batchId%010d.json"
+
+  /** All commit files under the table, (batchId, path), unsorted. */
+  private def listCommits(fs: FileSystem, table: HPath): Seq[(Long, HPath)] = {
+    val dir = commitsDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n.startsWith("commit-") && n.endsWith(".json"))
+        Some(n.stripPrefix("commit-").stripSuffix(".json").toLong -> p)
+      else None
     }
   }
 
+  /** Latest-wins resolution: the raw JSON of the highest-numbered commit. */
+  private def readLatest(fs: FileSystem, table: HPath): Option[String] =
+    listCommits(fs, table).maxByOption(_._1).map { case (_, p) =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+
   private def parseCommit(json: String): Commit = {
-    val batch = """"batch"\s*:\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    val nb = """"nbuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
-    val vs = """"(\d+)"\s*:\s*"(v-\d+)"""".r.findAllMatchIn(json)
-      .map(m => m.group(1).toInt -> m.group(2)).toMap
-    Commit(batch, nb, vs)
+    val j = JsonMethods.parse(json)
+    Commit(
+      (j \ "batch").extract[Long],
+      (j \ "nbuckets").extract[Int],
+      (j \ "versions").extract[Map[String, String]].map { case (b, v) => b.toInt -> v },
+      JsonMethods.compact(JsonMethods.render(j \ "schema")))
   }
 
   private def renderCommit(c: Commit): String = {
-    val vs = c.versions.toSeq.sortBy(_._1)
-      .map { case (b, v) => s""""$b": "$v"""" }.mkString("{", ", ", "}")
-    s"""{"batch": ${c.batchId}, "nbuckets": ${c.nBuckets}, "versions": $vs}"""
+    val obj = JObject(
+      "batch" -> JLong(c.batchId),
+      "nbuckets" -> JInt(c.nBuckets),
+      "schema" -> JsonMethods.parse(c.schemaJson),
+      "versions" -> JObject(c.versions.toSeq.sortBy(_._1)
+        .map { case (b, v) => b.toString -> (JString(v): JValue) }: _*))
+    JsonMethods.compact(JsonMethods.render(obj))
   }
 
-  /** Raw pointer contents — an opaque commit token (changes iff the table
-    * state changed; stable across replays of the same batch).
+  /** Raw latest-commit contents — an opaque commit token (changes iff the
+    * table state changed; stable across replays of the same batch).
     */
   def currentSnapshot(tableDir: String): Option[String] = {
     val spark = SparkSession.active
     val (fs, table) = fsFor(spark, tableDir)
-    readPointer(fs, table)
+    readLatest(fs, table)
   }
 
   /** The parsed live commit, if the table has one. */
   def currentCommit(tableDir: String): Option[Commit] = {
     val spark = SparkSession.active
     val (fs, table) = fsFor(spark, tableDir)
-    readPointer(fs, table).map(parseCommit)
+    readLatest(fs, table).map(parseCommit)
   }
 
   /** Read the live table state: the union of each bucket's live version.
     * An existing but all-buckets-empty table reads as an empty frame with
-    * the persisted schema.
+    * the committed schema.
     */
   def readTable(spark: SparkSession, tableDir: String): Option[DataFrame] =
     currentCommit(tableDir).map { c =>
@@ -88,11 +129,8 @@ object UpsertSink {
           .map { case (b, v) => s"$tableDir/buckets/b=$b/$v" }
         spark.read.parquet(paths: _*)
       } else {
-        val (fs, table) = fsFor(spark, tableDir)
-        val in = fs.open(new HPath(table, "_schema.json"))
-        val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(ddl).asInstanceOf[StructType])
+          DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
       }
     }
 
@@ -112,24 +150,43 @@ object UpsertSink {
       .start()
   }
 
-  private[streaming] def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
-      keyCol: String, opCol: String, seqCols: Seq[String], nBuckets: Int = 16): Unit = {
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
+      keyCol: String, opCol: String, seqCols: Seq[String], nBuckets: Int = 16,
+      crashBeforeCommit: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (fs, table) = fsFor(spark, tableDir)
-    fs.mkdirs(table)
+    val hconf = spark.sessionState.newHadoopConf()
+    fs.mkdirs(commitsDir(table))
 
-    // Replay idempotence: the pointer carries the batch id that produced it.
-    // A crash between pointer swap and checkpoint commit replays the SAME
-    // batch id — skip it. A pointer AHEAD of the incoming batch id means a
-    // fresh checkpoint is replaying history into an already-advanced table —
-    // fail fast rather than corrupt it (reprocess into a fresh tableDir).
-    val current = readPointer(fs, table).map(parseCommit)
+    // Replay idempotence: the commit carries the batch id that produced it.
+    // A crash between commit and checkpoint advance replays the SAME batch
+    // id — skip it. A commit AHEAD of the incoming batch id means a fresh
+    // checkpoint is replaying history into an already-advanced table — fail
+    // fast rather than corrupt it (reprocess into a fresh tableDir).
+    val current = readLatest(fs, table).map(parseCommit)
     if (current.exists(_.batchId == batchId)) return
     if (current.exists(_.batchId > batchId))
       throw new IllegalStateException(
         s"UpsertSink at $tableDir is at batch ${current.get.batchId} but received " +
           s"replayed batch $batchId from an older/reset checkpoint; reprocessing into " +
           "an existing table is not supported — use a fresh tableDir (and checkpoint) to rebuild")
+    // No commit but bucket data from some OTHER batch exists ⇒ the commit
+    // log was lost (not a first-batch crash, whose orphan versions would
+    // carry THIS batch id). Merging against an empty target would silently
+    // truncate the table — refuse.
+    if (current.isEmpty) {
+      val broot = new HPath(table, "buckets")
+      if (fs.exists(broot)) {
+        val foreign = fs.listStatus(broot).map(_.getPath).filter(_.getName.startsWith("b="))
+          .flatMap(b => fs.listStatus(b).map(_.getPath.getName))
+          .filter(v => v.startsWith("v-") && v != f"v-$batchId%010d")
+        if (foreign.nonEmpty)
+          throw new IllegalStateException(
+            s"UpsertSink at $tableDir has bucket data (${foreign.head}…) but no commit " +
+              "log — refusing to merge against an empty target (this would truncate the " +
+              "table); restore commits/ or rebuild into a fresh tableDir")
+      }
+    }
     // bucket count is pinned by the first commit — a config change must not
     // silently re-key the layout
     val nb = current.map(_.nBuckets).getOrElse(nBuckets)
@@ -153,7 +210,7 @@ object UpsertSink {
 
     val ver = f"v-$batchId%010d"
     // 3. write the touched buckets' new versions via a batch-scoped stage
-    //    (PUT #1 — invisible until pointed to); overwrite discards a crashed
+    //    (PUT #1 — invisible until committed); overwrite discards a crashed
     //    attempt's stage
     val stage = fs.makeQualified(new HPath(table, f".stage-$batchId%010d"))
     merged.withColumn("__bucket", bucketOf)
@@ -161,42 +218,40 @@ object UpsertSink {
     val newVersions = touched.toSeq.sorted.flatMap { b =>
       val src = new HPath(stage, s"__bucket=$b")
       val dest = new HPath(table, s"buckets/b=$b/$ver")
-      if (fs.exists(dest)) fs.delete(dest, true) // crashed attempt of THIS batch
+      FsOps.deleteOrThrow(fs, dest, recursive = true) // crashed attempt of THIS batch
       if (fs.exists(src)) {
         fs.mkdirs(dest.getParent)
-        fs.rename(src, dest)
+        FsOps.renameOrThrow(fs, src, dest)
         Some(b -> ver)
       } else None // bucket merged to empty (all its keys deleted)
     }.toMap
-    fs.delete(stage, true)
+    FsOps.deleteOrThrow(fs, stage, recursive = true)
 
-    // 4. persist the schema (for empty-table reads) then atomically repoint
-    //    (PUT #2 — the commit)
-    val schemaTmp = new HPath(table, "._schema.json.tmp")
-    val so = fs.create(schemaTmp, true)
-    so.write(merged.select(tableCols.map(col): _*).schema.json.getBytes("UTF-8"))
-    so.close()
-    fs.delete(new HPath(table, "_schema.json"), false)
-    fs.rename(schemaTmp, new HPath(table, "_schema.json"))
+    if (crashBeforeCommit) // test-only failpoint: die with versions promoted
+      throw new RuntimeException("injected crash before commit")
 
+    // 4. the commit (PUT #2): temp + rename to a NEW commit file name — the
+    //    previous commit stays live until this one exists, so readers always
+    //    resolve a complete state
     val commit = Commit(batchId, nb,
-      current.map(_.versions).getOrElse(Map.empty) -- touched ++ newVersions)
-    val tmp = new HPath(table, s".current-$batchId.tmp")
-    val out = fs.create(tmp, true)
-    out.write(renderCommit(commit).getBytes("UTF-8"))
-    out.close()
-    fs.delete(new HPath(table, "current"), false)
-    fs.rename(tmp, new HPath(table, "current"))
+      current.map(_.versions).getOrElse(Map.empty) -- touched ++ newVersions,
+      merged.select(tableCols.map(col): _*).schema.json)
+    FsOps.atomicWrite(hconf, fs, new HPath(commitsDir(table), commitName(batchId)),
+      renderCommit(commit).getBytes("UTF-8"))
 
-    // 5. prune touched buckets' stale versions, keeping the immediately
-    //    previous one for in-flight readers
+    // 5. prune: older commit files (keep the immediately previous one for
+    //    in-flight readers) and touched buckets' stale versions (same policy)
+    val stale = listCommits(fs, table).map(_._1).filter(_ < batchId)
+      .sorted.dropRight(1)
+    stale.foreach(id =>
+      FsOps.deleteOrThrow(fs, new HPath(commitsDir(table), commitName(id)), recursive = false))
     touched.foreach { b =>
       val keep = Set(ver) ++ current.flatMap(_.versions.get(b))
       val bdir = new HPath(table, s"buckets/b=$b")
       if (fs.exists(bdir))
         fs.listStatus(bdir).map(_.getPath)
           .filter(p => p.getName.startsWith("v-") && !keep(p.getName))
-          .foreach(p => fs.delete(p, true))
+          .foreach(p => FsOps.deleteOrThrow(fs, p, recursive = true))
     }
   }
 }

@@ -85,10 +85,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q44 near-dup pairs go through LSH buckets, not an all-pairs BNLJ") {
-    val p = plan("q44_embedding_near_dups")
+  test("embedding near-dup pairs go through LSH buckets, not an all-pairs BNLJ") {
+    // pins the scale path itself (registry q44 wraps it in a recall
+    // contract whose exact-answer verifier is a deliberate small-scale BNLJ)
+    val emb = Registry.tbl(spark, sfDir, "embeddings")
+    val df = graft.operators.Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.9)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"q44 must pair within LSH buckets:\n$p")
+      s"embeddingNearDups must pair within LSH buckets:\n$p")
+  }
+
+  test("q47 pipeline near-dup stage routes through the banded LSH join") {
+    // pair generation must be the (band, band_sig) bucket join, and the
+    // exact-Jaccard shingle join must be candidate-restricted (a left-semi
+    // against the LSH pairs) — never a free-running all-pairs shingle join
+    val p = plan("q47_corpus_pipeline")
+    assert(p.contains("band_sig"), s"q47 must generate pairs via LSH bands:\n$p")
+    assert(p.contains("LeftSemi"), s"q47's shingle join must be candidate-restricted:\n$p")
   }
 
   test("as-of join is a single key-shuffle (one Exchange below the window)") {

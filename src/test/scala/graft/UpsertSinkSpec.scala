@@ -30,9 +30,16 @@ class UpsertSinkSpec extends SparkSuite {
     drain()
     assert(tableState(s"$base/table") == Map(1L -> "a2", 3L -> "c1"))
 
-    // pointer always names an existing complete snapshot
-    val snap = UpsertSink.currentSnapshot(s"$base/table").get
-    assert(new java.io.File(s"$base/table/$snap").isDirectory)
+    // the live commit always names a complete snapshot: every bucket
+    // version it references exists on disk
+    val commit = UpsertSink.currentCommit(s"$base/table").get
+    assert(commit.versions.nonEmpty)
+    commit.versions.foreach { case (b, v) =>
+      assert(new java.io.File(s"$base/table/buckets/b=$b/$v").isDirectory,
+        s"commit references missing bucket version b=$b/$v")
+    }
+    // and the schema is committed alongside (empty-table reads need it)
+    assert(commit.schemaJson.contains("payload"))
     q.stop()
   }
 
@@ -49,6 +56,51 @@ class UpsertSinkSpec extends SparkSuite {
       s"$base/table", s"$base/ck", "id", "op", Seq("seq"), Trigger.ProcessingTime(0))
     q2.processAllAvailable(); q2.stop()
     assert(tableState(s"$base/table") == before)
+  }
+
+  test("crash between bucket promote and commit leaves table readable and recoverable") {
+    val base = tmpDir("graft-usink3-")
+    val table = s"$base/table"
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+
+    UpsertSink.applyBatch(batchDf((1L, "a1", "I", 1L), (2L, "b1", "I", 2L)),
+      0L, table, "id", "op", Seq("seq"))
+    assert(tableState(table) == Map(1L -> "a1", 2L -> "b1"))
+
+    // batch 1 dies AFTER promoting its new bucket versions, BEFORE commit
+    intercept[RuntimeException] {
+      UpsertSink.applyBatch(batchDf((1L, "a2", "U", 3L), (3L, "c1", "I", 4L)),
+        1L, table, "id", "op", Seq("seq"), crashBeforeCommit = true)
+    }
+    // readers still resolve the previous commit — never "no table", never a
+    // partial state
+    assert(tableState(table) == Map(1L -> "a1", 2L -> "b1"))
+    assert(UpsertSink.currentCommit(table).get.batchId == 0L)
+
+    // the replayed batch (same id, as the checkpoint would re-deliver it)
+    // recovers: orphan versions of the crashed attempt are overwritten
+    UpsertSink.applyBatch(batchDf((1L, "a2", "U", 3L), (3L, "c1", "I", 4L)),
+      1L, table, "id", "op", Seq("seq"))
+    assert(tableState(table) == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+    assert(UpsertSink.currentCommit(table).get.batchId == 1L)
+  }
+
+  test("lost commit log with surviving bucket data fails fast instead of truncating") {
+    val base = tmpDir("graft-usink4-")
+    val table = s"$base/table"
+    UpsertSink.applyBatch(
+      Seq((1L, "a1", "I", 1L)).toDF("id", "payload", "op", "seq"),
+      0L, table, "id", "op", Seq("seq"))
+    // simulate an operator deleting the commit log out from under the table
+    val deleted = new scala.reflect.io.Directory(new java.io.File(s"$table/commits")).deleteRecursively()
+    assert(deleted)
+    val e = intercept[IllegalStateException] {
+      UpsertSink.applyBatch(
+        Seq((2L, "b1", "I", 2L)).toDF("id", "payload", "op", "seq"),
+        1L, table, "id", "op", Seq("seq"))
+    }
+    assert(e.getMessage.contains("no commit"))
   }
 
   private def tableState(dir: String): Map[Long, String] =
