@@ -141,6 +141,121 @@ object StreamQueries {
         | AND s.event_type = 'signup'
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
         |ORDER BY purchase_id, signup_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- streaming session windows (the streaming form of q28's batch
+    // sessionization): stateful session_window merging must equal the
+    // batch gaps-and-islands answer over the same data. session_window's
+    // state is per-key mergeable (watermark-evictable at scale); the
+    // memory-sink complete mode here is the deterministic test harness.
+    // session_id is derived from the FINISHED windows (rank by start) —
+    // a post-stream batch step, since a stream can't know a session's
+    // ordinal until all earlier sessions of that key are closed.
+    Q("q55_stream_session_window", (s, d) => {
+      val src = tmp("graft-sess-") + "/events"
+      val e = tbl(s, d, "events").select(col("user_id"), col("ts"), col("event_id"))
+      e.write.mode("overwrite").parquet(src)
+      val name = "graft_q55_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(e.schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_start"))
+      s.table(name)
+        .select(col("user_id").as("key"),
+          (row_number().over(w) - 1).cast("long").as("session_id"),
+          col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("key"), col("session_id"))
+    }, Some(
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |sess AS (SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+        |  FROM g)
+        |SELECT user_id AS key, session_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY key, session_id ORDER BY key, session_id""".stripMargin)),
+
+    // ---- per-table dynamic schema registry (C1, README.md:47, 75, 227):
+    // ONE stream carries two tables' CDC with DIFFERENT payload schemas
+    // (partition_key = "<table>-<id>"); each record decodes against its
+    // table's registered schema and lands under lake/table=<t>/…; records
+    // of an unregistered table land in the DLQ — all three destinations
+    // oracle-checked.
+    Q("q56_schema_registry", (s, d) => {
+      val base = tmp("graft-reg-")
+      val events = tbl(s, d, "events")
+      // restrict to one year of orders: time-partitioned delivery of the
+      // full 7-year span would write ~2400 day-partitions of tiny files in
+      // this one-batch test (fine on a cluster, pointless locally)
+      val orders = tbl(s, d, "orders").where(col("o_orderdate") >= "1998-01-01")
+      // table 1: events (the standard producer)
+      val evWire = ShardedLog.fromEvents(events)
+      // table 2: orders, its own payload shape (different fields/types)
+      val orWire = orders.select(
+        lit("rds-cdc-prod").as("stream_name"),
+        concat(lit("shardId-"), lpad(pmod(hash(concat(lit("orders-"), col("o_custkey"))),
+          lit(4)).cast("string"), 12, "0")).as("shard_id"),
+        concat(lit("orders-"), col("o_custkey")).as("partition_key"),
+        lpad(col("o_orderkey").cast("string"), 30, "0").as("sequence_number"),
+        col("o_orderdate").cast("timestamp").as("approx_arrival_ts"),
+        graft.codec.Envelope.encode(struct(
+          struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("timestamp").as("ts")).as("data"),
+          struct(lit("U").as("op")).as("metadata"))).as("data"))
+      // an UNREGISTERED table: must route to the DLQ, not crash the stream
+      val ghostWire = evWire.where(col("partition_key").isin(
+        "events-1", "events-2", "events-3"))
+        .withColumn("partition_key",
+          concat(lit("ghost-"), substring_index(col("partition_key"), "-", -1)))
+        .withColumn("sequence_number", concat(lit("g"), col("sequence_number")))
+      ShardedLog.put(evWire.unionByName(orWire).unionByName(ghostWire), s"$base/log")
+
+      val ordersSchema = StructType(Seq(
+        StructField("data", StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("ts", TimestampType)))),
+        StructField("metadata", StructType(Seq(StructField("op", StringType))))))
+      val q = Deliver.startRegistry(
+        ShardedLog.readStream(s, s"$base/log"),
+        Deliver.Config(lakeDir = s"$base/lake", checkpointDir = s"$base/ck",
+          errorDir = Some(s"$base/dlq"),
+          schemas = Map("events" -> payloadSchema, "orders" -> ordersSchema),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+
+      val ev = s.read.parquet(s"$base/lake/table=events")
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_keys"))
+        .select(lit("events").as("tab"), col("n"), col("n_keys"))
+      val or = s.read.parquet(s"$base/lake/table=orders")
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_keys"))
+        .select(lit("orders").as("tab"), col("n"), col("n_keys"))
+      val dlq = s.read.parquet(s"$base/dlq")
+        .where(col("reason") === "unknown_table")
+        .agg(count(lit(1)).as("n"), countDistinct(col("partition_key")).as("n_keys"))
+        .select(lit("zz_dlq").as("tab"), col("n"), col("n_keys"))
+      ev.unionByName(or).unionByName(dlq).orderBy(col("tab"))
+    }, Some(
+      """SELECT 'events' AS tab, CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM events
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        |UNION ALL
+        |SELECT 'zz_dlq', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |FROM events WHERE user_id IN (1, 2, 3)
+        |ORDER BY tab""".stripMargin))
   )
 }

@@ -63,12 +63,20 @@ object ShardedLog {
       concat(lit("shardId-"),
         lpad(pmod(hash(col("partition_key")), lit(newShards)).cast("string"), 12, "0")))
 
-  /** S3/S4 consumer: stream the log back. `maxFilesPerTrigger` caps batch
-    * admission (the size-bound half of the reference's 64 MB/60 s buffer).
+  /** S3/S4 consumer: stream the log back, with the reference's buffer
+    * admission semantics (README.md:368-380 "64 MB OR 60 s, whichever first"):
+    *   - `maxBytesPerTrigger` is the SIZE half — each micro-batch admits
+    *     files until the byte budget is hit (at least one file), so a flush
+    *     happens at ~the byte cap even under a long trigger interval;
+    *   - the time half is the query trigger (`Trigger.ProcessingTime`),
+    *     which flushes whatever has accumulated when the interval fires.
+    * `maxFilesPerTrigger` remains the file-count form (O3 backpressure).
     */
-  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => r.option("maxBytesPerTrigger", n))
     r.parquet(dir)
   }
 }

@@ -40,6 +40,14 @@ object Deliver {
       // (Delta/Iceberg checkpoint pattern); batches in between write
       // incremental manifests listing ONLY that flush's files
       manifestCompactEvery: Int = 10,
+      // C1 per-table dynamic schema registry (README.md:47, 75, 227): the
+      // reference's PartitionKey is "schema-table-id" — one stream carries
+      // MANY tables' CDC. When non-empty, [[startRegistry]] decodes each
+      // record against ITS table's schema (table = partition_key prefix)
+      // and lands it under lake/table=<t>/...; records whose table has no
+      // registered schema route to the DLQ (errorDir), never crash the
+      // stream.
+      schemas: Map[String, StructType] = Map.empty,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -150,28 +158,7 @@ object Deliver {
       .parquet(stage.toString)
 
     // 2. promote: move each staged parquet into its lake partition dir.
-    // The staged listing is the write's own output — O(batch files), never
-    // a walk of the lake.
-    val staged = {
-      val it = fs.listFiles(stage, true)
-      val buf = Vector.newBuilder[HPath]
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) buf += f
-      }
-      buf.result()
-    }
-    val stagePrefix = stage.toString + "/"
-    val added = staged.map { f =>
-      val rel = f.toString.stripPrefix(stagePrefix)
-      val dest = new HPath(lake, rel)
-      fs.mkdirs(dest.getParent)
-      // throw-on-false: a silently failed promote must abort the batch
-      // BEFORE the manifest lists a file that does not exist
-      FsOps.renameOrThrow(fs, f, dest)
-      fs.makeQualified(dest).toString
-    }.sorted
-    FsOps.deleteOrThrow(fs, stage, recursive = true)
+    val added = promoteStage(fs, lake, stage)
 
     // 3. manifest (PUT #2, only after data success — README.md:419-430):
     // incremental per-batch listing; every Nth batch folds the chain into a
@@ -200,6 +187,128 @@ object Deliver {
     // 6. commit marker — the batch is fully delivered; replays become no-ops
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+  }
+
+  /** Move every staged parquet into its mirrored lake path. The staged
+    * listing is the write's own output — O(batch files), never a walk of
+    * the lake — and a failed rename throws before the manifest could list
+    * a file that does not exist.
+    */
+  private def promoteStage(fs: FileSystem, lake: HPath, stage: HPath): Seq[String] = {
+    val staged = {
+      val it = fs.listFiles(stage, true)
+      val buf = Vector.newBuilder[HPath]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
+    }
+    val stagePrefix = stage.toString + "/"
+    val added = staged.map { f =>
+      val rel = f.toString.stripPrefix(stagePrefix)
+      val dest = new HPath(lake, rel)
+      fs.mkdirs(dest.getParent)
+      FsOps.renameOrThrow(fs, f, dest)
+      fs.makeQualified(dest).toString
+    }.sorted
+    FsOps.deleteOrThrow(fs, stage, recursive = true)
+    added
+  }
+
+  /** Start the MULTI-TABLE delivery query (C1 dynamic schema registry):
+    * one stream carrying many tables' CDC, each record decoded against its
+    * own table's registered schema and delivered under `lake/table=<t>/…`.
+    * Records of unregistered tables go to the DLQ (`errorDir`) with
+    * `reason = 'unknown_table'`; decode failures of registered tables with
+    * `reason = 'decode_failed'` — neither crashes the stream (K4).
+    */
+  def startRegistry(records: DataFrame, cfg: Config): StreamingQuery = {
+    require(cfg.schemas.nonEmpty, "startRegistry needs at least one registered table schema")
+    records.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(cfg.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deliverRegistryBatch(batch, batchId, cfg)
+      }
+      .start()
+  }
+
+  /** One registry flush: per registered table, decode that table's slice
+    * with its own schema and stage it under `table=<t>/year=…`; then the
+    * shared promote → manifest → DLQ → marker protocol of [[deliverBatch]].
+    * Work is O(batch × registered-tables-present): the per-table slices are
+    * pruned from a single cached pass over the batch, and empty slices skip
+    * the write entirely.
+    */
+  private[streaming] def deliverRegistryBatch(batch: DataFrame, batchId: Long,
+      cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val lake = new HPath(cfg.lakeDir)
+    val fs = lake.getFileSystem(hconf)
+    val marker = new HPath(lake, f"_commits/$batchId%010d")
+    if (fs.exists(marker)) return // replayed, already fully delivered
+
+    val tabled = batch
+      .withColumn("table", substring_index(col("partition_key"), "-", 1))
+      .persist()
+    try {
+      // which registered tables actually appear in this batch — avoids one
+      // no-op Spark job per registered-but-absent table (a 1000-table
+      // registry must not cost 1000 jobs per flush)
+      val present = tabled.select("table").distinct()
+        .collect().map(_.getString(0)).toSet // O(#tables in batch), driver-side
+      val stage = fs.makeQualified(new HPath(lake, f"_staging/batch-$batchId%010d"))
+
+      cfg.schemas.foreach { case (t, tableSchema) =>
+        if (present(t)) {
+          val frame = transform(tabled.where(col("table") === t), tableSchema,
+            cfg.clock, cfg.partitionByProcessingTime)
+          val ok = frame.where(col("__ok")).select(
+            col("partition_key"), col("sequence_number"), col("env.data.*"),
+            col("env.metadata.op").as("op"), col("processed_at"),
+            col("year"), col("month"), col("day"), col("hour"))
+          val okC = if (cfg.compact) ok.coalesce(1) else ok
+          okC.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+            .partitionBy("year", "month", "day", "hour")
+            .parquet(new HPath(stage, s"table=$t").toString)
+        }
+      }
+
+      val added = if (fs.exists(stage)) promoteStage(fs, lake, stage) else Seq.empty
+      cfg.manifestDir.foreach { mdir =>
+        writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery)
+      }
+
+      // DLQ: unknown tables + per-table decode failures, one idempotent
+      // batch-scoped write (replay replaces, never appends)
+      cfg.errorDir.foreach { edir =>
+        val known = cfg.schemas.keySet.toSeq
+        val rawCols = Seq(col("table"), col("partition_key"), col("sequence_number"),
+          col("data").as("raw"))
+        val unknown = tabled.where(!col("table").isInCollection(known))
+          .select(rawCols :+ lit("unknown_table").as("reason"): _*)
+        val failed = cfg.schemas.keysIterator.filter(present).map { t =>
+          tabled.where(col("table") === t)
+            .withColumn("env", Envelope.decode(col("data"), cfg.schemas(t)))
+            .where(col("env").isNull || col("env.data").isNull)
+            .select(rawCols :+ lit("decode_failed").as("reason"): _*)
+        }.reduceOption(_ unionByName _)
+        failed.fold(unknown)(unknown.unionByName(_))
+          .write.mode("overwrite").parquet(s"$edir/batch=$batchId")
+      }
+
+      cfg.backupDir.foreach { bdir =>
+        tabled.select(col("partition_key"), col("sequence_number"), col("data").as("raw"))
+          .write.mode("overwrite").parquet(s"$bdir/batch=$batchId")
+      }
+
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    } finally tabled.unpersist()
   }
 
   /** Write manifest-<id>.json (incremental: exactly `added`) or, when id is

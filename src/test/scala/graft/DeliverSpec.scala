@@ -101,6 +101,40 @@ class DeliverSpec extends SparkSuite {
       spark.read.parquet(s"$base/lake2").count())
   }
 
+  test("schema registry: per-table decode, unknown-table and poison records to DLQ (C1)") {
+    val base = tmpDir("graft-reg-")
+    val good = ShardedLog.fromEvents(events.limit(20))
+    // an unregistered table's records: must land in the DLQ, not crash
+    val ghost = good.limit(4)
+      .withColumn("partition_key",
+        concat(lit("ghost-"), substring_index($"partition_key", "-", -1)))
+      .withColumn("sequence_number", concat(lit("g"), $"sequence_number"))
+    // poison payloads of a REGISTERED table: decode fails, DLQ'd with reason
+    val poison = good.limit(3)
+      .withColumn("data", lit("%%%not-base64%%%"))
+      .withColumn("sequence_number", concat(lit("p"), $"sequence_number"))
+    ShardedLog.put(good.unionByName(ghost).unionByName(poison), s"$base/log")
+
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+      errorDir = Some(s"$base/dlq"),
+      schemas = Map("events" -> payloadSchema),
+      trigger = Trigger.AvailableNow(), clock = clock)
+    val q = Deliver.startRegistry(ShardedLog.readStream(spark, s"$base/log"), cfg)
+    q.awaitTermination()
+
+    assert(spark.read.parquet(s"$base/lake/table=events").count() == 20)
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(dlq.where($"reason" === "unknown_table").count() == 4)
+    assert(dlq.where($"reason" === "decode_failed").count() == 3)
+    assert(dlq.where($"reason" === "unknown_table")
+      .select($"table").distinct().as[String].collect().toSet == Set("ghost"))
+
+    // restart with the same checkpoint: exactly-once holds on the registry path
+    val q2 = Deliver.startRegistry(ShardedLog.readStream(spark, s"$base/log"), cfg)
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$base/lake/table=events").count() == 20)
+  }
+
   test("per-key ordering survives the shard layout (S2: same key ⇒ same shard)") {
     val recs = ShardedLog.fromEvents(events)
     val keyShards = recs.groupBy($"partition_key")

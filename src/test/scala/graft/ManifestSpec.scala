@@ -148,4 +148,40 @@ class ManifestSpec extends SparkSuite {
       assert(batches.map(_.numInputRows).sum == 400)
     } finally spark.streams.removeListener(audit)
   }
+
+  test("byte-budget admission flushes at ~the byte cap, independent of the trigger (B1)") {
+    val base = tmpDir("graft-bytes-")
+    ShardedLog.put(ShardedLog.fromEvents(events(400)), s"$base/log")
+    // measure the log's file sizes, pick a budget ≈ 40% of the total: the
+    // size-OR-time contract (README.md:368-380) means each flush must stop
+    // admitting near the budget (one file of overshoot max) even though the
+    // trigger (AvailableNow here, a long interval in production) would
+    // happily take everything in one batch
+    import scala.jdk.CollectionConverters._
+    val sizes = Files.walk(Paths.get(s"$base/log")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(p => Files.size(p)).toVector
+    assert(sizes.size >= 3, s"need several log files, got ${sizes.size}")
+    val budget = (sizes.sum * 2) / 5
+    val audit = new graft.audit.AuditListener
+    spark.streams.addListener(audit)
+    try {
+      val q = Deliver.start(
+        ShardedLog.readStream(spark, s"$base/log", maxBytesPerTrigger = Some(budget)),
+        payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", trigger = Trigger.AvailableNow(), clock = clock))
+      q.awaitTermination()
+      assert(spark.read.parquet(s"$base/lake").count() == 400)
+      val deadline = System.currentTimeMillis() + 10000
+      while (audit.entries.map(_.numInputRows).sum < 400 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val batches = audit.entries.filter(_.numInputRows > 0)
+      // a 40% budget must split the log into ≥2 flushes, and no flush may
+      // admit more rows than the budget-plus-one-file bound allows. Row
+      // counts proxy bytes here (files are near-uniform): the max single
+      // flush must stay well under "everything at once".
+      assert(batches.size >= 2, s"byte budget ignored: ${batches.size} batch(es)")
+      assert(batches.map(_.numInputRows).max < 400,
+        s"one flush admitted the whole log despite the byte budget")
+    } finally spark.streams.removeListener(audit)
+  }
 }
