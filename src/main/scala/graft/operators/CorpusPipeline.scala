@@ -46,18 +46,22 @@ object CorpusPipeline {
       .withColumn("__exact_dup", col("doc_id") =!= col("__keep_id"))
 
     // near dups among surviving candidates: MinHash → LSH bands → candidate
-    // pairs → exact Jaccard verify, all on the shared shingle table. The
-    // pair-generating join is on (band, band_sig) buckets — only
-    // near-identical docs collide — so pair fan-out is candidate-bounded,
-    // never the all-pairs shingle join (common shingles make that
-    // near-quadratic at corpus scale). The larger id of each confirmed pair
+    // pairs → exact Jaccard verify. Banding runs on the exploded shingle
+    // table (codegen'd md5 + two partial-agg groupBys — measured faster
+    // than the narrow higher-order-function form, which Spark evaluates
+    // interpreted); the verify is an `array_intersect` over per-doc shingle
+    // ARRAYS fetched by two id joins. The plan contains NO shingle-level
+    // join at all, so a common shingle shared by k docs costs nothing
+    // unless LSH already paired them (the k² blowup a shingle self-join
+    // would produce at corpus scale). The larger id of each confirmed pair
     // is dropped.
     val survivors = withExact.where(!col("__exact_dup"))
       .select(col("doc_id"), col("text"))
-    val shingled = Dedup.shingleTable(survivors, "doc_id", "text", n = 3)
+    val arrays = Dedup.shingleArrays(survivors, "doc_id", "text", n = 3)
     val candidates = Dedup.lshCandidates(
-      Dedup.lshBands(Dedup.minhashSignatures(shingled, cfg.minhashK), cfg.rowsPerBand))
-    val nearPairs = Dedup.jaccardOnPairs(candidates, shingled)
+      Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.shingleTable(survivors, "doc_id", "text", n = 3), cfg.minhashK), cfg.rowsPerBand))
+    val nearPairs = Dedup.jaccardOnArrays(candidates, arrays)
       .where(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("__near_dup", lit(true))

@@ -78,7 +78,12 @@ object Dedup {
     val counts = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = shingled.select(col("id").as("id_a"), col("shingle"))
     val b = shingled.select(col("id").as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).join(pairs, Seq("id_a", "id_b"), "left_semi")
+    // candidate-bounded intersection: fan each pair out over id_a's
+    // shingles, then probe id_b's shingles on (id_b, shingle). Cost is
+    // O(Σ_pairs |shingles(id_a)|) — the shingle SELF-join never runs, so a
+    // common shingle shared by k docs costs nothing unless LSH already
+    // paired them (the k² blowup the banded join exists to avoid).
+    val common = pairs.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     common
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
@@ -86,6 +91,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
+
+  /** Per-document distinct shingle ARRAYS — the no-explode twin of
+    * [[shingleTable]] for pipelines that consume whole documents' shingle
+    * sets (narrow minhash, array-intersect Jaccard). One row per doc.
+    */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.where(size(toks) >= n)
+      .select(col(idCol).as("id"), array_distinct(shingles(toks, n)).as("sh"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs over shingle ARRAYS: two id
+    * joins to fetch each side's array, then a codegen'd
+    * `array_intersect` — no shingle-level join exists anywhere in the
+    * plan, so cost is O(candidate pairs × array size), never all-pairs.
+    */
+  def jaccardOnArrays(pairs: DataFrame, arrays: DataFrame): DataFrame =
+    pairs
+      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
 
   /** Embedding-cosine near-duplicate pairs — the vector-space twin of
     * MinHash dedup, routed through sign-hyperplane LSH buckets so the pair

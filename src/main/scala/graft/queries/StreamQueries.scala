@@ -117,6 +117,14 @@ object StreamQueries {
         col("user_id"), col("event_type"))
       e.write.mode("overwrite").parquet(src)
       val name = "graft_q54_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      // stateful shuffle partitions are pinned into the checkpoint at first
+      // batch; size them to the STATE volume, not the session default — a
+      // join holding hours of two event streams would raise this, this
+      // bounded test corpus lowers it (each partition costs per-batch state
+      // store files regardless of how empty it is)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val purchases = s.readStream.schema(e.schema).parquet(src)
         .where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
@@ -134,6 +142,7 @@ object StreamQueries {
       q.processAllAvailable()
       q.stop()
       s.table(name).orderBy(col("purchase_id"), col("signup_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }, Some(
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
         |FROM events p JOIN events s
@@ -156,6 +165,10 @@ object StreamQueries {
       val e = tbl(s, d, "events").select(col("user_id"), col("ts"), col("event_id"))
       e.write.mode("overwrite").parquet(src)
       val name = "graft_q55_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      // state partitions sized to state volume (see q54)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val q = s.readStream.schema(e.schema).parquet(src)
         .withWatermark("ts", "10 minutes")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -171,6 +184,7 @@ object StreamQueries {
           (row_number().over(w) - 1).cast("long").as("session_id"),
           col("session_start"), col("session_end"), col("n_events"))
         .orderBy(col("key"), col("session_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }, Some(
       """WITH o AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

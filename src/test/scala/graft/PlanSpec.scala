@@ -98,11 +98,14 @@ class PlanSpec extends SparkSuite {
 
   test("q47 pipeline near-dup stage routes through the banded LSH join") {
     // pair generation must be the (band, band_sig) bucket join, and the
-    // exact-Jaccard shingle join must be candidate-restricted (a left-semi
-    // against the LSH pairs) — never a free-running all-pairs shingle join
+    // exact-Jaccard verify must be an array_intersect over candidate pairs
+    // — the plan must contain NO shingle-level self-join (which goes
+    // near-quadratic on common shingles at corpus scale)
     val p = plan("q47_corpus_pipeline")
     assert(p.contains("band_sig"), s"q47 must generate pairs via LSH bands:\n$p")
-    assert(p.contains("LeftSemi"), s"q47's shingle join must be candidate-restricted:\n$p")
+    assert(p.contains("array_intersect"), s"q47's verify must be candidate-bounded:\n$p")
+    assert(!p.matches("(?s).*\\[shingle#\\d+\\], \\[shingle#\\d+\\], Inner.*"),
+      s"q47 must not join shingle tables on the shingle alone:\n$p")
   }
 
   test("as-of join is a single key-shuffle (one Exchange below the window)") {
