@@ -137,25 +137,28 @@ object Dedup {
     import graft.functions.VectorFunctions._
     import graft.operators.Similarity.hyperplanes
     val planes = hyperplanes(nTables * bitsPerTable, dim)
-    val e = toDouble(col(embCol))
-    // bucket id per table t = sign bits of planes [t*b, t*b+b)
+    // bucket id per table t = sign bits of planes [t*b, t*b+b); each test is
+    // a codegen'd dot of the raw embedding against a double-literal plane
     val bucketCols = (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { p =>
-        when(dot(e, typedLit(planes(t * bitsPerTable + p).toSeq)) >= 0,
+        when(dot(col(embCol), typedLit(planes(t * bitsPerTable + p).toSeq)) >= 0,
           lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("t"), bits.as("b"))
     }
-    val bucketed = emb.select(col(idCol).as("id"), e.as("e"),
-      explode(array(bucketCols: _*)).as("tb"))
-    val a = bucketed.select(col("tb"), col("id").as("id_a"), col("e").as("ea"))
-    val b = bucketed.select(col("tb"), col("id").as("id_b"), col("e").as("eb"))
+    // norms ride along once per row; the per-pair verify is one dot + divide
+    val bucketed = emb.select(col(idCol).as("id"), col(embCol).as("e"),
+      norm2(col(embCol)).as("nrm"), explode(array(bucketCols: _*)).as("tb"))
+    val a = bucketed.select(col("tb"), col("id").as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("tb"), col("id").as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("tb"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ea"), col("eb"))
+      .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
       .distinct() // a pair may collide in several tables
       .select(col("id_a"), col("id_b"),
-        round(cosineSimilarity(col("ea"), col("eb")), roundScale).as("cos"))
+        round((dot(col("ea"), col("eb")) / (col("na") * col("nb"))), roundScale).as("cos"))
       .where(col("cos") >= threshold)
   }
 

@@ -31,10 +31,16 @@ object Similarity {
     * reorder results between runs.
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int, rankScale: Int = 4): DataFrame = {
-    val q = broadcast(queries.select(col("qid"), toDouble(col("embedding")).as("qe")))
-    val c = corpus.select(col("id").as("nid"), toDouble(col("embedding")).as("ne"))
+    // norms are computed ONCE per row before the pair join (not once per
+    // pair — |Q|× less work on the corpus side); the per-pair cost is a
+    // single codegen'd dot + one divide over the raw float arrays
+    val q = broadcast(queries.select(col("qid"), col("embedding").as("qe"),
+      norm2(col("embedding")).as("qn")))
+    val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"),
+      norm2(col("embedding")).as("nn"))
     val sims = c.join(q)
-      .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), rankScale).desc, col("nid"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
@@ -51,12 +57,14 @@ object Similarity {
     }
   }
 
-  /** Sign-pattern bucket id for every row of `df` (id, embedding). */
+  /** Sign-pattern bucket id for every row of `df` (id, embedding). Each
+    * plane test is a codegen'd dot of the raw (float) embedding against a
+    * double-literal plane — no interpreted cast pass.
+    */
   def withBucket(df: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val e = toDouble(col("embedding"))
     val bucket = planes.zipWithIndex.map { case (plane, p) =>
-      when(dot(e, typedLit(plane.toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(col("embedding"), typedLit(plane.toSeq)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
@@ -74,7 +82,8 @@ object Similarity {
   def lshAnn(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 8, dim: Int = 64, probeBits: Int = 1): DataFrame = {
     val q0 = withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
-      .select(col("qid"), toDouble(col("embedding")).as("qe"), col("bucket"))
+      .select(col("qid"), col("embedding").as("qe"),
+        norm2(col("embedding")).as("qn"), col("bucket"))
     // all XOR masks with ≤ probeBits bits set over nPlanes planes —
     // enumerated as bit-position combinations (C(nPlanes, ≤probeBits)
     // masks), never 2^nPlanes
@@ -86,9 +95,11 @@ object Similarity {
       .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
       .drop("__flip"))
     val c = withBucket(corpus.select(col("id").as("nid"), col("embedding")), nPlanes, dim)
-      .select(col("nid"), toDouble(col("embedding")).as("ne"), col("bucket"))
+      .select(col("nid"), col("embedding").as("ne"),
+        norm2(col("embedding")).as("nn"), col("bucket"))
     val sims = c.join(q, Seq("bucket"))
-      .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 4).desc, col("nid"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
@@ -112,23 +123,25 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSet)
     val assigned = model.transform(cVec)
-      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
-        col(model.getPredictionCol).as("cell"))
+      .select(col("id").as("nid"), col("embedding").as("ne"),
+        norm2(col("embedding")).as("nn"), col(model.getPredictionCol).as("cell"))
     // rank each query's centroids; probe the nprobe nearest cells
     val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
       (i, ctr.toArray.toSeq)
     }.toSeq
     val centDf = broadcast(queries.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid"))
-    val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"))
+    val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
+      norm2(col("embedding")).as("qn"))
     val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
     val probes = qe.crossJoin(centDf)
       .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
       .withColumn("crn", row_number().over(wCell))
       .where(col("crn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cell"))
+      .select(col("qid"), col("qe"), col("qn"), col("cell"))
     val sims = assigned.join(broadcast(probes), Seq("cell"))
-      .select(col("qid"), col("nid"), cosineSimilarity(col("qe"), col("ne")).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 4).desc, col("nid"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
