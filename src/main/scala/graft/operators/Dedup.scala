@@ -131,6 +131,20 @@ object Dedup {
     * corpus fans out ×nTables and shuffles once on (table, bucket); pair
     * count is bucket-bounded.
     */
+  /** Bits per LSH table sized to the corpus: buckets must GROW with n or
+    * per-bucket pair generation degenerates toward O(n²/2^bits). Targets
+    * ~`targetBucketRows` rows per bucket (2^bits ≈ n / target), clamped to
+    * [4, 24]; recall per pair falls slowly with bits (each extra bit costs
+    * (1 − θ/π) ≈ 0.91 at cos 0.9 per table, compensated by the OR over
+    * tables), while pair cost falls 2×, so erring high is safe. Callers
+    * with a known corpus size pass it; the default 4 suits ≤ ~10k rows.
+    */
+  def bitsPerTableFor(corpusRows: Long, targetBucketRows: Int = 512): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucketRows)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
+  }
+
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
       roundScale: Int = 4): DataFrame = {

@@ -270,6 +270,48 @@ object StreamQueries {
         |UNION ALL
         |SELECT 'zz_dlq', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
         |FROM events WHERE user_id IN (1, 2, 3)
-        |ORDER BY tab""".stripMargin))
+        |ORDER BY tab""".stripMargin)),
+
+    // ---- C3 event-driven catalog refresh (the EventBridge→crawler trigger,
+    // README.md:524-549): deliver half the stream, register the catalog
+    // table, attach the refresh listener, deliver the rest — the NEW
+    // partitions must become queryable through the catalog with no manual
+    // MSCK. Listener events are async; the query polls (bounded) for the
+    // post-refresh count the way a downstream consumer would.
+    Q("q57_event_driven_catalog", (s, d) => {
+      val base = tmp("graft-c3-")
+      val events = tbl(s, d, "events")
+      val tableName = "graft_q57_cdc"
+      val firstHalf = events.where(dayofmonth(col("ts")) <= 15)
+      val secondHalf = events.where(dayofmonth(col("ts")) > 15)
+      val cfg = Deliver.Config(lakeDir = s"$base/lake", checkpointDir = s"$base/ck",
+        manifestDir = Some(s"$base/manifest"), // foreachBatch path ⇒ real Hive partitions + MSCK
+        trigger = Trigger.AvailableNow(), clock = Some(fixedClock))
+      ShardedLog.put(ShardedLog.fromEvents(firstHalf), s"$base/log")
+      val q1 = Deliver.start(ShardedLog.readStream(s, s"$base/log"), payloadSchema, cfg)
+      q1.awaitTermination()
+      LakeCatalog.registerLake(s, tableName, s"$base/lake")
+
+      val listener = LakeCatalog.eventDrivenRefresh(s, tableName)
+      try {
+        ShardedLog.put(ShardedLog.fromEvents(secondHalf), s"$base/log")
+        val q2 = Deliver.start(ShardedLog.readStream(s, s"$base/log"), payloadSchema, cfg)
+        q2.awaitTermination()
+        val expected = events.count()
+        val deadline = System.currentTimeMillis() + 20000
+        while (s.table(tableName).count() < expected &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+      } finally s.streams.removeListener(listener)
+
+      s.sql(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(SUM(CASE WHEN day > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           | CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys
+           |FROM $tableName""".stripMargin)
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        |FROM events""".stripMargin))
   )
 }

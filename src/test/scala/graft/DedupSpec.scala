@@ -84,4 +84,14 @@ class DedupSpec extends SparkSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("LSH width scales with corpus size (buckets grow, clamped)") {
+    import graft.operators.Dedup.bitsPerTableFor
+    assert(bitsPerTableFor(1000) == 4)            // small corpora keep the floor
+    assert(bitsPerTableFor(1000000) == 11)        // 1M / 512 ≈ 2^11
+    assert(bitsPerTableFor(100000000000L) == 24)  // clamped ceiling at 100B rows
+    // monotone: more rows never means fewer buckets
+    val widths = Seq(1L, 10000L, 1000000L, 100000000L).map(bitsPerTableFor(_))
+    assert(widths == widths.sorted)
+  }
 }
