@@ -65,4 +65,47 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
       lit("application/octet-stream").as("mime")).as[MediaRecord]
   }
+
+  /** Per-partition media resizer: open once, resize a batch to target
+    * dimensions. Production: decode → scale → re-encode; the stub below
+    * keeps the plumbing (typed schema, narrow execution, payload-size ∝
+    * target area) real without media libraries.
+    */
+  trait Resizer extends Serializable {
+    def open(): Unit
+    def resize(r: MediaRecord, width: Int, height: Int): MediaRecord
+  }
+
+  /** Deterministic fake resize: stride-resample the payload bytes to
+    * `width*height/8` output bytes — stable across runs/engines, output
+    * size scales with the target area like a real thumbnail would.
+    */
+  final class StubResizer extends Resizer {
+    def open(): Unit = ()
+    def resize(r: MediaRecord, width: Int, height: Int): MediaRecord = {
+      val n = math.max(1, width * height / 8)
+      val src = r.payload
+      val out = new Array[Byte](n)
+      if (src.nonEmpty) {
+        var i = 0
+        while (i < n) {
+          out(i) = src((i.toLong * src.length / n).toInt)
+          i += 1
+        }
+      }
+      MediaRecord(r.doc_id, out, r.mime)
+    }
+  }
+
+  /** Batched per-partition resize — same execution shape as
+    * [[extractFeatures]]: one resizer per partition, no shuffle.
+    */
+  def resizeAll(media: Dataset[MediaRecord], resizer: Resizer, width: Int, height: Int)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      resizer.open()
+      rows.map(r => resizer.resize(r, width, height))
+    }
+  }
 }

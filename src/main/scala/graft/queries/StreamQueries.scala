@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import graft.catalog.LakeCatalog
 import graft.sources.ShardedLog
-import graft.streaming.{Alert, Deliver}
+import graft.streaming.{Alert, Deliver, UpsertSink}
 import graft.queries.Registry.tbl
 
 /** End-to-end Structured Streaming paths run through the correctness
@@ -312,6 +312,32 @@ object StreamQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // ---- K8 streaming form end-to-end: the CDC change stream drives the
+    // bucketed keyed table through UpsertSink's versioned commit log; the
+    // final readTable state must equal the batch latest-per-key answer
+    // (deletes win when they are the key's last change).
+    Q("q58_stream_cdc_table", (s, d) => {
+      val base = tmp("graft-cdct-")
+      val changes = tbl(s, d, "events").select(
+        col("user_id").as("id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("seq"))
+      changes.write.mode("overwrite").parquet(s"$base/changes")
+      val q = UpsertSink.start(
+        s.readStream.schema(changes.schema).parquet(s"$base/changes"),
+        s"$base/table", s"$base/ck", keyCol = "id", opCol = "op", seqCols = Seq("seq"),
+        trigger = Trigger.AvailableNow(), nBuckets = 8)
+      q.awaitTermination()
+      UpsertSink.readTable(s, s"$base/table").get
+        .select(col("id"), col("value")).orderBy(col("id"))
+    }, Some(
+      """WITH ranked AS (
+        |  SELECT user_id AS id, value, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT id, value FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY id""".stripMargin))
   )
 }

@@ -43,4 +43,24 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(1L).n_bytes == 5)
     assert(rows(2L).n_bytes == 0 && rows(2L).feature.forall(_ == 0.0f))
   }
+
+  test("resize is batched, narrow, deterministic, and area-proportional") {
+    val media = Multimodal.fromDocuments(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val small = Multimodal.resizeAll(media, new Multimodal.StubResizer, 32, 32)
+    val large = Multimodal.resizeAll(media, new Multimodal.StubResizer, 64, 64)
+    // no shuffle: same narrow shape as decode
+    assert(!small.queryExecution.executedPlan.toString.contains("Exchange"))
+    val s1 = small.collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    val s2 = Multimodal.resizeAll(media, new Multimodal.StubResizer, 32, 32)
+      .collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(s1 == s2, "resize must be deterministic")
+    // payload size scales with target area; ids and mime preserved
+    val l1 = large.collect().map(r => r.doc_id -> r).toMap
+    s1.keys.foreach { id =>
+      assert(s1(id).size == 32 * 32 / 8)
+      assert(l1(id).payload.length == 64 * 64 / 8)
+      assert(l1(id).mime == "application/octet-stream")
+    }
+  }
 }
