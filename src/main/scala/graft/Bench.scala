@@ -76,17 +76,20 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // warm the streaming machinery (the managed-service baseline is
-      // steady-state), then time the matched-size batch
+      // steady-state), then median-of-3 the matched-size batch — same
+      // outlier policy as the query benchmarks (each run gets fresh
+      // lake/checkpoint dirs, so no run sees another's state)
       graft.sources.ShardedLog.put(
         graft.sources.ShardedLog.fromEvents(events.limit(100)), s"$base/warmlog")
       deliverOnce(s"$base/warmlog", s"$base/warm")
-      deliverOnce(s"$base/log", s"$base/run")
+      (1 to 3).map(i => deliverOnce(s"$base/log", s"$base/run$i"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] deliver segment failed: ${e.getMessage}")
-      -1.0
+      Seq(-1.0)
     }
 
-    val all = results :+ (("stream_deliver_2p79mb", deliverSec, Seq(deliverSec)))
+    val all = results :+ (("stream_deliver_2p79mb",
+      deliverSec.sorted.apply(deliverSec.size / 2), deliverSec))
     val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val runs = all.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
