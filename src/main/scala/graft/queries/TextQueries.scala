@@ -227,8 +227,11 @@ object TextQueries {
          |GROUP BY a.doc_id, ha.simhash ORDER BY id_a""".stripMargin)),
 
     // ---- rolling-hash document fingerprint via the native FNV-1a codegen
-    // expression (rows-only: FNV isn't expressible in the oracle engine;
-    // correctness is pinned to published vectors in FnvHashSpec)
+    // expression. FNV values aren't oracle-expressible (pinned to published
+    // vectors in FnvHashSpec); the oracle-checked CONTRACT is the grouping
+    // itself: hashing must partition documents exactly like grouping by the
+    // normalized text (which the oracle CAN compute) — per-group (keep_id,
+    // n) hash-matches, so a collision or a normalization drift fails loudly.
     Q("q39_fnv_fingerprint", (s, d) => {
       graft.functions.FnvHash64.register(s)
       tbl(s, d, "documents")
@@ -236,8 +239,13 @@ object TextQueries {
           graft.functions.FnvHash64.fnv_hash64(
             graft.functions.TextFunctions.normalizedText(col("text"))).as("fp64"))
         .groupBy(col("fp64")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
-        .orderBy(col("fp64"))
-    }, None),
+        .select(col("keep_id"), col("n"))
+        .orderBy(col("keep_id"))
+    }, Some(
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |      FROM documents)
+        |GROUP BY nt ORDER BY keep_id""".stripMargin)),
 
     // ---- multimodal frame sampling: fixed-size byte frames from the opaque
     // payload (the shape of video frame-extraction plumbing; the "decode" is
