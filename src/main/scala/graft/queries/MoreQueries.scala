@@ -141,6 +141,23 @@ object MoreQueries {
           | CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- sliding (hopping) windows: every event lands in 4 overlapping
+    // hour windows on a 15-minute grid — the overlap-factor shuffle cost is
+    // the slide ratio, not the row count. Same `window()` API streams with
+    // a watermark unchanged (q53's shape).
+    Q("q59_sliding_window", (s, d) =>
+      tbl(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some(
+        s"""SELECT make_timestamp((epoch_us(ts) // 900000000 - g.k) * 900000000) AS win_start,
+           | event_type, CAST(COUNT(*) AS BIGINT) AS n, ${dsumSql("value")} AS total_value
+           |FROM events, UNNEST(generate_series(0, 3)) AS g(k)
+           |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin)),
+
     // ---- CUBE lattice over a join (full grouping-set coverage with rollup)
     Q("q17_cube_type_priority", (s, d) =>
       tbl(s, d, "orders")
