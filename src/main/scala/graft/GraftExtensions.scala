@@ -21,10 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("fnv_hash64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
-      (exprs: Seq[Expression]) => FnvHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"fnv_hash64 expects 1 argument, got ${exprs.length}")
+        FnvHash64(exprs.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_product expects 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }))
   }
 }

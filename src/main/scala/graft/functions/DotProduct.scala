@@ -18,12 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (HOFs don't participate in codegen) and allocates a zipped array per
   * pair; this expression is one fused loop, no allocation.
   *
-  * Semantics match the sequential left-fold exactly (same IEEE order, so
-  * swapping implementations preserves oracle hashes). Element types may be
-  * float or double independently per side — float embeddings need no
-  * interpreted `transform(_.cast(double))` pre-pass. Null elements
-  * contribute 0; mismatched lengths throw (an embedding dim mismatch is a
-  * data bug, not a null).
+  * Semantics match the HOF fold EXACTLY in every case (same IEEE
+  * accumulation order; a null element or a length mismatch yields NULL —
+  * zip_with null-pads the shorter side, null poisons the product, the fold
+  * returns null), so swapping implementations preserves oracle hashes AND
+  * failure behavior: one malformed embedding among billions becomes a null
+  * similarity that threshold/rank filters drop, never a thrown exception
+  * that kills the job. Element types may be float or double independently
+  * per side — float embeddings need no interpreted `transform(cast)`
+  * pre-pass.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -44,23 +47,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != y.numElements())
-      throw new IllegalArgumentException(
-        s"$prettyName: length mismatch ($n vs ${y.numElements()})")
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-        s += xv * yv
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -76,16 +78,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
-         |  throw new IllegalArgumentException(
-         |    "dot_product: length mismatch (" + $n + " vs " + $b.numElements() + ")");
-         |}
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $sum += ${fetch(a, left)} * ${fetch(b, right)};
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 
@@ -101,5 +102,8 @@ object DotProduct {
   /** Register as a SQL function: `SELECT dot_product(a, b) FROM t`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => {
+        require(exprs.length == 2, s"dot_product expects 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }, "built-in")
 }

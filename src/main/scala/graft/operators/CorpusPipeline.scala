@@ -21,10 +21,16 @@ object CorpusPipeline {
       minTokens: Int = 5,
       languages: Seq[String] = Seq("en"),
       jaccardThreshold: Double = 0.5,
-      // MinHash/LSH shape for the near-dup candidate stage (16 hashes in 4
-      // bands of 4 — the q35/q36 configuration)
+      // MinHash/LSH shape for the near-dup candidate stage. The banding
+      // S-curve midpoint is (1/bands)^(1/rowsPerBand): the shape must be
+      // chosen FOR the Jaccard threshold or candidate recall collapses.
+      // Defaults (16 hashes, bands of 2 ⇒ 8 bands) give midpoint 0.354 —
+      // candidate recall ≥ 90% at J = 0.5 (1−(1−0.5²)⁸), ≥ 97% at J = 0.6.
+      // Bands of 4 (midpoint 0.707) would silently miss ~3/4 of true pairs
+      // at the default 0.5 threshold. Raising the threshold permits wider
+      // bands (fewer, tighter candidates).
       minhashK: Int = 16,
-      rowsPerBand: Int = 4)
+      rowsPerBand: Int = 2)
 
   /** Annotate each doc with pipeline verdicts. Output columns:
     * doc_id, text, quality, lang_pred, n_tokens, reject_reason (null = kept).

@@ -346,7 +346,7 @@ object TextQueries {
            |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
            |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
            |        GROUP BY doc_id, i),
-           |bands AS (SELECT doc_id, i // 4 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+           |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
            |          FROM sig GROUP BY doc_id, band),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig

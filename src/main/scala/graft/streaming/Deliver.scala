@@ -119,13 +119,12 @@ object Deliver {
     * scale-killers of a long-running 60 s-flush stream.
     *
     * Replayed batches (crash between sink work and checkpoint commit) are
-    * skipped via the marker; a replay after a crash mid-batch re-stages and
-    * re-promotes under fresh file names and OVERWRITES manifest-<batchId>,
-    * so earlier partial files become orphans that manifest/commit-log
-    * readers never see. Exactly-once therefore holds for manifest readers
-    * and checkpointed restarts; a raw recursive directory listing (which
-    * the reference also forbids, README.md:429 "never the folder") may see
-    * orphans.
+    * skipped via the marker; a replay after a crash mid-batch first removes
+    * the crashed attempt's promoted files (recorded in a write-ahead intent
+    * file before any promote — see [[promoteStage]]), then re-stages and
+    * re-promotes, and OVERWRITES manifest-<batchId>. Exactly-once therefore
+    * holds for manifest readers, checkpointed restarts, AND plain directory
+    * readers — no orphan data files survive a replay.
     *
     * All marker/manifest/promotion I/O goes through Hadoop `FileSystem`, so
     * hdfs:// and s3a:// lake URIs use the right store, not the driver's
@@ -133,7 +132,7 @@ object Deliver {
     * deployments at scale should prefer the native `_spark_metadata` sink
     * path, which commits without renames.)
     */
-  private[streaming] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
+  private[graft] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(cfg.lakeDir)
@@ -158,7 +157,7 @@ object Deliver {
       .parquet(stage.toString)
 
     // 2. promote: move each staged parquet into its lake partition dir.
-    val added = promoteStage(fs, lake, stage)
+    val added = promoteStage(fs, hconf, lake, stage, batchId)
 
     // 3. manifest (PUT #2, only after data success — README.md:419-430):
     // incremental per-batch listing; every Nth batch folds the chain into a
@@ -187,14 +186,39 @@ object Deliver {
     // 6. commit marker — the batch is fully delivered; replays become no-ops
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    clearIntent(fs, lake, batchId)
   }
+
+  private def intentPath(lake: HPath, batchId: Long) =
+    new HPath(lake, f"_commits/.intent-$batchId%010d")
+
+  private def clearIntent(fs: FileSystem, lake: HPath, batchId: Long): Unit =
+    FsOps.deleteOrThrow(fs, intentPath(lake, batchId), recursive = false)
 
   /** Move every staged parquet into its mirrored lake path. The staged
     * listing is the write's own output — O(batch files), never a walk of
     * the lake — and a failed rename throws before the manifest could list
     * a file that does not exist.
+    *
+    * Replay idempotence for DIRECTORY readers: before any promote, the full
+    * destination list is recorded in a write-ahead intent file; a replay of
+    * the same batch first deletes whatever the crashed attempt promoted
+    * (O(batch) — exactly the listed paths), so a crash at ANY point between
+    * first promote and the commit marker cannot double-deliver, even when
+    * the replay's files land under different names or (with processing-time
+    * partitioning) different partition dirs.
     */
-  private def promoteStage(fs: FileSystem, lake: HPath, stage: HPath): Seq[String] = {
+  private def promoteStage(fs: FileSystem, hconf: org.apache.hadoop.conf.Configuration,
+      lake: HPath, stage: HPath, batchId: Long): Seq[String] = {
+    // 0. crashed-attempt cleanup: remove files a previous attempt of THIS
+    // batch already promoted (the intent file is the exact list)
+    val intent = intentPath(lake, batchId)
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.split("\n").filter(_.nonEmpty)
+        .foreach(p => FsOps.deleteOrThrow(fs, new HPath(p), recursive = false))
+    }
     val staged = {
       val it = fs.listFiles(stage, true)
       val buf = Vector.newBuilder[HPath]
@@ -205,11 +229,18 @@ object Deliver {
       buf.result()
     }
     val stagePrefix = stage.toString + "/"
-    val added = staged.map { f =>
-      val rel = f.toString.stripPrefix(stagePrefix)
-      val dest = new HPath(lake, rel)
+    val dests = staged.map { f =>
+      (f, new HPath(lake, f.toString.stripPrefix(stagePrefix)))
+    }
+    // 1. intent (write-ahead): the destination list is durable BEFORE the
+    // first rename, so a crash mid-promote is recoverable
+    fs.mkdirs(intent.getParent)
+    FsOps.atomicWrite(hconf, fs, intent,
+      dests.map(d => fs.makeQualified(d._2).toString).mkString("\n").getBytes("UTF-8"))
+    // 2. promote
+    val added = dests.map { case (src, dest) =>
       fs.mkdirs(dest.getParent)
-      FsOps.renameOrThrow(fs, f, dest)
+      FsOps.renameOrThrow(fs, src, dest)
       fs.makeQualified(dest).toString
     }.sorted
     FsOps.deleteOrThrow(fs, stage, recursive = true)
@@ -258,46 +289,48 @@ object Deliver {
       // no-op Spark job per registered-but-absent table (a 1000-table
       // registry must not cost 1000 jobs per flush)
       val present = tabled.select("table").distinct()
-        .collect().map(_.getString(0)).toSet // O(#tables in batch), driver-side
+        .collect().map(_.getString(0)).filter(_ != null).toSet // O(#tables in batch)
       val stage = fs.makeQualified(new HPath(lake, f"_staging/batch-$batchId%010d"))
+      val rawCols = Seq(col("table"), col("partition_key"), col("sequence_number"),
+        col("data").as("raw"))
 
-      cfg.schemas.foreach { case (t, tableSchema) =>
-        if (present(t)) {
-          val frame = transform(tabled.where(col("table") === t), tableSchema,
-            cfg.clock, cfg.partitionByProcessingTime)
-          val ok = frame.where(col("__ok")).select(
-            col("partition_key"), col("sequence_number"), col("env.data.*"),
-            col("env.metadata.op").as("op"), col("processed_at"),
-            col("year"), col("month"), col("day"), col("hour"))
-          val okC = if (cfg.compact) ok.coalesce(1) else ok
-          okC.write.mode("overwrite")
-            .option("compression", "snappy")
-            .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
-            .partitionBy("year", "month", "day", "hour")
-            .parquet(new HPath(stage, s"table=$t").toString)
-        }
+      // one transform() per present table drives BOTH destinations — the
+      // lake write takes where(__ok), the DLQ takes where(!__ok) of the
+      // SAME frame, so "landed ∪ DLQ = batch" holds by construction (no
+      // second decode, no independently-maintained predicate to drift)
+      val decodeFailed = cfg.schemas.toSeq.collect { case (t, tableSchema) if present(t) =>
+        val frame = transform(tabled.where(col("table") === t), tableSchema,
+          cfg.clock, cfg.partitionByProcessingTime)
+        val ok = frame.where(col("__ok")).select(
+          col("partition_key"), col("sequence_number"), col("env.data.*"),
+          col("env.metadata.op").as("op"), col("processed_at"),
+          col("year"), col("month"), col("day"), col("hour"))
+        val okC = if (cfg.compact) ok.coalesce(1) else ok
+        okC.write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          .partitionBy("year", "month", "day", "hour")
+          .parquet(new HPath(stage, s"table=$t").toString)
+        frame.where(!col("__ok"))
+          .select(rawCols :+ lit("decode_failed").as("reason"): _*)
       }
 
-      val added = if (fs.exists(stage)) promoteStage(fs, lake, stage) else Seq.empty
+      val added = if (fs.exists(stage)) promoteStage(fs, hconf, lake, stage, batchId)
+        else Seq.empty
       cfg.manifestDir.foreach { mdir =>
         writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery)
       }
 
       // DLQ: unknown tables + per-table decode failures, one idempotent
-      // batch-scoped write (replay replaces, never appends)
+      // batch-scoped write (replay replaces, never appends). The unknown
+      // filter is null-safe: a NULL partition_key derives a NULL table,
+      // which must route here — not silently match no destination.
       cfg.errorDir.foreach { edir =>
         val known = cfg.schemas.keySet.toSeq
-        val rawCols = Seq(col("table"), col("partition_key"), col("sequence_number"),
-          col("data").as("raw"))
-        val unknown = tabled.where(!col("table").isInCollection(known))
+        val unknown = tabled
+          .where(col("table").isNull || !col("table").isInCollection(known))
           .select(rawCols :+ lit("unknown_table").as("reason"): _*)
-        val failed = cfg.schemas.keysIterator.filter(present).map { t =>
-          tabled.where(col("table") === t)
-            .withColumn("env", Envelope.decode(col("data"), cfg.schemas(t)))
-            .where(col("env").isNull || col("env.data").isNull)
-            .select(rawCols :+ lit("decode_failed").as("reason"): _*)
-        }.reduceOption(_ unionByName _)
-        failed.fold(unknown)(unknown.unionByName(_))
+        (unknown +: decodeFailed).reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$edir/batch=$batchId")
       }
 
@@ -308,6 +341,7 @@ object Deliver {
 
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
+      clearIntent(fs, lake, batchId)
     } finally tabled.unpersist()
   }
 

@@ -61,6 +61,43 @@ object UpsertSink {
 
   private def commitsDir(table: HPath) = new HPath(table, "commits")
 
+  /** Upgrade a table written by the pre-commit-log format (single `current`
+    * pointer + sibling `_schema.json`): synthesize the equivalent
+    * `commits/commit-<batch>.json` from the pointer, then retire the
+    * pointer. Idempotent and crash-safe — the pointer is only deleted after
+    * the commit file exists, and a re-run with commits already present just
+    * clears the leftover pointer. Without this, the lost-commit-log guard
+    * would misdiagnose a healthy legacy table as corrupted.
+    */
+  private def migrateLegacyPointer(fs: FileSystem,
+      hconf: org.apache.hadoop.conf.Configuration, table: HPath): Unit = {
+    val ptr = new HPath(table, "current")
+    if (!fs.exists(ptr)) return
+    if (listCommits(fs, table).isEmpty) {
+      val in = fs.open(ptr)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val j = JsonMethods.parse(json)
+      val schemaFile = new HPath(table, "_schema.json")
+      val schemaJson =
+        if (fs.exists(schemaFile)) {
+          val sin = fs.open(schemaFile)
+          try scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim
+          finally sin.close()
+        } else "null" // non-empty tables read schema from their parquet
+      val c = Commit(
+        (j \ "batch").extract[Long],
+        (j \ "nbuckets").extract[Int],
+        (j \ "versions").extract[Map[String, String]].map { case (b, v) => b.toInt -> v },
+        schemaJson)
+      fs.mkdirs(commitsDir(table))
+      FsOps.atomicWrite(hconf, fs, new HPath(commitsDir(table), commitName(c.batchId)),
+        renderCommit(c).getBytes("UTF-8"))
+    }
+    FsOps.deleteOrThrow(fs, ptr, recursive = false)
+    FsOps.deleteOrThrow(fs, new HPath(table, "_schema.json"), recursive = false)
+  }
+
   private def commitName(batchId: Long) = f"commit-$batchId%010d.json"
 
   /** All commit files under the table, (batchId, path), unsorted. */
@@ -163,6 +200,7 @@ object UpsertSink {
     // id — skip it. A commit AHEAD of the incoming batch id means a fresh
     // checkpoint is replaying history into an already-advanced table — fail
     // fast rather than corrupt it (reprocess into a fresh tableDir).
+    migrateLegacyPointer(fs, hconf, table)
     val current = readLatest(fs, table).map(parseCommit)
     if (current.exists(_.batchId == batchId)) return
     if (current.exists(_.batchId > batchId))

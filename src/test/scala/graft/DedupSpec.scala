@@ -94,4 +94,24 @@ class DedupSpec extends SparkSuite {
     val widths = Seq(1L, 10000L, 1000000L, 100000000L).map(bitsPerTableFor(_))
     assert(widths == widths.sorted)
   }
+
+  test("pipeline banding catches mid-similarity near-dups at the default threshold") {
+    // planted pair at J = 7/11 ≈ 0.64: with 16 hashes, bands of 4 sit on an
+    // S-curve midpoint of 0.707 and would miss most such pairs; the
+    // threshold-matched default (bands of 2, midpoint 0.354) must catch it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota new tail"),
+      (3L, "completely different text about unrelated topics and content here")
+    ).toDF("doc_id", "text")
+    val ann = graft.operators.CorpusPipeline.annotate(docs,
+      graft.operators.CorpusPipeline.Config(minQuality = 0.0, minTokens = 1,
+        languages = Seq("en", "und", "es", "de", "fr")))
+    val reasons = ann.select($"doc_id", $"reject_reason")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reasons(2L).contains("near_dup"),
+      s"J≈0.64 pair must be caught by threshold-matched banding, got $reasons")
+    assert(reasons(1L).isEmpty, "the smaller id of the pair survives")
+    assert(reasons(3L).isEmpty, "unrelated doc must not be paired")
+  }
 }

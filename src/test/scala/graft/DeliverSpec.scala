@@ -113,7 +113,13 @@ class DeliverSpec extends SparkSuite {
     val poison = good.limit(3)
       .withColumn("data", lit("%%%not-base64%%%"))
       .withColumn("sequence_number", concat(lit("p"), $"sequence_number"))
-    ShardedLog.put(good.unionByName(ghost).unionByName(poison), s"$base/log")
+    // NULL partition key: derives a NULL table — must route to the DLQ,
+    // never silently match no destination (three-valued-logic trap)
+    val nullKey = good.limit(2)
+      .withColumn("partition_key", lit(null).cast("string"))
+      .withColumn("sequence_number", concat(lit("n"), $"sequence_number"))
+    ShardedLog.put(good.unionByName(ghost).unionByName(poison).unionByName(nullKey),
+      s"$base/log")
 
     val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
       errorDir = Some(s"$base/dlq"),
@@ -124,15 +130,50 @@ class DeliverSpec extends SparkSuite {
 
     assert(spark.read.parquet(s"$base/lake/table=events").count() == 20)
     val dlq = spark.read.parquet(s"$base/dlq")
-    assert(dlq.where($"reason" === "unknown_table").count() == 4)
+    assert(dlq.where($"reason" === "unknown_table").count() == 6)
+    assert(dlq.where($"reason" === "unknown_table" && $"table".isNull).count() == 2)
     assert(dlq.where($"reason" === "decode_failed").count() == 3)
-    assert(dlq.where($"reason" === "unknown_table")
+    assert(dlq.where($"reason" === "unknown_table" && $"table".isNotNull)
       .select($"table").distinct().as[String].collect().toSet == Set("ghost"))
+    // nothing lost: lake + DLQ partition the batch
+    assert(spark.read.parquet(s"$base/lake/table=events").count() + dlq.count() == 29)
 
     // restart with the same checkpoint: exactly-once holds on the registry path
     val q2 = Deliver.startRegistry(ShardedLog.readStream(spark, s"$base/log"), cfg)
     q2.awaitTermination()
     assert(spark.read.parquet(s"$base/lake/table=events").count() == 20)
+  }
+
+  test("replay after crash between promote and marker does not double-deliver (intent log)") {
+    val base = tmpDir("graft-intent-")
+    ShardedLog.put(ShardedLog.fromEvents(events.limit(50)), s"$base/log")
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+      trigger = Trigger.AvailableNow(), clock = clock)
+    // deliver batch 0 directly (the foreachBatch body), as the stream would
+    def flatBatch = {
+      val frame = Deliver.transform(
+        spark.read.schema(ShardedLog.schema).parquet(s"$base/log"), payloadSchema, clock)
+      frame.select(col("partition_key"), col("sequence_number"), col("env.data.*"),
+        col("env.metadata.op").as("op"), col("processed_at"),
+        col("year"), col("month"), col("day"), col("hour"),
+        col("env").isNotNull.and(col("env.data").isNotNull).as("__ok"),
+        col("data").as("__raw"))
+    }
+    Deliver.deliverBatch(flatBatch, 0L, cfg)
+    assert(spark.read.parquet(s"$base/lake").count() == 50)
+    import scala.jdk.CollectionConverters._
+    val delivered = Files.walk(Paths.get(s"$base/lake")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toVector
+    // reconstruct the crash state: files promoted, intent present, NO marker
+    Files.delete(Paths.get(s"$base/lake/_commits/0000000000"))
+    Files.write(Paths.get(s"$base/lake/_commits/.intent-0000000000"),
+      delivered.map(p => s"file:$p").mkString("\n").getBytes("UTF-8"))
+    // the replay must first remove the crashed attempt's files — count
+    // stays exactly 50, no duplicates for plain directory readers
+    Deliver.deliverBatch(flatBatch, 0L, cfg)
+    val lake = spark.read.parquet(s"$base/lake")
+    assert(lake.count() == 50, "replay must not double-deliver")
+    assert(lake.select($"event_id").distinct().count() == 50)
   }
 
   test("per-key ordering survives the shard layout (S2: same key ⇒ same shard)") {

@@ -44,26 +44,28 @@ class DotProductSpec extends SparkSuite {
     assert(v == 2.0 * 0.5 + 3.0 * -1.0)
   }
 
-  test("null array yields null; null elements contribute zero") {
-    val df = Seq(
-      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
-      (None, Some(Array(3.0, 4.0)))
-    ).toDF("a", "b")
-    val vals = df.select(dot_product($"a", $"b")).collect().map(r =>
-      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(vals(0).contains(11.0) && vals(1).isEmpty)
-    val withNullElem = spark.sql(
-      "SELECT array(1.0D, NULL, 2.0D) AS a, array(5.0D, 7.0D, 11.0D) AS b")
+  test("null array, null element, and length mismatch all yield NULL — HOF fold parity") {
+    // failure behavior must match the zip_with/aggregate fold exactly: a
+    // malformed embedding becomes a null similarity that threshold filters
+    // drop, never an exception that kills a billion-pair job
     graft.functions.DotProduct.register(spark)
-    withNullElem.createOrReplaceTempView("dp_null")
-    assert(spark.sql("SELECT dot_product(a, b) FROM dp_null").as[Double].head() == 27.0)
-  }
-
-  test("dimension mismatch throws rather than silently truncating") {
-    val df = Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
-    val e = intercept[Exception](df.select(dot_product($"a", $"b")).collect())
-    assert(String.valueOf(e.getMessage) .contains("length mismatch") ||
-      String.valueOf(e.getCause).contains("length mismatch"))
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0D, 2.0D), array(3.0D, 4.0D)),
+        |  (CAST(NULL AS ARRAY<DOUBLE>), array(3.0D, 4.0D)),
+        |  (array(1.0D, NULL, 2.0D), array(5.0D, 7.0D, 11.0D)),
+        |  (array(1.0D, 2.0D), array(3.0D)) AS t(a, b)""".stripMargin)
+      .createOrReplaceTempView("dp_cases")
+    val rows = spark.sql(
+      """SELECT dot_product(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS hof
+        |FROM dp_cases""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null behavior must match the fold: native=${r.get(0)} hof=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    assert(rows.count(_.isNullAt(0)) == 3)
   }
 
   test("the pair loop stays inside WholeStageCodegen (no fallback)") {

@@ -86,6 +86,37 @@ class UpsertSinkSpec extends SparkSuite {
     assert(UpsertSink.currentCommit(table).get.batchId == 1L)
   }
 
+  test("a legacy pointer-format table migrates to the commit log on first write") {
+    val base = tmpDir("graft-usink5-")
+    val table = s"$base/table"
+    // build a healthy table, then rewrite its metadata in the OLD format:
+    // single 'current' pointer + sibling _schema.json, no commits/
+    UpsertSink.applyBatch(
+      Seq((1L, "a1", "I", 1L), (2L, "b1", "I", 2L)).toDF("id", "payload", "op", "seq"),
+      0L, table, "id", "op", Seq("seq"))
+    val commit = UpsertSink.currentCommit(table).get
+    val versions = commit.versions.toSeq.sortBy(_._1)
+      .map { case (b, v) => s""""$b": "$v"""" }.mkString("{", ", ", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/current"),
+      s"""{"batch": 0, "nbuckets": ${commit.nBuckets}, "versions": $versions}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/_schema.json"),
+      commit.schemaJson.getBytes("UTF-8"))
+    val deleted = new scala.reflect.io.Directory(
+      new java.io.File(s"$table/commits")).deleteRecursively()
+    assert(deleted)
+
+    // the next batch must migrate (NOT brick the table with the
+    // lost-commit-log error) and apply on top of the legacy state
+    UpsertSink.applyBatch(
+      Seq((2L, "b2", "U", 3L), (3L, "c1", "I", 4L)).toDF("id", "payload", "op", "seq"),
+      1L, table, "id", "op", Seq("seq"))
+    assert(tableState(table) == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"))
+    assert(UpsertSink.currentCommit(table).get.batchId == 1L)
+    assert(!new java.io.File(s"$table/current").exists, "legacy pointer retired")
+    assert(!new java.io.File(s"$table/_schema.json").exists, "legacy schema file retired")
+  }
+
   test("lost commit log with surviving bucket data fails fast instead of truncating") {
     val base = tmpDir("graft-usink4-")
     val table = s"$base/table"
