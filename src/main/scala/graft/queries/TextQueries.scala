@@ -372,6 +372,49 @@ object TextQueries {
            |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin),
       bench = true),
 
+    // ---- deterministic train/val/test split assignment: membership is a
+    // pure function of the doc id (md5 bucket vs hex threshold), so the
+    // split survives repartitioning, corpus growth, and engine changes —
+    // df.sample()'s per-partition RNG does not. Oracle recomputes the
+    // identical buckets.
+    Q("q60_dataset_splits", (s, d) =>
+      graft.operators.Sampling.splitAssign(tbl(s, d, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split")),
+      Some {
+        val t90 = graft.operators.Sampling.hexThreshold(0.9)
+        val t95 = graft.operators.Sampling.hexThreshold(0.95)
+        s"""WITH b AS (SELECT doc_id,
+           |  substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+           |  FROM documents)
+           |SELECT CASE WHEN bucket < '$t90' THEN 'train'
+           |            WHEN bucket < '$t95' THEN 'val'
+           |            ELSE 'test' END AS split,
+           | CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+           |FROM b GROUP BY split ORDER BY split""".stripMargin
+      }),
+
+    // ---- bottom-decile quality filtering: the corpus-cleaning gate that
+    // drops the worst 10% by quality score; exact interpolated percentile
+    // (q13's parity pattern)
+    Q("q61_quality_decile_filter", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+      val thr = docs.agg(expr("percentile(quality, 0.1)").as("thr"))
+      docs.crossJoin(broadcast(thr))
+        .groupBy((col("quality") >= col("thr")).as("kept"))
+        .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_q"))
+        .orderBy(col("kept"))
+    }, Some(
+      s"""WITH q AS (SELECT doc_id, ROUND($qualitySql, 4) AS quality FROM documents),
+         |t AS (SELECT percentile_cont(0.1) WITHIN GROUP (ORDER BY quality) AS thr FROM q)
+         |SELECT quality >= thr AS kept, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(AVG(quality), 4) AS avg_q
+         |FROM q, t GROUP BY kept ORDER BY kept""".stripMargin)),
+
     // ---- multimodal plumbing: opaque binary payload + typed metadata +
     // deterministic "decode" stub (SURVEY.md §7.1(10)); the binary column
     // stands in for image/audio bytes, features are engine-portable

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic sampling/splits: the property that matters is that
+  * membership is a pure function of the id — invariant under
+  * repartitioning, row order, and corpus growth (df.sample() has none of
+  * these guarantees).
+  */
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = graft.queries.Registry.tbl(spark, sfDir, "documents")
+    .select($"doc_id", $"text")
+
+  test("split assignment is invariant under repartitioning and row order") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Sampling.splitAssign(docs, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = Sampling.splitAssign(docs.repartition(17, $"text").orderBy($"text"), "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b, "same id must get the same split on any partitioning")
+    assert(a.values.toSet == Set("train", "val", "test"))
+  }
+
+  test("a doc keeps its split when the corpus grows (no contamination drift)") {
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val half = Sampling.splitAssign(docs.where($"doc_id" < 250), "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val full = Sampling.splitAssign(docs, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("sample fraction is approximately honored and proportions are sane") {
+    val n = docs.count().toDouble
+    val frac = Sampling.deterministicSample(docs, "doc_id", 0.3).count() / n
+    assert(frac > 0.2 && frac < 0.4, s"~0.3 expected, got $frac")
+    val sizes = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    assert(sizes.values.sum == n.toLong)
+  }
+
+  test("different seeds draw different samples (seed is a real knob)") {
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.5, seed = "a")
+      .select($"doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.5, seed = "b")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s1 != s2)
+  }
+}
