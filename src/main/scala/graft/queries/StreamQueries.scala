@@ -314,6 +314,36 @@ object StreamQueries {
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
         |FROM events""".stripMargin)),
 
+    // ---- stream-static enrichment join (the dimension-lookup form that
+    // complements q54's stream-stream join): the static side broadcasts,
+    // the stream stays narrow — no state store, no watermark needed for
+    // the join itself. Must equal the batch join answer.
+    Q("q62_stream_static_join", (s, d) => {
+      val src = tmp("graft-sst-") + "/events"
+      val e = tbl(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      e.write.mode("overwrite").parquet(src)
+      val dim = broadcast(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val name = "graft_q62_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(e.schema).parquet(src)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), Agg.moneySum(col("value")).as("total_value"))
+          .writeStream.outputMode("complete").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+        s.table(name).orderBy(col("c_mktsegment"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }, Some(
+      s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- K8 streaming form end-to-end: the CDC change stream drives the
     // bucketed keyed table through UpsertSink's versioned commit log; the
     // final readTable state must equal the batch latest-per-key answer
