@@ -33,18 +33,28 @@ object Sampling {
     f"${math.floor(fraction * 4294967296.0).toLong.min(0xffffffffL)}%08x"
   }
 
-  /** Keep ~`fraction` of rows, deterministically by id. */
+  /** Keep ~`fraction` of rows, deterministically by id. `fraction = 1.0`
+    * short-circuits to no filter (a strict `< ffffffff` compare would drop
+    * the ~1-in-4B ids whose bucket is exactly the max — "keep everything"
+    * must keep everything).
+    */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
       seed: String = "graft"): DataFrame =
-    df.where(hashBucket(col(idCol), seed) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df
+    else df.where(hashBucket(col(idCol), seed) < lit(hexThreshold(fraction)))
 
-  /** Assign each row to a named split with the given weights (must sum to
-    * ~1; the last split takes any remainder). E.g.
+  /** Assign each row to a named split with the given weights (each > 0,
+    * summing to ~1; the last split takes any remainder). E.g.
     * `splitAssign(docs, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))`.
     */
   def splitAssign(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
       seed: String = "graft"): DataFrame = {
     require(splits.nonEmpty, "at least one split")
+    splits.foreach { case (name, w) =>
+      require(w > 0.0, s"split '$name' has non-positive weight $w — it would be silently empty")
+    }
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split weights sum to $total > 1")
     val bucket = hashBucket(col(idCol), seed)
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
     val expr = splits.init.zip(cumulative.init).foldLeft(when(lit(false), "")) {

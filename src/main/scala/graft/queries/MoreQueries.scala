@@ -182,8 +182,7 @@ object MoreQueries {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .writeStream.outputMode("complete").format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(name)
         .select(col("window.start").as("hour_ts"), col("event_type"),
           col("n_events"), col("total_value"))

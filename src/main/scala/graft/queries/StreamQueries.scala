@@ -139,8 +139,7 @@ object StreamQueries {
         expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 2 hours"))
         .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"))
         .writeStream.outputMode("append").format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy(col("purchase_id"), col("signup_id"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }, Some(
@@ -175,8 +174,7 @@ object StreamQueries {
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
         .writeStream.outputMode("complete").format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("session_start"))
       s.table(name)
@@ -334,8 +332,7 @@ object StreamQueries {
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"), Agg.moneySum(col("value")).as("total_value"))
           .writeStream.outputMode("complete").format("memory").queryName(name).start()
-        q.processAllAvailable()
-        q.stop()
+        try q.processAllAvailable() finally q.stop()
         s.table(name).orderBy(col("c_mktsegment"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }, Some(

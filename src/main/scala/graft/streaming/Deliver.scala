@@ -157,7 +157,7 @@ object Deliver {
       .parquet(stage.toString)
 
     // 2. promote: move each staged parquet into its lake partition dir.
-    val added = promoteStage(fs, hconf, lake, stage, batchId)
+    val added = promoteStage(fs, hconf, lake, stage, batchId, cfg)
 
     // 3. manifest (PUT #2, only after data success — README.md:419-430):
     // incremental per-batch listing; every Nth batch folds the chain into a
@@ -206,17 +206,24 @@ object Deliver {
     * (O(batch) — exactly the listed paths), so a crash at ANY point between
     * first promote and the commit marker cannot double-deliver, even when
     * the replay's files land under different names or (with processing-time
-    * partitioning) different partition dirs.
+    * partitioning) different partition dirs. MANIFEST readers stay
+    * consistent through the cleanup: if the crashed attempt already
+    * published manifest-<batchId> (it lists exactly the files about to be
+    * deleted), the manifest is first neutralized to an empty listing, and
+    * rewritten with the replay's files after promote — the chain never
+    * names a deleted file.
     */
   private def promoteStage(fs: FileSystem, hconf: org.apache.hadoop.conf.Configuration,
-      lake: HPath, stage: HPath, batchId: Long): Seq[String] = {
+      lake: HPath, stage: HPath, batchId: Long, cfg: Config): Seq[String] = {
     // 0. crashed-attempt cleanup: remove files a previous attempt of THIS
-    // batch already promoted (the intent file is the exact list)
+    // batch already promoted (the intent file is the exact list), after
+    // retracting any manifest that lists them
     val intent = intentPath(lake, batchId)
     if (fs.exists(intent)) {
-      val in = fs.open(intent)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      body.split("\n").filter(_.nonEmpty)
+      cfg.manifestDir.foreach { mdir =>
+        writeManifest(hconf, mdir, batchId, Seq.empty, cfg.manifestCompactEvery)
+      }
+      FsOps.readString(fs, intent).split("\n").filter(_.nonEmpty)
         .foreach(p => FsOps.deleteOrThrow(fs, new HPath(p), recursive = false))
     }
     val staged = {
@@ -315,7 +322,7 @@ object Deliver {
           .select(rawCols :+ lit("decode_failed").as("reason"): _*)
       }
 
-      val added = if (fs.exists(stage)) promoteStage(fs, hconf, lake, stage, batchId)
+      val added = if (fs.exists(stage)) promoteStage(fs, hconf, lake, stage, batchId, cfg)
         else Seq.empty
       cfg.manifestDir.foreach { mdir =>
         writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery)
@@ -407,11 +414,8 @@ private[graft] object ManifestChain {
     * bounded by chain length × batch size, used by writer-side compaction).
     */
   def chainUrls(fs: FileSystem, dir: HPath, upToExclusive: Long): Seq[String] =
-    chainFiles(fs, dir, upToExclusive).flatMap { p =>
-      val in = fs.open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      parseUrls(body)
-    }.distinct
+    chainFiles(fs, dir, upToExclusive)
+      .flatMap(p => parseUrls(FsOps.readString(fs, p))).distinct
 
   def parseUrls(json: String): Seq[String] =
     """"url"\s*:\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toVector

@@ -12,6 +12,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   */
 private[graft] object FsOps {
 
+  /** Read a small control file (pointer, intent, manifest) fully as UTF-8. */
+  def readString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Rename that throws when the filesystem reports failure. */
   def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
     if (!fs.rename(src, dst))

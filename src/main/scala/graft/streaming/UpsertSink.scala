@@ -71,31 +71,33 @@ object UpsertSink {
     */
   private def migrateLegacyPointer(fs: FileSystem,
       hconf: org.apache.hadoop.conf.Configuration, table: HPath): Unit = {
-    val ptr = new HPath(table, "current")
-    if (!fs.exists(ptr)) return
-    if (listCommits(fs, table).isEmpty) {
-      val in = fs.open(ptr)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      val j = JsonMethods.parse(json)
-      val schemaFile = new HPath(table, "_schema.json")
-      val schemaJson =
-        if (fs.exists(schemaFile)) {
-          val sin = fs.open(schemaFile)
-          try scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim
-          finally sin.close()
-        } else "null" // non-empty tables read schema from their parquet
-      val c = Commit(
-        (j \ "batch").extract[Long],
-        (j \ "nbuckets").extract[Int],
-        (j \ "versions").extract[Map[String, String]].map { case (b, v) => b.toInt -> v },
-        schemaJson)
+    if (!fs.exists(new HPath(table, "current"))) return
+    if (listCommits(fs, table).isEmpty) readLegacy(fs, table).foreach { c =>
       fs.mkdirs(commitsDir(table))
       FsOps.atomicWrite(hconf, fs, new HPath(commitsDir(table), commitName(c.batchId)),
         renderCommit(c).getBytes("UTF-8"))
     }
-    FsOps.deleteOrThrow(fs, ptr, recursive = false)
+    FsOps.deleteOrThrow(fs, new HPath(table, "current"), recursive = false)
     FsOps.deleteOrThrow(fs, new HPath(table, "_schema.json"), recursive = false)
+  }
+
+  /** Read-only view of a table still in the legacy single-pointer format —
+    * readers must see a healthy legacy table without mutating it (a reader
+    * may not own the table; migration happens on the next write).
+    */
+  private def readLegacy(fs: FileSystem, table: HPath): Option[Commit] = {
+    val ptr = new HPath(table, "current")
+    if (!fs.exists(ptr)) return None
+    val j = JsonMethods.parse(FsOps.readString(fs, ptr).trim)
+    val schemaFile = new HPath(table, "_schema.json")
+    val schemaJson =
+      if (fs.exists(schemaFile)) FsOps.readString(fs, schemaFile).trim
+      else "null" // non-empty tables read schema from their parquet
+    Some(Commit(
+      (j \ "batch").extract[Long],
+      (j \ "nbuckets").extract[Int],
+      (j \ "versions").extract[Map[String, String]].map { case (b, v) => b.toInt -> v },
+      schemaJson))
   }
 
   private def commitName(batchId: Long) = f"commit-$batchId%010d.json"
@@ -114,11 +116,8 @@ object UpsertSink {
 
   /** Latest-wins resolution: the raw JSON of the highest-numbered commit. */
   private def readLatest(fs: FileSystem, table: HPath): Option[String] =
-    listCommits(fs, table).maxByOption(_._1).map { case (_, p) =>
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
+    listCommits(fs, table).maxByOption(_._1)
+      .map { case (_, p) => FsOps.readString(fs, p).trim }
 
   private def parseCommit(json: String): Commit = {
     val j = JsonMethods.parse(json)
@@ -146,13 +145,17 @@ object UpsertSink {
     val spark = SparkSession.active
     val (fs, table) = fsFor(spark, tableDir)
     readLatest(fs, table)
+      .orElse(readLegacy(fs, table).map(renderCommit))
   }
 
-  /** The parsed live commit, if the table has one. */
+  /** The parsed live commit, if the table has one (legacy-format tables
+    * resolve read-only — see [[readLegacy]]).
+    */
   def currentCommit(tableDir: String): Option[Commit] = {
     val spark = SparkSession.active
     val (fs, table) = fsFor(spark, tableDir)
     readLatest(fs, table).map(parseCommit)
+      .orElse(readLegacy(fs, table))
   }
 
   /** Read the live table state: the union of each bucket's live version.

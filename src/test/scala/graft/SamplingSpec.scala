@@ -51,4 +51,14 @@ class SamplingSpec extends SparkSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(s1 != s2)
   }
+
+  test("misconfigured weights fail fast; fraction 1.0 keeps every row") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> -0.2, "c" -> 0.7))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.3))
+    }
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
+  }
 }
