@@ -4,9 +4,10 @@ import java.math.BigInteger
 import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.TypeBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Exact money sum over scaled-integer cents with unbounded magnitude —
@@ -27,12 +28,16 @@ case class CentSum128(
     scale: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[CentSum128.Buf] {
+  extends TypedImperativeAggregate[CentSum128.Buf] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cent_sum_128"
+  // declared input type: narrower ints coerce to long at ANALYSIS time;
+  // anything non-coercible is an AnalysisException, not a per-row
+  // ClassCastException hours into a 100 TB aggregation
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(LongType)
 
   override def createAggregationBuffer(): CentSum128.Buf = new CentSum128.Buf
 

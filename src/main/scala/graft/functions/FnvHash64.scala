@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.TypeBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit FNV-1a string hash as a native Catalyst expression with full
@@ -14,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * overkill: ~10× less work per row than md5, stays inside the generated
   * stage.
   */
-case class FnvHash64(child: Expression) extends UnaryExpression {
+case class FnvHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv_hash64"
+  // declared input type: a non-string argument is an analysis error, not a
+  // mid-job ClassCastException on the executors
+  override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     FnvHash64.hash(input.asInstanceOf[UTF8String].getBytes)
@@ -60,5 +64,8 @@ object FnvHash64 {
   /** Register as a SQL function: `SELECT fnv_hash64(text) FROM docs`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv_hash64", exprs => FnvHash64(exprs.head), "built-in")
+      "fnv_hash64", exprs => {
+        require(exprs.length == 1, s"fnv_hash64 expects 1 argument, got ${exprs.length}")
+        FnvHash64(exprs.head)
+      }, "built-in")
 }

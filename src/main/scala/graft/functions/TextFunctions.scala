@@ -62,7 +62,11 @@ object TextFunctions {
     val es = stopwordCount(text, StopwordsEs)
     val de = stopwordCount(text, StopwordsDe)
     val fr = stopwordCount(text, StopwordsFr)
-    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+    // NULL text first: every count below is NULL, every WHEN predicate
+    // would be NULL, and control would fall through to the 'fr' branch —
+    // a null document must be undetermined, not French
+    when(text.isNull, lit("und"))
+      .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
       .when(en >= es && en >= de && en >= fr, lit("en"))
       .when(es >= de && es >= fr, lit("es"))
       .when(de >= fr, lit("de"))

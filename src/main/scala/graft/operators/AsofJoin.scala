@@ -46,7 +46,10 @@ object AsofJoin {
       .withColumn("__side", lit(1)) // left sorts after right at equal ts (<= semantics)
       .select(col("__ts") +: col("__side") +: col(key).as("__key") +:
         lit(null).cast(rStructType).as("__r") +: leftCols.map(col): _*)
-    val r = right
+    // null join keys never match in any join; without this filter the NULL
+    // window partition would enrich null-keyed left rows from null-keyed
+    // right rows (left null-key rows still flow through, with null rightVals)
+    val r = right.where(col(key).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(col("__ts") +: col("__side") +: col(key).as("__key") +:

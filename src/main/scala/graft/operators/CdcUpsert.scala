@@ -40,10 +40,16 @@ object Upsert {
   def applyChanges(target: DataFrame, changes: DataFrame, keyCol: String,
       opCol: String, seqCols: String*): DataFrame = {
     val latest = latestPerKey(changes, col(keyCol), seqCols.map(col): _*)
-    val survivors = target.join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // null-safe anti-join: a NULL merge key is still ONE key — plain
+    // equality never matches NULL = NULL, so the old null-key row would
+    // survive alongside its replacement, breaking per-key uniqueness
+    val survivors = target.join(latest.select(col(keyCol).as("__ck")),
+      target(keyCol) <=> col("__ck"), "left_anti")
     // project the change rows down to the target's schema: op and sequencing
-    // columns ride along in the change stream but not in the table state
-    val upserts = latest.where(col(opCol) =!= "D").select(target.columns.map(col): _*)
+    // columns ride along in the change stream but not in the table state.
+    // A NULL/unknown op upserts (null-safe compare): a malformed CDC record
+    // must not silently DELETE the key (its row was already anti-joined out).
+    val upserts = latest.where(!(col(opCol) <=> "D")).select(target.columns.map(col): _*)
     survivors.unionByName(upserts)
   }
 }

@@ -74,7 +74,11 @@ object CorpusPipeline {
 
     withExact.join(nearPairs, Seq("doc_id"), "left")
       .withColumn("reject_reason",
-        when(col("quality") < cfg.minQuality, "low_quality")
+        // NULL text first: quality/n_tokens are NULL for it, so the gates
+        // below would all be skipped (NULL predicates) and a null doc
+        // could sail into the clean corpus
+        when(col("text").isNull, "low_quality")
+          .when(col("quality") < cfg.minQuality, "low_quality")
           .when(col("n_tokens") < cfg.minTokens, "too_short")
           .when(!col("lang_pred").isin(cfg.languages: _*), "wrong_lang")
           .when(col("__exact_dup"), "exact_dup")

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Append a salted key column `keyCol||salt` with `buckets` sub-keys. */
+  /** Append a salted key column `keyCol||salt` with `buckets` sub-keys.
+    * `concat_ws` (not `concat`) so a NULL key still salts: plain concat
+    * returns NULL for every null-key row, collapsing the most common hot
+    * key of all — NULL — back into a single reducer.
+    */
   def withSaltedKey(df: DataFrame, keyCol: Column, tiebreak: Column,
       buckets: Int, saltedName: String = "salted_key"): DataFrame =
     df.withColumn(saltedName,
-      concat(keyCol.cast("string"), lit("||"),
+      concat_ws("||", keyCol.cast("string"),
         pmod(hash(tiebreak), lit(buckets)).cast("string")))
 
   /** Two-phase aggregation over a skewed key: partial aggregate on the

@@ -41,12 +41,20 @@ object SimHash {
       (floor(dv / pow2).cast("long") % 2).as("bit"))
   }
 
-  /** Majority vote per bit: (id, bitpos, simbit). */
-  def fingerprintBits(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    bitVotes(docs, idCol, textCol)
+  /** Majority vote per bit: (id, bitpos, simbit). TOTAL over the input
+    * docs: a doc with zero tokens (empty/punctuation-only/NULL text) gets
+    * all-zero bits (simhash 0) instead of silently vanishing from the
+    * output — a downstream pair lookup must find every requested doc.
+    */
+  def fingerprintBits(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = bitVotes(docs, idCol, textCol)
       .groupBy(col("id"), col("bitpos"))
       .agg(sum(col("bit") * 2 - 1).as("vote"))
+    docs.select(col(idCol).as("id")).distinct()
+      .select(col("id"), explode(sequence(lit(0), lit(Bits - 1))).as("bitpos"))
+      .join(votes, Seq("id", "bitpos"), "left") // missing vote (no tokens) → 0 bit
       .select(col("id"), col("bitpos"), when(col("vote") > 0, 1L).otherwise(0L).as("simbit"))
+  }
 
   /** Final 32-bit fingerprint as a long: (id, simhash). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =

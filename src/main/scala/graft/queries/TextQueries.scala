@@ -50,6 +50,7 @@ object TextQueries {
        |          / len($toksSql) END) * 4.0))""".stripMargin
   private[queries] val langIdSql =
     s"""(CASE
+       |   WHEN text IS NULL THEN 'und'
        |   WHEN len(list_filter($toksSql, t -> list_contains(['the','and','of','to','a','in','is','it'], t))) = 0
        |    AND len(list_filter($toksSql, t -> list_contains(['el','la','de','que','y','los','en','un'], t))) = 0
        |    AND len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t))) = 0

@@ -14,3 +14,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `AbstractDataType` is `private[sql]`; expressions outside the spark
+  * package tree need this alias to declare `inputTypes` (the standard
+  * extension-library workaround, same as [[ColumnBridge]]).
+  */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}
