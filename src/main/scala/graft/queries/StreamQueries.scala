@@ -206,11 +206,12 @@ object StreamQueries {
     // oracle-checked.
     Q("q56_schema_registry", (s, d) => {
       val base = tmp("graft-reg-")
-      val events = tbl(s, d, "events")
-      // restrict to one year of orders: time-partitioned delivery of the
-      // full 7-year span would write ~2400 day-partitions of tiny files in
-      // this one-batch test (fine on a cluster, pointless locally)
-      val orders = tbl(s, d, "orders").where(col("o_orderdate") >= "1998-01-01")
+      // restrict both tables' time span: hour-partitioned delivery of the
+      // full ranges would write ~950 tiny partition dirs in this one-batch
+      // test (fine on a cluster, pointless locally); the registry semantics
+      // under test — per-table decode, routing, DLQ — are span-independent
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 3)
+      val orders = tbl(s, d, "orders").where(col("o_orderdate") >= "2001-06-01")
       // table 1: events (the standard producer)
       val evWire = ShardedLog.fromEvents(events)
       // table 2: orders, its own payload shape (different fields/types)
@@ -261,13 +262,14 @@ object StreamQueries {
       ev.unionByName(or).unionByName(dlq).orderBy(col("tab"))
     }, Some(
       """SELECT 'events' AS tab, CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM events
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+        |FROM events WHERE day(ts) <= 3
         |UNION ALL
         |SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
-        |FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        |FROM orders WHERE o_orderdate >= DATE '2001-06-01'
         |UNION ALL
         |SELECT 'zz_dlq', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT user_id) AS BIGINT)
-        |FROM events WHERE user_id IN (1, 2, 3)
+        |FROM events WHERE user_id IN (1, 2, 3) AND day(ts) <= 3
         |ORDER BY tab""".stripMargin)),
 
     // ---- C3 event-driven catalog refresh (the EventBridge→crawler trigger,
@@ -278,10 +280,13 @@ object StreamQueries {
     // post-refresh count the way a downstream consumer would.
     Q("q57_event_driven_catalog", (s, d) => {
       val base = tmp("graft-c3-")
-      val events = tbl(s, d, "events")
+      // six days of events: the crawler-trigger semantics under test are
+      // span-independent, and the listener re-crawls (MSCK) the lake per
+      // progress event — partition count is the whole cost
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 6)
       val tableName = "graft_q57_cdc"
-      val firstHalf = events.where(dayofmonth(col("ts")) <= 15)
-      val secondHalf = events.where(dayofmonth(col("ts")) > 15)
+      val firstHalf = events.where(dayofmonth(col("ts")) <= 3)
+      val secondHalf = events.where(dayofmonth(col("ts")) > 3)
       val cfg = Deliver.Config(lakeDir = s"$base/lake", checkpointDir = s"$base/ck",
         manifestDir = Some(s"$base/manifest"), // foreachBatch path ⇒ real Hive partitions + MSCK
         trigger = Trigger.AvailableNow(), clock = Some(fixedClock))
@@ -303,14 +308,14 @@ object StreamQueries {
 
       s.sql(
         s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           | CAST(SUM(CASE WHEN day > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           | CAST(SUM(CASE WHEN day > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
            | CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys
            |FROM $tableName""".stripMargin)
     }, Some(
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | CAST(SUM(CASE WHEN day(ts) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
-        |FROM events""".stripMargin)),
+        |FROM events WHERE day(ts) <= 6""".stripMargin)),
 
     // ---- stream-static enrichment join (the dimension-lookup form that
     // complements q54's stream-stream join): the static side broadcasts,
