@@ -86,13 +86,13 @@ object TextFunctions {
   }
 
   /** Word n-grams of a token array, space-joined; token lists shorter than
-    * `n` yield an empty array (guarding the negative-length `sequence` that
-    * would otherwise crash `slice`). Shared by shingling (Dedup) and
-    * repetition scoring.
+    * `n` (or null) yield an empty array. Shared by shingling (Dedup) and
+    * repetition scoring. Delegates to the native [[WordNGrams]] expression —
+    * the HOF form (`transform` + `slice` + `concat_ws`) evaluates
+    * interpreted and measured ~2.4 ms/doc, dominating every dedup pass.
     */
   def ngrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n, WordNGrams.word_ngrams(toks, n))
       .otherwise(array().cast("array<string>"))
 
   /** Repetition ratio: fraction of repeated word trigrams,

@@ -11,8 +11,8 @@ import graft.functions.TextFunctions
   *
   * Every stage is a deterministic column program over the operators in this
   * package, so the whole pipeline remains engine-portable (oracle-checkable)
-  * and shuffle-minimal: one fingerprint groupBy (exact), one shingle join
-  * over LSH candidates (near), everything else narrow.
+  * and shuffle-minimal: one fingerprint window exchange (exact), one fused
+  * minhash groupBy + banded candidate join (near), everything else narrow.
   */
 object CorpusPipeline {
 
@@ -46,27 +46,34 @@ object CorpusPipeline {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.fingerprint(col("text")).as("__fp"))
 
-    // exact dups: keep the smallest id per fingerprint
-    val keepers = base.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep_id"))
-    val withExact = base.join(keepers, Seq("__fp"))
-      .withColumn("__exact_dup", col("doc_id") =!= col("__keep_id"))
+    // exact dups: keep the smallest id per fingerprint, via a window min
+    // over ONE fingerprint exchange (not groupBy + join-back, which scans
+    // the corpus and recomputes the text expressions twice). Every
+    // downstream consumer — survivors, both shingle branches, the final
+    // join — shares this exchange's canonical subtree, so ReuseExchange
+    // makes the scan + quality/langId/fingerprint map side run ONCE.
+    // NULL-fingerprint (null-text) docs form their own window group and
+    // flow on to the reject gate (the old inner join silently dropped
+    // them); the oracle SQL mirrors the same window form.
+    val withExact = base.withColumn("__exact_dup",
+      col("doc_id") =!= min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
 
     // near dups among surviving candidates: MinHash → LSH bands → candidate
-    // pairs → exact Jaccard verify. Banding runs on the exploded shingle
-    // table (codegen'd md5 + two partial-agg groupBys — measured faster
-    // than the narrow higher-order-function form, which Spark evaluates
-    // interpreted); the verify is an `array_intersect` over per-doc shingle
-    // ARRAYS fetched by two id joins. The plan contains NO shingle-level
-    // join at all, so a common shingle shared by k docs costs nothing
-    // unless LSH already paired them (the k² blowup a shingle self-join
-    // would produce at corpus scale). The larger id of each confirmed pair
-    // is dropped.
+    // pairs → exact Jaccard verify. Banding is the fused single-shuffle
+    // form (k min-agg columns in one groupBy(id), band sigs as column
+    // concats — no interpreted collect_list/array_sort); the verify is an
+    // `array_intersect` over per-doc shingle ARRAYS fetched by two id
+    // joins. The plan contains NO shingle-level join at all, so a common
+    // shingle shared by k docs costs nothing unless LSH already paired
+    // them (the k² blowup a shingle self-join would produce at corpus
+    // scale). The larger id of each confirmed pair is dropped.
     val survivors = withExact.where(!col("__exact_dup"))
       .select(col("doc_id"), col("text"))
     val arrays = Dedup.shingleArrays(survivors, "doc_id", "text", n = 3)
+    val shingled = arrays.select(col("id"), explode(col("sh")).as("shingle"))
     val candidates = Dedup.lshCandidates(
-      Dedup.lshBands(Dedup.minhashSignatures(
-        Dedup.shingleTable(survivors, "doc_id", "text", n = 3), cfg.minhashK), cfg.rowsPerBand))
+      Dedup.minhashBands(shingled, cfg.minhashK, cfg.rowsPerBand))
     val nearPairs = Dedup.jaccardOnArrays(candidates, arrays)
       .where(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()

@@ -40,15 +40,47 @@ object Dedup {
       .select(col(idCol).as("id"), explode(array_distinct(shingles(toks, n))).as("shingle"))
   }
 
-  /** MinHash signatures: k independent hash functions h_i(s) = md5(i ‖ ':' ‖ s);
-    * signature[i] = min over the doc's shingles (min over 32-hex-char strings —
-    * total order, engine-portable). Output: (id, i, minhash).
+  /** Wide MinHash signatures: one row per doc, k min-hash columns h0..h{k-1}
+    * with h_i = min over the doc's shingles of md5(i ‖ ':' ‖ s) (min over
+    * 32-hex-char strings — total order, engine-portable). A single
+    * groupBy(id) computes all k minima as parallel agg columns — the
+    * explode-×k-then-group form shuffles k× the rows and pays a second
+    * aggregation for banding; this shape is one shuffle of 1× rows.
+    */
+  def minhashWide(shingled: DataFrame, k: Int = 16): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle")).cast("binary"))).as(s"h$i"))
+    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures in long form: (id, i, minhash) — [[minhashWide]]
+    * unpivoted. Kept for callers that consume raw signature rows; the
+    * banding pipeline goes through [[minhashBands]] (no intermediate
+    * long-form shuffle at all).
     */
   def minhashSignatures(shingled: DataFrame, k: Int = 16): DataFrame =
-    shingled
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("shingle"))
-      .groupBy(col("id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")).cast("binary"))).as("minhash"))
+    minhashWide(shingled, k)
+      .select(col("id"), explode(array((0 until k).map(i =>
+        struct(lit(i).as("i"), col(s"h$i").as("minhash"))): _*)).as("s"))
+      .select(col("id"), col("s.i").as("i"), col("s.minhash").as("minhash"))
+
+  /** Fused MinHash → LSH bands: (id, band, band_sig) in ONE shuffle. The k
+    * minima come from [[minhashWide]]'s single groupBy and each band
+    * signature is a column-level concat_ws over its slice of signature
+    * columns — no collect_list/array_sort/transform (Spark evaluates those
+    * higher-order forms interpreted, outside codegen). Output rows are
+    * bit-identical to `lshBands(minhashSignatures(…))`.
+    */
+  def minhashBands(shingled: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols = (0 until k / rowsPerBand).map { b =>
+      val sig = md5(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*).cast("binary"))
+      struct(lit(b).as("band"), sig.as("band_sig"))
+    }
+    minhashWide(shingled, k)
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
+  }
 
   /** LSH bands: group the k signature rows into bands of `rowsPerBand`, and
     * hash each band's ordered minhashes into one band signature.

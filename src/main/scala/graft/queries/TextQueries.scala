@@ -160,8 +160,8 @@ object TextQueries {
 
     // ---- MinHash signatures + LSH bands (signature math oracle-checked)
     Q("q35_minhash_bands", (s, d) =>
-      Dedup.lshBands(Dedup.minhashSignatures(
-        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16), rowsPerBand = 4)
+      Dedup.minhashBands(
+        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16, rowsPerBand = 4)
         .select(col("id").as("doc_id"), col("band"), col("band_sig"))
         .orderBy(col("doc_id"), col("band")),
       Some(
@@ -178,8 +178,8 @@ object TextQueries {
 
     // ---- LSH candidate pairs (the actual near-dup join over bands)
     Q("q36_minhash_lsh_pairs", (s, d) =>
-      Dedup.lshCandidates(Dedup.lshBands(Dedup.minhashSignatures(
-        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16), rowsPerBand = 4))
+      Dedup.lshCandidates(Dedup.minhashBands(
+        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16, rowsPerBand = 4))
         .orderBy(col("id_a"), col("id_b")),
       Some(
         s"""WITH docs AS ($plantedSql),
@@ -338,8 +338,7 @@ object TextQueries {
            |base AS (SELECT doc_id, text, ROUND($qualitySql, 4) AS quality,
            |  $langIdSql AS lang_pred, len($toksSql) AS n_tokens,
            |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs),
-           |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
-           |we AS (SELECT base.*, doc_id <> keep_id AS exact_dup FROM base JOIN keep USING (fp)),
+           |we AS (SELECT base.*, doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS exact_dup FROM base),
            |survivors AS (SELECT doc_id, text FROM we WHERE NOT exact_dup),
            |toks AS (SELECT doc_id, $toksSql AS t FROM survivors WHERE len($toksSql) >= 3),
            |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
