@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, FnvHash64}
+import graft.functions.{DotProduct, FnvHash64, WordNGrams}
 
 /** Spark extension entry point: registers graft's native expressions as
   * permanent SQL functions in every session, so a cluster configured with
@@ -33,6 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"dot_product expects 2 arguments, got ${exprs.length}")
         DotProduct(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"word_ngrams expects 2 arguments, got ${exprs.length}")
+        require(exprs(1).foldable,
+          "word_ngrams n must be a literal")
+        WordNGrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

@@ -208,6 +208,57 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Incremental exact dedup: classify a NEW batch of documents against an
+    * existing corpus fingerprint index — the shape of a continuously-fed
+    * training corpus, where re-deduplicating 100 TB per incoming batch is
+    * not an option. The index side is fingerprints ONLY (16 bytes/doc, no
+    * text), so the join shuffles fingerprints, never documents, and a
+    * small incoming batch broadcasts against it.
+    * Output: (id, fp, verdict) with verdict ∈ 'known_dup' (fingerprint
+    * already in the corpus) | 'batch_dup' (duplicate within the incoming
+    * batch; smallest id is the keeper) | 'new'.
+    */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+      corpusFps: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    newDocs.select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .join(corpusFps.select(col("fp")).distinct().withColumn("__known", lit(true)),
+        Seq("fp"), "left")
+      .withColumn("verdict",
+        when(col("__known"), "known_dup")
+          .when(col("id") =!= min(col("id")).over(w), "batch_dup")
+          .otherwise("new"))
+      .select(col("id"), col("fp"), col("verdict"))
+  }
+
+  /** Incremental near-dup pairs: LSH-band candidates of an incoming batch
+    * against a PREBUILT corpus band index (plus the batch against itself),
+    * verified by exact Jaccard over shingle arrays. In production the
+    * corpus bands/arrays are maintained incrementally (append-only index
+    * tables); recomputing them per batch — as the registry query does for
+    * oracle parity — is the bounded-corpus test harness, not the shape.
+    * Output: (id_new, id_other, jaccard) with jaccard ≥ threshold, where
+    * id_other ranges over corpus ids and smaller batch ids.
+    */
+  def incrementalNearDups(newBands: DataFrame, newArrays: DataFrame,
+      corpusBands: DataFrame, corpusArrays: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val vsCorpus = newBands.select(col("band"), col("band_sig"), col("id").as("id_new"))
+      .join(corpusBands.select(col("band"), col("band_sig"), col("id").as("id_other")),
+        Seq("band", "band_sig"))
+    val vsBatch = newBands.select(col("band"), col("band_sig"), col("id").as("id_new"))
+      .join(newBands.select(col("band"), col("band_sig"), col("id").as("id_other")),
+        Seq("band", "band_sig"))
+      .where(col("id_other") < col("id_new"))
+    val pairs = vsCorpus.unionByName(vsBatch)
+      .select(col("id_new"), col("id_other")).distinct()
+    val arrays = newArrays.unionByName(corpusArrays)
+    jaccardOnArrays(
+      pairs.select(col("id_new").as("id_a"), col("id_other").as("id_b")), arrays)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_other"), col("jaccard"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold via a shingle-join (skips LSH;
     * right for the verify path and small-to-medium corpora — the shingle
     * join only materializes pairs that share a shingle).

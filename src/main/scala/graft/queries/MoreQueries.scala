@@ -173,9 +173,9 @@ object MoreQueries {
     // ---- streaming windowed aggregation with watermark (the event-time
     // analytics layer): stateful streaming agg must equal the batch answer
     Q("q53_stream_windowed_agg", (s, d) => {
-      val src = java.nio.file.Files.createTempDirectory("graft-win-").toString + "/events"
       val e = tbl(s, d, "events").select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      e.write.mode("overwrite").parquet(src)
+      val src = Registry.stageTable(s, d, "events",
+        Seq("event_id", "ts", "event_type", "value"))
       val name = "graft_q53_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = s.readStream.schema(e.schema).parquet(src)
         .withWatermark("ts", "10 minutes")

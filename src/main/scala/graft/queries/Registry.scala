@@ -60,6 +60,23 @@ object Registry {
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Stage a deterministic projection of a source table to parquet ONCE per
+    * JVM (keyed by sfDir + table + projection), for streaming queries that
+    * need a file-stream source directory. The staged bytes are a pure
+    * function of the key, so re-staging per run would only bill identical
+    * harness I/O to the measured operator; checkpoints/sinks stay per-run.
+    */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stageTable(spark: SparkSession, dir: String, name: String, cols: Seq[String]): String =
+    staged.computeIfAbsent(s"$dir/$name/${cols.mkString(",")}", { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft-staged-")
+      out.toFile.deleteOnExit()
+      val path = s"$out/$name"
+      tbl(spark, dir, name).select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   lazy val all: Seq[Q] =
     CoreQueries.qs ++ MoreQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++
       VectorQueries.qs ++ StreamQueries.qs

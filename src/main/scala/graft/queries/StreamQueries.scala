@@ -112,10 +112,10 @@ object StreamQueries {
     // purchases matched to signups of the same user within the prior 2 h
     // (state-bounded by the time constraint; oracle = batch range join)
     Q("q54_stream_stream_join", (s, d) => {
-      val src = tmp("graft-ssj-") + "/events"
       val e = tbl(s, d, "events").select(col("event_id"), col("ts"),
         col("user_id"), col("event_type"))
-      e.write.mode("overwrite").parquet(src)
+      val src = Registry.stageTable(s, d, "events",
+        Seq("event_id", "ts", "user_id", "event_type"))
       val name = "graft_q54_" + java.util.UUID.randomUUID.toString.replace("-", "")
       // stateful shuffle partitions are pinned into the checkpoint at first
       // batch; size them to the STATE volume, not the session default — a
@@ -160,9 +160,8 @@ object StreamQueries {
     // a post-stream batch step, since a stream can't know a session's
     // ordinal until all earlier sessions of that key are closed.
     Q("q55_stream_session_window", (s, d) => {
-      val src = tmp("graft-sess-") + "/events"
       val e = tbl(s, d, "events").select(col("user_id"), col("ts"), col("event_id"))
-      e.write.mode("overwrite").parquet(src)
+      val src = Registry.stageTable(s, d, "events", Seq("user_id", "ts", "event_id"))
       val name = "graft_q55_" + java.util.UUID.randomUUID.toString.replace("-", "")
       // state partitions sized to state volume (see q54)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -322,10 +321,10 @@ object StreamQueries {
     // the stream stays narrow — no state store, no watermark needed for
     // the join itself. Must equal the batch join answer.
     Q("q62_stream_static_join", (s, d) => {
-      val src = tmp("graft-sst-") + "/events"
       val e = tbl(s, d, "events")
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
-      e.write.mode("overwrite").parquet(src)
+      val src = Registry.stageTable(s, d, "events",
+        Seq("event_id", "user_id", "value", "event_type"))
       val dim = broadcast(tbl(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
       val name = "graft_q62_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -345,6 +344,38 @@ object StreamQueries {
          | ${Agg.moneySumSql("value")} AS total_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- streaming exactly-once dedup (the stateful twin of batch q26):
+    // the same source consumed TWICE (a full replay) must emit each record
+    // once. dropDuplicatesWithinWatermark keys state on event_id and
+    // evicts it once the watermark passes — bounded state at 100 TB,
+    // unlike an unbounded dropDuplicates. The memory sink holds the
+    // deduped stream; a batch aggregate over it gives the deterministic
+    // oracle-comparable answer (= the un-replayed source's aggregate).
+    Q("q64_stream_replay_dedup", (s, d) => {
+      val e = tbl(s, d, "events").select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      val src = Registry.stageTable(s, d, "events",
+        Seq("event_id", "ts", "event_type", "value"))
+      val name = "graft_q64_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      // state partitions sized to state volume (see q54)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        def rd = s.readStream.schema(e.schema).parquet(src)
+        val q = rd.unionByName(rd) // every record delivered twice
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Agg.moneySum(col("value")).as("total_value"))
+          .orderBy(col("event_type"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }, Some(
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- K8 streaming form end-to-end: the CDC change stream drives the
     // bucketed keyed table through UpsertSink's versioned commit log; the

@@ -434,6 +434,76 @@ object TextQueries {
           | md5(text) AS payload_md5,
           | lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
           | 'text/plain' AS mime, source AS origin
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- incremental dedup: a NEW batch classified against the existing
+    // corpus (fingerprint index for exact; LSH band index for near) — the
+    // continuously-fed-corpus shape, where re-deduplicating the whole lake
+    // per incoming batch is not an option. Plants guarantee every verdict
+    // and a non-empty near answer at any sf. Bounded id ranges keep the
+    // query sf-independent.
+    Q("q63_incremental_dedup", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") < 300)
+      val incoming = docs.where(col("doc_id") >= 300 && col("doc_id") < 450)
+        .unionByName(docs.where(col("doc_id") < 10) // exact copies → known_dup
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 600000).as("doc_id"), // near variants → near pairs
+            concat(col("text"), lit(" incremental near variant")).as("text")))
+        .unionByName(docs.where(col("doc_id") === 300) // in-batch duplicate → batch_dup
+          .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+      val exact = Dedup.incrementalExact(incoming, "doc_id", "text",
+        corpus.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+      val near = Dedup.incrementalNearDups(
+        Dedup.minhashBands(Dedup.shingleTable(incoming, "doc_id", "text", 3), 16, 2),
+        Dedup.shingleArrays(incoming, "doc_id", "text", 3),
+        Dedup.minhashBands(Dedup.shingleTable(corpus, "doc_id", "text", 3), 16, 2),
+        Dedup.shingleArrays(corpus, "doc_id", "text", 3), threshold = 0.5)
+      exact.groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .unionByName(near.agg(count(lit(1)).as("n"))
+          .select(lit("near_pair").as("verdict"), col("n")))
+        .orderBy(col("verdict"))
+    }, Some(
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |incoming AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 450
+         |  UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 10
+         |  UNION ALL SELECT doc_id + 600000 AS doc_id, text || ' incremental near variant' AS text
+         |    FROM documents WHERE doc_id >= 10 AND doc_id < 20
+         |  UNION ALL SELECT doc_id + 700000 AS doc_id, text FROM documents WHERE doc_id = 300),
+         |fps AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM incoming),
+         |cfps AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus),
+         |exact AS (SELECT fps.doc_id,
+         |    CASE WHEN cfps.fp IS NOT NULL THEN 'known_dup'
+         |         WHEN fps.doc_id <> MIN(fps.doc_id) OVER (PARTITION BY fps.fp) THEN 'batch_dup'
+         |         ELSE 'new' END AS verdict
+         |  FROM fps LEFT JOIN cfps ON fps.fp = cfps.fp),
+         |allsides AS (SELECT 'c' AS side, doc_id, text FROM corpus
+         |  UNION ALL SELECT 'n' AS side, doc_id, text FROM incoming),
+         |toks AS (SELECT side, doc_id, $toksSql AS t FROM allsides WHERE len($toksSql) >= 3),
+         |sh AS (SELECT DISTINCT side, doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+         |sig AS (SELECT side, doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+         |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+         |        GROUP BY side, doc_id, i),
+         |bands AS (SELECT side, doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+         |          FROM sig GROUP BY side, doc_id, band),
+         |cand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_other
+         |         FROM bands n JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+         |         WHERE n.side = 'n'
+         |           AND (o.side = 'c' OR (o.side = 'n' AND o.doc_id < n.doc_id))),
+         |counts AS (SELECT doc_id, COUNT(*) AS cnt FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id_new, c.id_other, COUNT(*) AS n_common
+         |           FROM cand c JOIN sh a ON a.doc_id = c.id_new
+         |           JOIN sh b ON b.doc_id = c.id_other AND b.shingle = a.shingle
+         |           GROUP BY 1, 2),
+         |near AS (SELECT id_new FROM common
+         |         JOIN counts ca ON ca.doc_id = id_new
+         |         JOIN counts cb ON cb.doc_id = id_other
+         |         WHERE CAST(n_common AS DOUBLE) / (ca.cnt + cb.cnt - n_common) >= 0.5)
+         |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n FROM exact GROUP BY verdict
+         |UNION ALL SELECT 'near_pair' AS verdict, CAST(COUNT(*) AS BIGINT) AS n FROM near
+         |ORDER BY verdict""".stripMargin))
   )
 }

@@ -95,6 +95,33 @@ class DedupSpec extends SparkSuite {
     assert(widths == widths.sorted)
   }
 
+  test("incremental dedup classifies a new batch against the corpus index") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different corpus text about spark query engines and scale")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // known
+      (11L, "a genuinely new document with its own words and content entirely"),
+      (12L, "a genuinely new document with its own words and content entirely"), // batch dup of 11
+      (13L, "the quick brown fox jumps over the lazy dog near the river edge")  // near dup of corpus 1
+    ).toDF("doc_id", "text")
+    val fps = corpus.select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    val verdicts = Dedup.incrementalExact(batch, "doc_id", "text", fps)
+      .select($"id", $"verdict").as[(Long, String)].collect().toMap
+    assert(verdicts == Map(10L -> "known_dup", 11L -> "new", 12L -> "batch_dup", 13L -> "new"))
+
+    val near = Dedup.incrementalNearDups(
+      Dedup.minhashBands(Dedup.shingleTable(batch, "doc_id", "text", 3), 16, 2),
+      Dedup.shingleArrays(batch, "doc_id", "text", 3),
+      Dedup.minhashBands(Dedup.shingleTable(corpus, "doc_id", "text", 3), 16, 2),
+      Dedup.shingleArrays(corpus, "doc_id", "text", 3), threshold = 0.5)
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    assert(near.contains((13L, 1L)), s"near-dup vs corpus missed: $near")
+    assert(near.contains((12L, 11L)), s"in-batch exact pair must also surface: $near")
+    assert(!near.exists { case (a, b) => b == 2L }, s"unrelated corpus doc paired: $near")
+  }
+
   test("pipeline banding catches mid-similarity near-dups at the default threshold") {
     // planted pair at J = 7/11 ≈ 0.64: with 16 hashes, bands of 4 sit on an
     // S-curve midpoint of 0.707 and would miss most such pairs; the

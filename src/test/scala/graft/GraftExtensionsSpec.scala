@@ -32,6 +32,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(dp == 11.0)
+      val ng = s.sql(
+        "SELECT word_ngrams(array('a', 'b', 'c'), 2) AS g")
+        .collect().head.getSeq[String](0)
+      assert(ng == Seq("a b", "b c"))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
