@@ -377,6 +377,43 @@ object StreamQueries {
          | ${Agg.moneySumSql("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- lake maintenance end-to-end: deliver a manifest lake (many small
+    // files per partition — the 60 s-flush reality), bin-pack it with
+    // Compact's two-phase swap, then prove the SQL answer over the
+    // compacted lake is byte-identical to the oracle over the source —
+    // compaction must never change a row. The manifest chain is folded to
+    // name only the packed files (ManifestSpec/CompactSpec pin mechanics).
+    Q("q65_lake_compaction", (s, d) => {
+      val logDir = tmp("graft-cplog-")
+      val base = tmp("graft-cplk-")
+      ShardedLog.put(ShardedLog.fromEvents(tbl(s, d, "events")), logDir)
+      val q = Deliver.start(
+        ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(lakeDir = s"$base/lake", checkpointDir = s"$base/ck",
+          manifestDir = Some(s"$base/manifest"),
+          // reference semantics: each flush lands in ONE hour folder.
+          // Event-time partitioning here would fan every micro-batch's
+          // stage/promote across ~720 hour dirs — O(partitions) renames
+          // per batch for a query that aggregates over the whole lake.
+          partitionByProcessingTime = true,
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+      graft.streaming.Compact.run(s, s"$base/lake", targetBytes = 1L << 30,
+        manifestDir = Some(s"$base/manifest"))
+      LakeCatalog.registerLake(s, "cdc_events_compacted", s"$base/lake")
+      s.table("cdc_events_compacted")
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("n_keys"),
+          Agg.moneySum(col("value")).as("total_value"))
+        .orderBy(col("op"))
+    }, Some(
+      s"""SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- K8 streaming form end-to-end: the CDC change stream drives the
     // bucketed keyed table through UpsertSink's versioned commit log; the
     // final readTable state must equal the batch latest-per-key answer

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import graft.streaming.{Compact, ManifestChain}
+
+/** Lake small-file compaction: bin-packing, content preservation, manifest
+  * fold, and both crash-recovery directions of the two-phase swap.
+  */
+class CompactSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hfs(dir: String) =
+    new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** A toy partitioned lake: 2 partitions × `filesPer` small files each. */
+  private def buildLake(filesPer: Int): String = {
+    val lake = tmpDir("graft-cpt-")
+    Seq("a", "b").foreach { p =>
+      (1 to 100).map(i => (i.toLong, s"$p-$i")).toDF("id", "v")
+        .repartition(filesPer)
+        .write.mode("overwrite").parquet(s"$lake/part=$p")
+    }
+    lake
+  }
+
+  private def snapshot(lake: String): Seq[(Long, String, String)] =
+    spark.read.parquet(lake).select($"id", $"v", $"part")
+      .as[(Long, String, String)].collect().sortBy(r => (r._3, r._1)).toSeq
+
+  private def dataFileCount(lake: String): Int = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    walk(new java.io.File(lake)).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("bin-packs partitions, preserves content, folds the manifest") {
+    val lake = buildLake(filesPer = 6)
+    val mdir = tmpDir("graft-cptm-")
+    // seed a manifest chain naming the original files (as Deliver would)
+    val fs = hfs(lake)
+    val origFiles = spark.read.parquet(lake).inputFiles.toSeq.sorted
+    val entries = origFiles.map(f => s"""{"url": "$f", "mandatory": true}""")
+      .mkString("[", ",", "]")
+    graft.streaming.FsOps.atomicWrite(spark.sessionState.newHadoopConf(), hfs(mdir),
+      new HPath(mdir, "manifest-0000000000.json"), s"""{"entries": $entries}""".getBytes("UTF-8"))
+
+    val before = snapshot(lake)
+    val stats = Compact.run(spark, lake, targetBytes = 1L << 30, manifestDir = Some(mdir))
+    assert(stats.partitionsPacked == 2 && stats.filesBefore == 12 && stats.filesAfter == 2)
+    assert(dataFileCount(lake) == 2, "each partition packs to one file")
+    assert(snapshot(lake) == before, "compaction must not change a single row")
+    // manifest now resolves to exactly the new files (URI-normalized:
+    // inputFiles says file:///, makeQualified says file:/)
+    def norm(u: String) = new HPath(u).toString
+    val chain = ManifestChain.chainUrls(hfs(mdir), new HPath(mdir), Long.MaxValue)
+      .map(norm).toSet
+    val now = spark.read.parquet(lake).inputFiles.map(norm).toSet
+    assert(chain == now, s"manifest chain $chain != lake files $now")
+    assert(chain.intersect(origFiles.map(norm).toSet).isEmpty,
+      "no old file survives in the chain")
+    // second pass is a no-op
+    assert(Compact.run(spark, lake, 1L << 30, Some(mdir)) == Compact.Stats(0, 0, 0))
+  }
+
+  test("already-packed partitions are left untouched") {
+    val lake = buildLake(filesPer = 1)
+    val before = spark.read.parquet(lake).inputFiles.toSet
+    assert(Compact.run(spark, lake, 1L << 30) == Compact.Stats(0, 0, 0))
+    assert(spark.read.parquet(lake).inputFiles.toSet == before)
+  }
+
+  test("crash before the commit point rolls BACK: originals intact, news gone") {
+    val lake = buildLake(filesPer = 4)
+    val fs = hfs(lake)
+    val before = snapshot(lake)
+    val origFiles = spark.read.parquet(lake).inputFiles.toSet
+    // simulate a crash mid-promote: one new file landed, intent written,
+    // no promoted marker
+    val landed = new HPath(s"$lake/part=a/part-crashed-halfway.parquet")
+    fs.create(landed, true).close()
+    graft.streaming.FsOps.atomicWrite(spark.sessionState.newHadoopConf(), fs,
+      new HPath(s"$lake/_compact/intent"),
+      (s"N ${fs.makeQualified(landed)}\n" +
+        origFiles.toSeq.sorted.map("O " + _).mkString("\n")).getBytes("UTF-8"))
+    Compact.recover(spark, lake)
+    assert(!fs.exists(landed), "half-promoted file must be rolled back")
+    assert(snapshot(lake) == before, "originals untouched")
+    assert(!fs.exists(new HPath(s"$lake/_compact/intent")), "intent cleared")
+  }
+
+  test("crash after the commit point rolls FORWARD: olds retired, manifest folded") {
+    val lake = buildLake(filesPer = 4)
+    val mdir = tmpDir("graft-cptm-")
+    val fs = hfs(lake)
+    val before = snapshot(lake)
+    // run a real pass up to its commit point by replaying its own bookkeeping:
+    // do the full run, then re-create the post-commit-pre-finish state
+    val origA = spark.read.parquet(s"$lake/part=a").inputFiles.toSet
+    // pack part=a by hand into one staged-then-promoted file
+    val packed = new HPath(s"$lake/part=a/part-packed-by-test.parquet")
+    spark.read.parquet(origA.toSeq: _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$lake/_compact/tmp")
+    val made = fs.listStatus(new HPath(s"$lake/_compact/tmp")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    graft.streaming.FsOps.renameOrThrow(fs, made, packed)
+    graft.streaming.FsOps.atomicWrite(spark.sessionState.newHadoopConf(), fs,
+      new HPath(s"$lake/_compact/intent"),
+      (s"N ${fs.makeQualified(packed)}\n" +
+        origA.toSeq.sorted.map("O " + _).mkString("\n")).getBytes("UTF-8"))
+    fs.create(new HPath(s"$lake/_compact/promoted"), true).close()
+    Compact.recover(spark, lake, Some(mdir))
+    def norm(u: String) = new HPath(u).toString
+    assert(spark.read.parquet(s"$lake/part=a").inputFiles.map(norm).toSet ==
+      Set(norm(fs.makeQualified(packed).toString)), "olds retired, packed file serves")
+    assert(snapshot(lake) == before, "content unchanged through roll-forward")
+    val chain = ManifestChain.chainUrls(hfs(mdir), new HPath(mdir), Long.MaxValue)
+    assert(chain == Seq(fs.makeQualified(packed).toString))
+    assert(!fs.exists(new HPath(s"$lake/_compact/intent")))
+    assert(!fs.exists(new HPath(s"$lake/_compact/promoted")))
+  }
+
+  test("refuses a FileStreamSink lake (_spark_metadata)") {
+    val lake = buildLake(filesPer = 2)
+    hfs(lake).mkdirs(new HPath(s"$lake/_spark_metadata"))
+    intercept[IllegalArgumentException] { Compact.run(spark, lake) }
+  }
+}

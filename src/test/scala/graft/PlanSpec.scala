@@ -108,6 +108,15 @@ class PlanSpec extends SparkSuite {
       s"q47 must not join shingle tables on the shingle alone:\n$p")
   }
 
+  test("q63 incremental dedup stays index-shaped: banded candidates, no shingle self-join") {
+    val p = plan("q63_incremental_dedup")
+    assert(p.contains("band_sig"), s"q63 candidates must come from the LSH band index:\n$p")
+    assert(p.contains("array_intersect"), s"q63 verify must be candidate-bounded:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.matches("(?s).*\\[shingle#\\d+\\], \\[shingle#\\d+\\], Inner.*"),
+      s"q63 must not join shingle tables on the shingle alone:\n$p")
+  }
+
   test("as-of join is a single key-shuffle (one Exchange below the window)") {
     val p = plan("q14_asof_join")
     // union of both sides shuffles once on the key for the carry-forward
