@@ -259,6 +259,31 @@ object Dedup {
       .select(col("id_a").as("id_new"), col("id_b").as("id_other"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minHits` word n-grams with any benchmark/eval document — the
+    * standard guard against test-set leakage into a training corpus.
+    * Returns (train_id, bench_id, n_hits) per contaminated pair.
+    *
+    * Scale shape: the benchmark side is tiny (eval suites, not corpora) —
+    * its distinct gram table BROADCASTS, so the train side is one narrow
+    * scan + explode probing a hash map: no shuffle of training data at
+    * all. n = 8 is the customary window (long enough that natural reuse of
+    * phrases doesn't false-positive, short enough to catch paraphrase-free
+    * copying); lower it for stricter screens.
+    */
+  def contamination(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minHits: Int = 1): DataFrame = {
+    val trainGrams = shingleTable(train, trainId, trainText, n)
+      .select(col("id").as("train_id"), col("shingle"))
+    val benchGrams = broadcast(shingleTable(bench, benchId, benchText, n)
+      .select(col("id").as("bench_id"), col("shingle")))
+    trainGrams.join(benchGrams, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold via a shingle-join (skips LSH;
     * right for the verify path and small-to-medium corpora — the shingle
     * join only materializes pairs that share a shingle).

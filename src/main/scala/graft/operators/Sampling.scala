@@ -43,6 +43,49 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.where(hashBucket(col(idCol), seed) < lit(hexThreshold(fraction)))
 
+  /** Data-mixing (stratified deterministic sampling): keep a different
+    * fraction of each stratum — the "50% web, all of books, 10% of logs"
+    * recipe every training-data pipeline ends in. Strata not named in
+    * `fractions` keep `defaultFraction`. Membership stays a pure function
+    * of (seed, id): re-mixing with a changed recipe keeps every previously
+    * kept row whose stratum fraction did not shrink — no reshuffle churn.
+    * Pure column expressions: codegen'd, zero shuffle, scale = scan speed.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: String = "graft"): DataFrame = {
+    fractions.foreach { case (k, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f for stratum '$k' out of [0,1]")
+    }
+    // fraction 1.0 maps to the sentinel threshold "g": buckets are 8 hex
+    // chars (0-9a-f), all lexicographically < "g", so an all-kept stratum
+    // keeps even the ~1-in-4B ids whose bucket is exactly ffffffff (a
+    // strict compare against a hex threshold could not express that)
+    def thrFor(f: Double) = if (f >= 1.0) "g" else hexThreshold(f)
+    val thr = fractions.foldLeft(when(lit(false), "")) { case (acc, (k, f)) =>
+      acc.when(col(strataCol) === k, thrFor(f))
+    }.otherwise(thrFor(defaultFraction))
+    df.where(hashBucket(col(idCol), seed) < thr)
+  }
+
+  /** Token-budget packing: fill each stratum's budget in deterministic id
+    * order and cut off once the running total would pass it — "1B tokens
+    * per domain" as a dataframe program. One hash-shuffle + sort per
+    * stratum (the window); rows carry their cumulative total out for
+    * auditability. The rule is the simple prefix cut (cum ≤ budget), not
+    * bin-packing: the running total is monotone, so the kept set is
+    * exactly the longest id-ordered prefix that fits — reproducible and
+    * order-stable as the corpus grows, which best-fit packing is not.
+    */
+  def packByBudget(df: DataFrame, idCol: String, weightCol: String,
+      strataCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_weight", sum(col(weightCol)).over(w))
+      .where(col("cum_weight") <= budget)
+  }
+
   /** Assign each row to a named split with the given weights (each > 0,
     * summing to ~1; the last split takes any remainder). E.g.
     * `splitAssign(docs, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))`.

@@ -504,6 +504,78 @@ object TextQueries {
          |         WHERE CAST(n_common AS DOUBLE) / (ca.cnt + cb.cnt - n_common) >= 0.5)
          |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n FROM exact GROUP BY verdict
          |UNION ALL SELECT 'near_pair' AS verdict, CAST(COUNT(*) AS BIGINT) AS n FROM near
-         |ORDER BY verdict""".stripMargin))
+         |ORDER BY verdict""".stripMargin)),
+
+    // ---- data mixing: per-source sampling fractions ("all of src0, half
+    // of src1, none of src2, a quarter of the rest") as a deterministic
+    // pure-function-of-id program — df.sampleBy's per-partition RNG would
+    // give a different mix on every repartition. Oracle recomputes the
+    // identical md5 buckets.
+    Q("q66_corpus_mixing", (s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+        tbl(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), defaultFraction = 0.25)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source")),
+      Some(
+        """WITH b AS (SELECT source,
+          |  substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+          |  FROM documents)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b
+          |WHERE CASE WHEN source = 'src0' THEN TRUE
+          |           WHEN source = 'src1' THEN bucket < '80000000'
+          |           WHEN source = 'src2' THEN FALSE
+          |           ELSE bucket < '40000000' END
+          |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- token-budget packing: fill each source's token budget in
+    // deterministic id order ("N tokens per domain"); the window's running
+    // total rides out as the audit column
+    Q("q67_token_budget_pack", (s, d) =>
+      graft.operators.Sampling.packByBudget(
+        tbl(s, d, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", "source", budget = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("cum_weight")).as("tokens_packed"))
+        .orderBy(col("source")),
+      Some(
+        s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, source, SUM(n_tokens) OVER
+           |  (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(MAX(cum) AS BIGINT) AS tokens_packed
+           |FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- benchmark decontamination: training docs sharing an 8-gram with
+    // any eval doc. The planted bench set lifts two full train docs (hits
+    // guaranteed) plus one synthetic doc with no corpus overlap (must be
+    // absent). The bench gram table broadcasts — training data never
+    // shuffles.
+    Q("q68_decontamination", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id").isin(3, 7))
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(999999L).as("doc_id"),
+          lit("entirely synthetic benchmark question with no overlap whatsoever").as("text")))
+      Dedup.contamination(docs, "doc_id", "text", bench, "doc_id", "text", n = 8)
+        .orderBy(col("train_id"), col("bench_id"))
+    }, Some(
+      s"""WITH bench AS (
+         |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id IN (3, 7)
+         |  UNION ALL SELECT 999999 AS doc_id,
+         |    'entirely synthetic benchmark question with no overlap whatsoever' AS text),
+         |ttoks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE len($toksSql) >= 8),
+         |tsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
+         |  || ' ' || t[x+4] || ' ' || t[x+5] || ' ' || t[x+6] || ' ' || t[x+7] AS shingle
+         |  FROM ttoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x)),
+         |btoks AS (SELECT doc_id, $toksSql AS t FROM bench WHERE len($toksSql) >= 8),
+         |bsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
+         |  || ' ' || t[x+4] || ' ' || t[x+5] || ' ' || t[x+6] || ' ' || t[x+7] AS shingle
+         |  FROM btoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x))
+         |SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM tsh a JOIN bsh b USING (shingle)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

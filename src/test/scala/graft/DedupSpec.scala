@@ -122,6 +122,24 @@ class DedupSpec extends SparkSuite {
     assert(!near.exists { case (a, b) => b == 2L }, s"unrelated corpus doc paired: $near")
   }
 
+  test("decontamination flags 8-gram overlap with the benchmark, broadcast-shaped") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "totally separate training text with no overlap against the benchmark suite here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "question: alpha beta gamma delta epsilon zeta eta theta answer: yes"),
+      (101L, "unrelated benchmark prompt about completely other things entirely different words")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, "doc_id", "text", bench, "doc_id", "text", n = 8)
+      .select($"train_id", $"bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)), s"got $hits")
+    // plan shape: the benchmark side must broadcast (training data never shuffles)
+    val plan = Dedup.contamination(train, "doc_id", "text", bench, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("pipeline banding catches mid-similarity near-dups at the default threshold") {
     // planted pair at J = 7/11 ≈ 0.64: with 16 hashes, bands of 4 sit on an
     // S-curve midpoint of 0.707 and would miss most such pairs; the

@@ -52,6 +52,36 @@ class SamplingSpec extends SparkSuite {
     assert(s1 != s2)
   }
 
+  test("stratified mixing: per-stratum fractions honored, 1.0 keeps all, 0.0 drops all") {
+    val mixed = Sampling.stratifiedSample(docs.withColumn("src",
+        concat(lit("s"), pmod($"doc_id", lit(4)))),
+      "doc_id", "src", Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5), defaultFraction = 0.25)
+    val byStratum = mixed.groupBy($"src").count().as[(String, Long)].collect().toMap
+    val totals = docs.withColumn("src", concat(lit("s"), pmod($"doc_id", lit(4))))
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(byStratum("s0") == totals("s0"), "fraction 1.0 must keep every row")
+    assert(!byStratum.contains("s1"), "fraction 0.0 must drop the stratum entirely")
+    assert(byStratum("s2") > 0 && byStratum("s2") < totals("s2"))
+    assert(byStratum("s3") > 0 && byStratum("s3") < totals("s2").max(totals("s3")))
+    // determinism: same recipe, repartitioned input, same membership
+    val again = Sampling.stratifiedSample(docs.repartition(13).withColumn("src",
+        concat(lit("s"), pmod($"doc_id", lit(4)))),
+      "doc_id", "src", Map("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5), defaultFraction = 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == mixed.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("token-budget packing fills in id order and stops at the budget") {
+    val rows = Seq(
+      (1L, "a", 400L), (2L, "a", 400L), (3L, "a", 400L), (4L, "a", 400L),
+      (10L, "b", 900L), (11L, "b", 200L), (12L, "b", 50L)
+    ).toDF("id", "src", "w")
+    val packed = Sampling.packByBudget(rows, "id", "w", "src", budget = 1000L)
+      .select($"id", $"cum_weight").as[(Long, Long)].collect().toMap
+    assert(packed.keySet == Set(1L, 2L, 10L), s"got $packed")
+    assert(packed(2L) == 800L && packed(10L) == 900L)
+  }
+
   test("misconfigured weights fail fast; fraction 1.0 keeps every row") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(docs, "doc_id", Seq("a" -> 0.5, "b" -> -0.2, "c" -> 0.7))
