@@ -65,24 +65,30 @@ object Compact {
     // 2. stage the rewritten partitions (invisible under _compact/)
     val stage = fs.makeQualified(ctl(lake, "stage"))
     val lakePrefix = fs.makeQualified(lake).toString + "/"
-    val news = picked.toSeq.sortBy(_._1.toString).flatMap { case (dir, files) =>
-      val total = files.map(f => fs.getFileStatus(f).getLen).sum
-      val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-      val rel = fs.makeQualified(dir).toString.stripPrefix(lakePrefix)
-      val outDir = new HPath(stage, rel)
-      spark.read.parquet(files.map(_.toString): _*)
-        .coalesce(want)
-        .write.mode("overwrite").option("compression", "snappy")
-        .parquet(outDir.toString)
-      listParquet(fs, outDir).map { f =>
-        (f, new HPath(dir, f.getName)) // stays within the same partition dir
-      }
+    val news = picked.toSeq.sortBy(_._1.toString).zipWithIndex.flatMap {
+      case ((dir, files), i) =>
+        val total = files.map(f => fs.getFileStatus(f).getLen).sum
+        val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+        // index-named stage subdirs: partition-layout-agnostic (hive dirs,
+        // nested dirs, or files at the lake ROOT all stage the same way)
+        val outDir = new HPath(stage, f"g$i%05d")
+        spark.read.parquet(files.map(_.toString): _*)
+          .coalesce(want)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(outDir.toString)
+        listParquet(fs, outDir).map { f =>
+          (f, new HPath(dir, f.getName)) // promotes into the same partition dir
+        }
     }
     val olds = picked.values.flatten.map(fs.makeQualified(_).toString).toSeq.sorted
 
-    // 3. write-ahead intent: both lists are durable before any lake mutation
+    // 3. write-ahead intent: news, olds, AND the manifest dir are durable
+    // before any lake mutation — recovery must fold the SAME manifest the
+    // interrupted pass would have (a roll-forward that skipped the fold
+    // would retire files the chain still names)
     FsOps.atomicWrite(hconf, fs, ctl(lake, "intent"),
-      (news.map(n => "N " + fs.makeQualified(n._2).toString) ++ olds.map("O " + _))
+      (manifestDir.map("M " + _).toSeq ++
+        news.map(n => "N " + fs.makeQualified(n._2).toString) ++ olds.map("O " + _))
         .mkString("\n").getBytes("UTF-8"))
 
     // 4. promote; 5. commit point; 6. retire olds; 7. manifest; 8. clear
@@ -108,9 +114,13 @@ object Compact {
     val lines = FsOps.readString(fs, intent).split("\n").filter(_.nonEmpty)
     val news = lines.collect { case l if l.startsWith("N ") => l.drop(2) }.toSeq
     val olds = lines.collect { case l if l.startsWith("O ") => l.drop(2) }.toSeq
+    // the interrupted pass's own manifest dir wins: a standalone
+    // recover() must fold the same chain that pass was maintaining
+    val mdir = lines.collectFirst { case l if l.startsWith("M ") => l.drop(2) }
+      .orElse(manifestDir)
     if (fs.exists(ctl(lake, "promoted"))) {
       // commit point passed: news are all in place — finish retiring olds
-      finish(spark, fs, lake, olds, news, manifestDir)
+      finish(spark, fs, lake, olds, news, mdir)
     } else {
       // not committed: olds are intact — remove any promoted news and stage
       news.foreach(n => FsOps.deleteOrThrow(fs, new HPath(n), recursive = false))

@@ -105,12 +105,14 @@ class CompactSpec extends SparkSuite {
     val made = fs.listStatus(new HPath(s"$lake/_compact/tmp")).map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
     graft.streaming.FsOps.renameOrThrow(fs, made, packed)
+    // the intent records the manifest dir; recovery is called WITHOUT it
+    // (a standalone recover must fold the interrupted pass's own chain)
     graft.streaming.FsOps.atomicWrite(spark.sessionState.newHadoopConf(), fs,
       new HPath(s"$lake/_compact/intent"),
-      (s"N ${fs.makeQualified(packed)}\n" +
+      (s"M $mdir\nN ${fs.makeQualified(packed)}\n" +
         origA.toSeq.sorted.map("O " + _).mkString("\n")).getBytes("UTF-8"))
     fs.create(new HPath(s"$lake/_compact/promoted"), true).close()
-    Compact.recover(spark, lake, Some(mdir))
+    Compact.recover(spark, lake)
     def norm(u: String) = new HPath(u).toString
     assert(spark.read.parquet(s"$lake/part=a").inputFiles.map(norm).toSet ==
       Set(norm(fs.makeQualified(packed).toString)), "olds retired, packed file serves")
@@ -119,6 +121,17 @@ class CompactSpec extends SparkSuite {
     assert(chain == Seq(fs.makeQualified(packed).toString))
     assert(!fs.exists(new HPath(s"$lake/_compact/intent")))
     assert(!fs.exists(new HPath(s"$lake/_compact/promoted")))
+  }
+
+  test("compacts an unpartitioned lake (data files at the root)") {
+    val lake = tmpDir("graft-cpr-")
+    (1 to 100).map(i => (i.toLong, s"r-$i")).toDF("id", "v")
+      .repartition(5).write.mode("overwrite").parquet(lake)
+    val before = spark.read.parquet(lake).select($"id", $"v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(Compact.run(spark, lake, 1L << 30) == Compact.Stats(1, 5, 1))
+    assert(spark.read.parquet(lake).select($"id", $"v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == before)
   }
 
   test("refuses a FileStreamSink lake (_spark_metadata)") {
