@@ -284,6 +284,56 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * gets a `cluster_id` = the smallest doc id reachable through verified
+    * pairs — the step that turns pairwise "A≈B" verdicts into duplicate
+    * GROUPS so one canonical doc per group survives (pairwise drop-the-
+    * larger loses docs when clusters overlap: {A,B} and {B,C} would drop
+    * both B and C even if A≉C).
+    *
+    * Algorithm: hash-min label propagation — each round every vertex takes
+    * the min of its own label and its neighbors' labels. Converges in
+    * (cluster diameter) rounds; near-dup clusters are shallow (members are
+    * mutual near-copies), so 3-5 rounds is typical. Each round is ONE
+    * shuffle of (id, label) pairs — never documents — and each intermediate
+    * is `localCheckpoint`ed to truncate lineage (iteration N's plan would
+    * otherwise embed all N-1 predecessors; on a real cluster, swap in
+    * `checkpoint` against a reliable dir). Convergence is detected by the
+    * label sum (labels only decrease, so an unchanged sum ⇒ fixpoint) —
+    * one scalar agg per round, no self-join diff.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round — never recompute the pair source
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold via a shingle-join (skips LSH;
     * right for the verify path and small-to-medium corpora — the shingle
     * join only materializes pairs that share a shingle).

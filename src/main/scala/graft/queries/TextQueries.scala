@@ -576,6 +576,149 @@ object TextQueries {
          |  FROM btoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x))
          |SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_hits
          |FROM tsh a JOIN bsh b USING (shingle)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- PII redaction: emails/SSNs/phones/IPv4 → typed placeholders, the
+    // pre-training scrub pass. The corpus is synthetic word-soup with no
+    // real PII, so known spans are planted per id range; the redacted text
+    // itself is oracle-checked via md5 (both engines run the identical
+    // Java/RE2-common regex program). Pure narrow column work — no shuffle.
+    Q("q69_pii_redaction", (s, d) => {
+      import graft.functions.PiiFunctions
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 30)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact alice.smith@example-corp.com or bob99@mail.example.org")).as("text"))
+        .unionByName(docs.where(col("doc_id") >= 30 && col("doc_id") < 60)
+          .select(col("doc_id"), concat(col("text"),
+            lit(" call 555-867-5309 or 410.555.1234")).as("text")))
+        .unionByName(docs.where(col("doc_id") >= 60 && col("doc_id") < 90)
+          .select(col("doc_id"), concat(col("text"),
+            lit(" ssn 123-45-6789 on file")).as("text")))
+        .unionByName(docs.where(col("doc_id") >= 90 && col("doc_id") < 120)
+          .select(col("doc_id"), concat(col("text"),
+            lit(" from 192.168.1.100 and 10.0.0.7")).as("text")))
+        .unionByName(docs.where(col("doc_id") >= 120))
+      planted.select(col("doc_id"),
+          PiiFunctions.emailCount(col("text")).as("n_email"),
+          PiiFunctions.ssnCount(col("text")).as("n_ssn"),
+          PiiFunctions.phoneCount(col("text")).as("n_phone"),
+          PiiFunctions.ipv4Count(col("text")).as("n_ip"),
+          md5(PiiFunctions.redactPii(col("text")).cast("binary")).as("redacted_fp"))
+        .where(col("n_email") + col("n_ssn") + col("n_phone") + col("n_ip") > 0)
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH planted AS (
+         |  SELECT doc_id, text || ' contact alice.smith@example-corp.com or bob99@mail.example.org' AS text
+         |  FROM documents WHERE doc_id < 30
+         |  UNION ALL SELECT doc_id, text || ' call 555-867-5309 or 410.555.1234'
+         |  FROM documents WHERE doc_id >= 30 AND doc_id < 60
+         |  UNION ALL SELECT doc_id, text || ' ssn 123-45-6789 on file'
+         |  FROM documents WHERE doc_id >= 60 AND doc_id < 90
+         |  UNION ALL SELECT doc_id, text || ' from 192.168.1.100 and 10.0.0.7'
+         |  FROM documents WHERE doc_id >= 90 AND doc_id < 120
+         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 120),
+         |c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         |    '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS redacted_fp
+         |  FROM planted)
+         |SELECT * FROM c WHERE n_email + n_ssn + n_phone + n_ip > 0
+         |ORDER BY doc_id""".stripMargin)),
+
+    // ---- duplicate CLUSTERS: LSH candidates → Jaccard-verified pairs →
+    // connected components (hash-min label propagation), so overlapping
+    // pairs collapse into groups with one canonical survivor each. The
+    // planted corpus yields 3-member clusters (base + near variant + exact
+    // copy) for ids < 20 and 2-member clusters for 20 ≤ id < 50. Oracle
+    // recomputes the identical deterministic LSH pipeline, then closes the
+    // pair graph with a recursive CTE.
+    Q("q70_dup_clusters", (s, d) => {
+      val planted = withPlanted(s, d)
+      val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+      val shingled = arrays.select(col("id"), explode(col("sh")).as("shingle"))
+      val candidates = Dedup.lshCandidates(
+        Dedup.minhashBands(shingled, k = 16, rowsPerBand = 2))
+      val pairs = Dedup.jaccardOnArrays(candidates, arrays)
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("cluster_id"))
+    }, Some(
+      s"""WITH RECURSIVE docs AS ($plantedSql),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+         |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+         |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+         |        GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+         |          FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+         |         WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+         |           FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |           JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN counts ca ON ca.doc_id = id_a
+         |          JOIN counts cb ON cb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS v FROM edges),
+         |reach AS (SELECT v, v AS r FROM verts
+         |          UNION
+         |          SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |labels AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members, CAST(MAX(v) AS BIGINT) AS max_id
+         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
+    // ---- TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df).
+    // Raw idf (N/df, no log) keeps the score an exact integer ratio — IEEE
+    // division is bit-identical across engines, so ranking parity is exact
+    // (ln() would differ in the last ulp between libm builds). Emits (tf,
+    // df) integers, not the float score. df is corpus-global; the per-doc
+    // window ranks only the reported id slice.
+    Q("q71_tfidf_keywords", (s, d) => {
+      val terms = tbl(s, d, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = broadcast(tf.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") * col("n_docs") / col("df")).desc, col("term"))
+      tf.where(col("doc_id") < 100)
+        .join(dfreq, Seq("term"))
+        .crossJoin(nDocs)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some(
+      s"""WITH terms AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+         |ranked AS (SELECT doc_id, term, tf, df,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, term) AS BIGINT) AS rank
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         |  WHERE doc_id < 100)
+         |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin))
   )
 }

@@ -159,4 +159,25 @@ class DedupSpec extends SparkSuite {
     assert(reasons(1L).isEmpty, "the smaller id of the pair survives")
     assert(reasons(3L).isEmpty, "unrelated doc must not be paired")
   }
+
+  test("connected components collapse overlapping pairs into clusters") {
+    // path 1-2-3-4-5 (diameter 4 forces several propagation rounds), an
+    // isolated pair, and a star — pairwise drop-the-larger would over-drop
+    // the path's middle; components must label every member with the min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+  }
+
+  test("cluster convergence on a long path needs more than one round") {
+    // 12-vertex path: hash-min propagates one hop per round, so this
+    // exercises the iteration + localCheckpoint loop well past round 1
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect()
+    assert(got.length == 12 && got.forall(_._2 == 0L),
+      s"all path members must reach label 0, got ${got.filter(_._2 != 0L).toSeq}")
+  }
 }
