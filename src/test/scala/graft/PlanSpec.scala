@@ -117,6 +117,27 @@ class PlanSpec extends SparkSuite {
       s"q63 must not join shingle tables on the shingle alone:\n$p")
   }
 
+  test("q70 cluster pair generation is the banded LSH join, no shingle self-join") {
+    // q70's returned plan is lineage-truncated by the clustering loop's
+    // localCheckpoints, so pin the pair STAGE it feeds from: same banded
+    // candidates + array_intersect verify contract as q47/q63
+    import graft.operators.Dedup
+    val docs = Registry.tbl(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val arrays = Dedup.shingleArrays(docs, "doc_id", "text", n = 3)
+    val shingled = arrays.select(org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("sh")).as("shingle"))
+    val pairs = Dedup.jaccardOnArrays(
+      Dedup.lshCandidates(Dedup.minhashBands(shingled, k = 16, rowsPerBand = 2)), arrays)
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("band_sig"), s"cluster pairs must come from LSH bands:\n$p")
+    assert(p.contains("array_intersect"), s"cluster verify must be candidate-bounded:\n$p")
+    assert(!p.matches("(?s).*\\[shingle#\\d+\\], \\[shingle#\\d+\\], Inner.*"),
+      s"cluster pair stage must not join shingle tables on the shingle alone:\n$p")
+  }
+
   test("as-of join is a single key-shuffle (one Exchange below the window)") {
     val p = plan("q14_asof_join")
     // union of both sides shuffles once on the key for the carry-forward
