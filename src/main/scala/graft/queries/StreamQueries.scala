@@ -438,6 +438,39 @@ object StreamQueries {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |SELECT id, value FROM ranked WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY id""".stripMargin))
+        |ORDER BY id""".stripMargin)),
+
+    // ---- generic push destination end-to-end (README.md:15's "any
+    // service" target): stream → JSON payloads → retrying batched push
+    // sink → in-memory destination; what ARRIVED must carry every source
+    // row exactly once (fresh checkpoint + reliable client ⇒ the
+    // at-least-once envelope's deterministic case; retry/DLQ behavior is
+    // PushSpec's). The delivered payloads are parsed back and aggregated
+    // against plain SQL over the source slice.
+    Q("q74_push_delivery", (s, d) => {
+      import graft.streaming.Push
+      val e = tbl(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val src = Registry.stageTable(s, d, "events",
+        Seq("event_id", "ts", "user_id", "event_type"))
+      val key = "graft_q74_" + java.util.UUID.randomUUID.toString
+      val stream = s.readStream.schema(e.schema).parquet(src)
+        .where(dayofmonth(col("ts")) <= 2)
+      val q = Push.start(stream,
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"))),
+        () => Push.MemoryDestination.client(key),
+        Push.Config(checkpointDir = tmp("graft-push-ck-"), batchSize = 200,
+          trigger = Trigger.AvailableNow()))
+      q.awaitTermination()
+      import s.implicits._
+      s.read.json(s.createDataset(Push.MemoryDestination.drain(key)))
+        .agg(count(lit(1)).as("n_delivered"),
+          countDistinct(col("event_id")).as("n_events"),
+          sum(col("user_id")).as("sum_users"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_delivered,
+        | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+        | CAST(SUM(user_id) AS BIGINT) AS sum_users
+        |FROM events WHERE day(ts) <= 2""".stripMargin))
   )
 }

@@ -719,6 +719,80 @@ object TextQueries {
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
          |  WHERE doc_id < 100)
          |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin))
+         |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- truncation-duplicate detection: group by the first-K-token
+    // fingerprint, catching the same article cut at different lengths —
+    // invisible to whole-text exact dedup (different md5) and expensive for
+    // MinHash (a long doc and its short prefix have low Jaccard). One
+    // shuffle of 32-byte prefix fingerprints, documents never move.
+    // Planted: docs with ≥ 40 tokens re-enter truncated to their first 30
+    // tokens (sharing the K=20 prefix with their source).
+    Q("q72_prefix_dedup", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val toks = TextFunctions.tokens(col("text"))
+      val truncated = docs
+        .where(col("doc_id") < 200 && size(toks) >= 40)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          concat_ws(" ", slice(toks, 1, 30)).as("text"))
+      val planted = docs.unionByName(truncated)
+      val pToks = TextFunctions.tokens(col("text"))
+      planted
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(pToks, 1, 20)).cast("binary")).as("prefix_fp"))
+        .groupBy(col("prefix_fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .where(col("dup_count") > 1)
+        .orderBy(col("prefix_fp"))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 800000 AS doc_id,
+         |    array_to_string(list_slice($toksSql, 1, 30), ' ') AS text
+         |  FROM documents WHERE doc_id < 200 AND len($toksSql) >= 40),
+         |fps AS (SELECT doc_id,
+         |  md5(array_to_string(list_slice($toksSql, 1, 20), ' ')) AS prefix_fp
+         |  FROM docs)
+         |SELECT prefix_fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS dup_count
+         |FROM fps GROUP BY prefix_fp HAVING COUNT(*) > 1
+         |ORDER BY prefix_fp""".stripMargin)),
+
+    // ---- token-window chunking: split each doc into fixed-size token
+    // windows with overlap (size 80, stride 60) — the standard context-
+    // window preprocessing step before tokenization. Chunk count is exact
+    // integer math (1 + ceil((len-80)/60) via div), so engine parity is
+    // arithmetic, not float. Narrow explode, no shuffle; chunk text is
+    // checked via md5.
+    Q("q73_token_chunks", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 200)
+      docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .withColumn("n_chunks",
+          when(size(col("t")) <= 80, lit(1L))
+            .otherwise(expr("(size(t) - 21) div 60") + 1L))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("t"), (col("chunk_id") * 60 + 1).cast("int"), lit(80)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }, Some(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents
+         |  WHERE doc_id < 200 AND len($toksSql) > 0),
+         |spans AS (SELECT doc_id, t,
+         |    CASE WHEN len(t) <= 80 THEN 1 ELSE (len(t) - 21) // 60 + 1 END AS n_chunks
+         |  FROM toks),
+         |chunks AS (SELECT doc_id, x AS chunk_id,
+         |    list_slice(t, CAST(x * 60 + 1 AS INT), CAST(x * 60 + 80 AS INT)) AS chunk
+         |  FROM spans, UNNEST(generate_series(0, n_chunks - 1)) AS g(x))
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin))
   )
 }

@@ -110,6 +110,30 @@ object Push {
     }
   }
 
+  /** In-memory destination — the push-sink analogue of
+    * `writeStream.format("memory")`: delivered payloads accumulate in a
+    * process-local registry under `key`, for tests and the correctness
+    * harness (single-JVM local mode; a real deployment implements
+    * [[Client]] over the destination's SDK).
+    */
+  object MemoryDestination {
+    private val store =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.Queue[String]]()
+    def client(key: String): Client = new Client {
+      def send(batch: Seq[String]): Unit = {
+        val q = store.computeIfAbsent(key,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+        batch.foreach(q.add)
+      }
+    }
+    /** Remove and return everything delivered under `key`. */
+    def drain(key: String): Seq[String] = {
+      val q = store.remove(key)
+      if (q == null) Seq.empty
+      else { import scala.jdk.CollectionConverters._; q.asScala.toSeq }
+    }
+  }
+
   /** Exponential backoff, capped so a misconfigured retry count cannot
     * sleep an executor for hours (overflow-safe shift).
     */
