@@ -55,9 +55,14 @@ object TextFunctions {
 
   /** Language-ID heuristic: argmax of function-word hit counts, with a fixed
     * tie-break priority (en > es > de > fr > und). Deterministic; mirrored
-    * verbatim in SQL for the oracle.
+    * verbatim in SQL for the oracle. Evaluated by the native one-pass
+    * [[LangIdExpr]]; [[langIdComposed]] is the built-in-functions
+    * formulation it must stay bit-identical to (TextStatsSpec pins parity —
+    * the composed form costs ~16 interpreted regex+filter passes per row).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = TextStatsColumns.lang_id(text)
+
+  def langIdComposed(text: Column): Column = {
     val en = stopwordCount(text, StopwordsEn)
     val es = stopwordCount(text, StopwordsEs)
     val de = stopwordCount(text, StopwordsDe)
@@ -76,9 +81,13 @@ object TextFunctions {
   /** Composite document-quality score in [0,1]:
     * 0.4·min(1, chars/500) + 0.3·(1 − punct_ratio) + 0.3·min(1, 4·stop_ratio).
     * The weights are arbitrary but fixed; parity with the oracle is exact
-    * double arithmetic.
+    * double arithmetic. Evaluated by the native one-pass
+    * [[QualityScoreExpr]]; [[qualityScoreComposed]] is the reference
+    * formulation (TextStatsSpec pins bit-level parity).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = TextStatsColumns.quality_score(text)
+
+  def qualityScoreComposed(text: Column): Column = {
     val lenTerm = least(lit(1.0), charCount(text).cast("double") / 500.0)
     val punctTerm = lit(1.0) - punctRatio(text)
     val stopTerm = least(lit(1.0), stopwordRatio(text, StopwordsEn) * 4.0)

@@ -11,8 +11,9 @@ import graft.functions.TextFunctions
   *
   * Every stage is a deterministic column program over the operators in this
   * package, so the whole pipeline remains engine-portable (oracle-checkable)
-  * and shuffle-minimal: one fingerprint window exchange (exact), one fused
-  * minhash groupBy + banded candidate join (near), everything else narrow.
+  * and shuffle-minimal: one fingerprint window exchange (exact), one banded
+  * candidate join (near — signatures themselves are computed map-side by a
+  * native expression and never shuffle), everything else narrow.
   */
 object CorpusPipeline {
 
@@ -30,7 +31,15 @@ object CorpusPipeline {
       // at the default 0.5 threshold. Raising the threshold permits wider
       // bands (fewer, tighter candidates).
       minhashK: Int = 16,
-      rowsPerBand: Int = 2)
+      rowsPerBand: Int = 2,
+      // Width for the CPU-heavy shingle/signature stages. None inherits
+      // upstream partitioning — right when the corpus is large enough that
+      // scan/shuffle partitioning already provides width. Some(n) pins an
+      // explicit doc_id exchange that AQE's bytes-based coalescing cannot
+      // fold: per-document shingling + minhash are CPU-per-row bound, so
+      // at small data volumes (or after a highly-selective quality gate)
+      // coalescing-to-bytes serializes exactly the expensive stage.
+      parallelism: Option[Int] = None)
 
   /** Annotate each doc with pipeline verdicts. Output columns:
     * doc_id, text, quality, lang_pred, n_tokens, reject_reason (null = kept).
@@ -60,20 +69,22 @@ object CorpusPipeline {
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
 
     // near dups among surviving candidates: MinHash → LSH bands → candidate
-    // pairs → exact Jaccard verify. Banding is the fused single-shuffle
-    // form (k min-agg columns in one groupBy(id), band sigs as column
-    // concats — no interpreted collect_list/array_sort); the verify is an
+    // pairs → exact Jaccard verify. Banding is the ZERO-shuffle narrow form
+    // (all k minima per doc from the native MinHashSigs expression over the
+    // shingle array, band sigs as column concats — nothing signature-side
+    // ever exchanges); the verify is an
     // `array_intersect` over per-doc shingle ARRAYS fetched by two id
     // joins. The plan contains NO shingle-level join at all, so a common
     // shingle shared by k docs costs nothing unless LSH already paired
     // them (the k² blowup a shingle self-join would produce at corpus
     // scale). The larger id of each confirmed pair is dropped.
-    val survivors = withExact.where(!col("__exact_dup"))
+    val sur0 = withExact.where(!col("__exact_dup"))
       .select(col("doc_id"), col("text"))
+    val survivors = cfg.parallelism
+      .map(p => sur0.repartition(p, col("doc_id"))).getOrElse(sur0)
     val arrays = Dedup.shingleArrays(survivors, "doc_id", "text", n = 3)
-    val shingled = arrays.select(col("id"), explode(col("sh")).as("shingle"))
     val candidates = Dedup.lshCandidates(
-      Dedup.minhashBands(shingled, cfg.minhashK, cfg.rowsPerBand))
+      Dedup.minhashBandsNarrow(arrays, cfg.minhashK, cfg.rowsPerBand))
     val nearPairs = Dedup.jaccardOnArrays(candidates, arrays)
       .where(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()

@@ -82,6 +82,29 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
   }
 
+  /** MinHash → LSH bands with ZERO exchanges: signatures come from the
+    * native [[graft.functions.MinHashSigs]] expression (all k minima in one
+    * map-side pass over each doc's shingle ARRAY), and band signatures are
+    * column-level md5s over signature slices. Row-identical to
+    * `minhashBands(explode(arrays))` — same md5 inputs, same minima, same
+    * band hashing — but the per-document signature work never shuffles:
+    * the only exchange in an LSH dedup pass is the candidate join itself.
+    * Input: a [[shingleArrays]] frame (id, sh).
+    */
+  def minhashBandsNarrow(arrays: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.MinHashSigs.minhash_sigs
+    val bandCols = (0 until k / rowsPerBand).map { b =>
+      val sig = md5(concat_ws(",",
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*).cast("binary"))
+      struct(lit(b).as("band"), sig.as("band_sig"))
+    }
+    arrays.select(col("id"), minhash_sigs(col("sh"), k).as("sig"))
+      .where(size(col("sig")) > 0) // parity: sig-less docs had no agg rows
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
+  }
+
   /** LSH bands: group the k signature rows into bands of `rowsPerBand`, and
     * hash each band's ordered minhashes into one band signature.
     * Output: (id, band, band_sig).
@@ -258,6 +281,75 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_other"), col("jaccard"))
   }
+
+  /** Paragraph-level exact dedup: drop every paragraph that already
+    * appeared earlier in the corpus (first occurrence in (doc_id, position)
+    * order wins) and reassemble each document from its surviving
+    * paragraphs — the standard boilerplate-removal pass (nav bars, cookie
+    * banners, signature blocks repeat across millions of pages; whole-doc
+    * dedup never sees them).
+    *
+    * Scale shape: paragraphs are DECIDED by fingerprint — the keep/drop
+    * window shuffles (16-byte md5, doc_id, position) only — and paragraph
+    * TEXT moves once, in the reassembly exchange keyed by doc_id. The
+    * fp-keyed window never carries bodies, so a paragraph repeated a
+    * million times costs a million 28-byte rows in one partition, not a
+    * million bodies.
+    *
+    * Output: (doc_id, n_paras, n_kept, clean_text) — clean_text is the
+    * kept paragraphs joined by the separator, NULL when every paragraph of
+    * the doc was dropped (a fully-boilerplate doc). Paragraphs are literal
+    * `sep`-separated segments; fingerprints use [[TextFunctions
+    * .normalizedText]], so whitespace-only variants of a paragraph dedup
+    * together while reassembly preserves the kept originals verbatim.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("i", "para")))
+    val keyed = paras.select(col("doc_id"), col("i"),
+      TextFunctions.fingerprint(col("para")).as("fp"))
+    val keep = keyed.withColumn("rn",
+      row_number().over(Window.partitionBy(col("fp"))
+        .orderBy(col("doc_id"), col("i"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("i"))
+    val kept = paras.join(keep, Seq("doc_id", "i"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("i"), col("para")))),
+          x => x.getField("para")), sep).as("clean_text"))
+    docs.select(col(idCol).as("doc_id"),
+      (size(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+        .cast("long").as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_text"))
+  }
+
+  /** Directional shingle containment |A ∩ B| / |A| for candidate pairs —
+    * the partial-copy detector Jaccard under-scores: a short document fully
+    * contained in a long one has Jaccard ≈ |A|/|B| (small) but containment
+    * ≈ 1. Same join shape as [[jaccardOnArrays]]: two id joins fetch the
+    * shingle arrays, one codegen'd `array_intersect` per candidate pair,
+    * no shingle-level join anywhere.
+    * Output: (id_a, id_b, containment_a, containment_b, jaccard).
+    */
+  def containmentOnArrays(pairs: DataFrame, arrays: DataFrame): DataFrame =
+    pairs
+      .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / col("n_a")).as("containment_a"),
+        (col("common").cast("double") / col("n_b")).as("containment_b"),
+        (col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+          .as("jaccard"))
 
   /** Benchmark decontamination: flag training documents sharing at least
     * `minHits` word n-grams with any benchmark/eval document — the

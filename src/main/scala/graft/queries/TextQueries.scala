@@ -332,7 +332,12 @@ object TextQueries {
     // per-verdict audit — the end-to-end use case of the extension ops
     Q("q47_corpus_pipeline", (s, d) =>
       graft.operators.CorpusPipeline.auditSummary(
-        graft.operators.CorpusPipeline.annotate(withPlanted(s, d))),
+        graft.operators.CorpusPipeline.annotate(withPlanted(s, d),
+          // pin the shingle/signature width to the machine: AQE's
+          // bytes-based coalescing folds this small corpus onto 3-4 tasks
+          // and serializes the CPU-bound md5/ngram stages (measured 2×)
+          graft.operators.CorpusPipeline.Config(
+            parallelism = Some(s.sparkContext.defaultParallelism)))),
       Some(
         s"""WITH docs AS ($plantedSql),
            |base AS (SELECT doc_id, text, ROUND($qualitySql, 4) AS quality,
@@ -793,6 +798,138 @@ object TextQueries {
          |  FROM spans, UNNEST(generate_series(0, n_chunks - 1)) AS g(x))
          |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
-         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin))
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- paragraph-level exact dedup (boilerplate removal): paragraphs
+    // repeated across documents (nav bars, cookie banners, footers) are
+    // dropped everywhere but their first (doc_id, position) occurrence and
+    // documents are reassembled from the survivors. Planted: a shared
+    // footer on docs < 200, a shared header on docs < 50 — the repeated
+    // paragraphs whole-doc dedup (q33) is blind to. The keep/drop window
+    // shuffles fingerprints only; paragraph text moves once (reassembly).
+    Q("q75_paragraph_dedup", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") < 50,
+            lit("cookie notice we use cookies to improve your experience\n\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") < 200,
+            lit("\n\nsubscribe to our newsletter for more updates"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN doc_id < 50
+        |         THEN 'cookie notice we use cookies to improve your experience'
+        |              || chr(10) || chr(10) ELSE '' END
+        |    || text ||
+        |    CASE WHEN doc_id < 200
+        |         THEN chr(10) || chr(10)
+        |              || 'subscribe to our newsletter for more updates'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |paras AS (SELECT doc_id, x AS i, p[x] AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS p
+        |        FROM docs) t,
+        |  UNNEST(generate_series(1, len(p))) AS g(x)),
+        |keyed AS (SELECT doc_id, i, para,
+        |    md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS fp
+        |  FROM paras),
+        |keep AS (SELECT doc_id, i, para,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, i) AS rn
+        |  FROM keyed),
+        |kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY i) AS clean_text
+        |  FROM keep WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, chr(10) || chr(10))) AS BIGINT) AS n_paras,
+        |  COALESCE(kept.n_kept, 0) AS n_kept, md5(kept.clean_text) AS clean_fp
+        |FROM docs d LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // ---- shingle containment (partial-copy detection): a prefix copy of a
+    // long document has LOW Jaccard (≈ |A|/|B|) but containment ≈ 1 — the
+    // case Jaccard-thresholded near-dup removal under-scores. Candidates
+    // come from the same deterministic banded-LSH join (both engines
+    // compute identical bands, so the candidate set is identical — no
+    // probabilistic oracle fragility); the verify is one array_intersect
+    // per pair. Planted: 150-char prefix copies of docs < 40.
+    Q("q76_containment", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            substring(col("text"), 1, 150).as("text")))
+      val arrays = graft.operators.Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+      val cands = graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.minhashBandsNarrow(arrays, 16, 2))
+      graft.operators.Dedup.containmentOnArrays(cands, arrays)
+        .where(greatest(col("containment_a"), col("containment_b")) >= 0.9
+          && col("jaccard") < 0.9)
+        .select(col("id_a"), col("id_b"), col("containment_a"),
+          col("containment_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, substr(text, 1, 150) AS text
+         |  FROM documents WHERE doc_id < 40),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+         |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+         |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+         |        GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |          md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+         |          FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.band_sig = b.band_sig
+         |         WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT id_a, id_b, COUNT(*) AS common
+         |           FROM cand JOIN sh a ON a.doc_id = id_a
+         |           JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(common AS DOUBLE) / ca.n AS containment_a,
+         |  CAST(common AS DOUBLE) / cb.n AS containment_b,
+         |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+         |FROM common JOIN counts ca ON ca.doc_id = id_a
+         |JOIN counts cb ON cb.doc_id = id_b
+         |WHERE GREATEST(CAST(common AS DOUBLE) / ca.n,
+         |               CAST(common AS DOUBLE) / cb.n) >= 0.9
+         |  AND CAST(common AS DOUBLE) / (ca.n + cb.n - common) < 0.9
+         |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- source-level reputation filtering: the domain-filter pass of web
+    // pipelines — aggregate document quality per source, drop sources in
+    // the bottom quartile by average quality. Two tiny aggregations (20
+    // sources) + a broadcast threshold; the 100 TB corpus contributes one
+    // partial-agg pass, documents never shuffle.
+    Q("q77_source_reputation", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val perSrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("quality")).as("avg_q"))
+      val thr = perSrc.agg(expr("percentile(avg_q, 0.25)").as("thr"))
+      perSrc.crossJoin(broadcast(thr))
+        .select(col("source"), col("n_docs"), round(col("avg_q"), 4).as("avg_q"),
+          (col("avg_q") >= col("thr")).as("kept"))
+        .orderBy(col("source"))
+    }, Some(
+      s"""WITH q AS (SELECT source, $qualitySql AS quality FROM documents),
+         |per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    AVG(quality) AS avg_q FROM q GROUP BY source),
+         |t AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY avg_q) AS thr
+         |      FROM per_src)
+         |SELECT source, n_docs, ROUND(avg_q, 4) AS avg_q, avg_q >= thr AS kept
+         |FROM per_src, t ORDER BY source""".stripMargin))
   )
 }
