@@ -160,8 +160,8 @@ object TextQueries {
 
     // ---- MinHash signatures + LSH bands (signature math oracle-checked)
     Q("q35_minhash_bands", (s, d) =>
-      Dedup.minhashBands(
-        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16, rowsPerBand = 4)
+      Dedup.minhashBandsNarrow(
+        Dedup.shingleArrays(withPlanted(s, d), "doc_id", "text", n = 3), k = 16, rowsPerBand = 4)
         .select(col("id").as("doc_id"), col("band"), col("band_sig"))
         .orderBy(col("doc_id"), col("band")),
       Some(
@@ -178,8 +178,8 @@ object TextQueries {
 
     // ---- LSH candidate pairs (the actual near-dup join over bands)
     Q("q36_minhash_lsh_pairs", (s, d) =>
-      Dedup.lshCandidates(Dedup.minhashBands(
-        Dedup.shingleTable(withPlanted(s, d), "doc_id", "text", n = 3), k = 16, rowsPerBand = 4))
+      Dedup.lshCandidates(Dedup.minhashBandsNarrow(
+        Dedup.shingleArrays(withPlanted(s, d), "doc_id", "text", n = 3), k = 16, rowsPerBand = 4))
         .orderBy(col("id_a"), col("id_b")),
       Some(
         s"""WITH docs AS ($plantedSql),
@@ -461,9 +461,9 @@ object TextQueries {
       val exact = Dedup.incrementalExact(incoming, "doc_id", "text",
         corpus.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
       val near = Dedup.incrementalNearDups(
-        Dedup.minhashBands(Dedup.shingleTable(incoming, "doc_id", "text", 3), 16, 2),
+        Dedup.minhashBandsNarrow(Dedup.shingleArrays(incoming, "doc_id", "text", 3), 16, 2),
         Dedup.shingleArrays(incoming, "doc_id", "text", 3),
-        Dedup.minhashBands(Dedup.shingleTable(corpus, "doc_id", "text", 3), 16, 2),
+        Dedup.minhashBandsNarrow(Dedup.shingleArrays(corpus, "doc_id", "text", 3), 16, 2),
         Dedup.shingleArrays(corpus, "doc_id", "text", 3), threshold = 0.5)
       exact.groupBy(col("verdict")).agg(count(lit(1)).as("n"))
         .unionByName(near.agg(count(lit(1)).as("n"))
@@ -647,9 +647,8 @@ object TextQueries {
     Q("q70_dup_clusters", (s, d) => {
       val planted = withPlanted(s, d)
       val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
-      val shingled = arrays.select(col("id"), explode(col("sh")).as("shingle"))
       val candidates = Dedup.lshCandidates(
-        Dedup.minhashBands(shingled, k = 16, rowsPerBand = 2))
+        Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
       val pairs = Dedup.jaccardOnArrays(candidates, arrays)
         .where(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
