@@ -124,6 +124,16 @@ object StreamQueries {
       // store files regardless of how empty it is)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      // INNER stream-stream join: every result row emits in the data batch
+      // that completes the match; the trailing no-data micro-batch exists
+      // only to advance the watermark and evict state, producing zero rows
+      // here. Skipping it (state then evicts on the next data batch) is
+      // the right production setting for inner joins too — it halves the
+      // per-trigger state-store commit count. Outer joins DO need it (the
+      // watermark batch emits the null-padded side), so it is scoped to
+      // this query, not a session default.
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
       val purchases = s.readStream.schema(e.schema).parquet(src)
         .where(col("event_type") === "purchase")
@@ -141,7 +151,10 @@ object StreamQueries {
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy(col("purchase_id"), col("signup_id"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     }, Some(
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
         |FROM events p JOIN events s
