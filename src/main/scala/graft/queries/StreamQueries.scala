@@ -484,6 +484,89 @@ object StreamQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_delivered,
         | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
         | CAST(SUM(user_id) AS BIGINT) AS sum_users
-        |FROM events WHERE day(ts) <= 2""".stripMargin))
+        |FROM events WHERE day(ts) <= 2""".stripMargin)),
+
+    // ---- streaming corpus-index dedup (the streaming form of q63): a
+    // continuously-fed corpus classifies each incoming micro-batch against
+    // an ACCUMULATING fingerprint index — batch k's duplicates-of-batch-j
+    // (j < k) are known_dup, not missed — and appends its unseen
+    // fingerprints as an idempotent per-batch delta (replay overwrites,
+    // never double-appends; CorpusIndexSpec pins crash semantics).
+    // Batches are three staged files with pinned mtimes (deterministic
+    // arrival order); planted copies exercise every verdict across batch
+    // boundaries. Bounded id ranges keep the query sf-independent.
+    Q("q78_stream_corpus_index", (s, d) => {
+      import graft.streaming.CorpusIndex
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = tmp("graft-q78-")
+      CorpusIndex.seed(docs.where(col("doc_id") < 300), "doc_id", "text",
+        s"$base/index")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val t = tmp("graft-q78-stage-")
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        val part = new java.io.File(t).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"))
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = System.currentTimeMillis() - 600000
+      stage(docs.where(col("doc_id") >= 300 && col("doc_id") < 360)
+        .unionByName(docs.where(col("doc_id") < 10) // copies of seed → known_dup
+          .select((col("doc_id") + 800000).as("doc_id"), col("text"))), "b0", t0)
+      stage(docs.where(col("doc_id") >= 360 && col("doc_id") < 420)
+        .unionByName(docs.where(col("doc_id") >= 300 && col("doc_id") < 310)
+          .select((col("doc_id") + 810000).as("doc_id"), col("text"))), // dup of b0 → known_dup
+        "b1", t0 + 2000)
+      stage(docs.where(col("doc_id") >= 420 && col("doc_id") < 480)
+        .unionByName(docs.where(col("doc_id") === 420) // in-batch dups → batch_dup
+          .select((col("doc_id") + 820000).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") === 420)
+          .select((col("doc_id") + 820001).as("doc_id"), col("text"))), "b2", t0 + 4000)
+      val stream = s.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      CorpusIndex.start(stream, "doc_id", "text", s"$base/index",
+        s"$base/verdicts", s"$base/ck").awaitTermination()
+      s.read.schema("doc_id long, fp string, verdict string, batch long")
+        .parquet(s"$base/verdicts")
+        .select(col("batch"), col("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH seed AS (SELECT DISTINCT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id < 300),
+        |stream AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch, doc_id, text FROM documents
+        |    WHERE doc_id >= 300 AND doc_id < 360
+        |  UNION ALL
+        |  SELECT 0, doc_id + 800000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT 1, doc_id, text FROM documents WHERE doc_id >= 360 AND doc_id < 420
+        |  UNION ALL
+        |  SELECT 1, doc_id + 810000, text FROM documents
+        |    WHERE doc_id >= 300 AND doc_id < 310
+        |  UNION ALL
+        |  SELECT 2, doc_id, text FROM documents WHERE doc_id >= 420 AND doc_id < 480
+        |  UNION ALL
+        |  SELECT 2, doc_id + 820000, text FROM documents WHERE doc_id = 420
+        |  UNION ALL
+        |  SELECT 2, doc_id + 820001, text FROM documents WHERE doc_id = 420),
+        |fps AS (SELECT batch, doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM stream),
+        |known AS (SELECT f.batch, f.doc_id, f.fp,
+        |    EXISTS (SELECT 1 FROM seed WHERE seed.fp = f.fp)
+        |      OR EXISTS (SELECT 1 FROM fps e
+        |                 WHERE e.fp = f.fp AND e.batch < f.batch) AS is_known,
+        |    MIN(doc_id) OVER (PARTITION BY batch, fp) AS batch_min
+        |  FROM fps f)
+        |SELECT batch, doc_id,
+        |  CASE WHEN is_known THEN 'known_dup'
+        |       WHEN doc_id <> batch_min THEN 'batch_dup'
+        |       ELSE 'new' END AS verdict
+        |FROM known ORDER BY doc_id""".stripMargin))
   )
 }

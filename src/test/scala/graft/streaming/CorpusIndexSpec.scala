@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSuite
+
+class CorpusIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Write rows as ONE parquet file `<dir>/<name>.parquet` with a pinned
+    * mtime so the file stream processes batches in a deterministic order.
+    */
+  private def stageFile(rows: Seq[(Long, String)], dir: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft-ci-stage-").toString
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(dir))
+    Files.move(part.toPath, Paths.get(dir, s"$name.parquet"))
+    Files.setLastModifiedTime(Paths.get(dir, s"$name.parquet"), FileTime.fromMillis(mtime))
+  }
+
+  private def runStream(srcDir: String, base: String, ck: String): Unit = {
+    val docs = spark.readStream
+      .schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = CorpusIndex.start(docs, "doc_id", "text",
+      s"$base/index", s"$base/verdicts", ck, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("batches classify against the accumulating index in arrival order") {
+    val base = Files.createTempDirectory("graft-ci-").toString
+    val src = s"$base/src"
+    val t0 = System.currentTimeMillis() - 60000
+    CorpusIndex.seed(Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/index")
+    stageFile(Seq((10L, "alpha"), (11L, "gamma")), src, "b0", t0)          // known, new
+    stageFile(Seq((20L, "gamma"), (21L, "delta"), (22L, "delta")), src, "b1", t0 + 2000)
+    runStream(src, base, s"$base/ck")
+
+    val got = spark.read.parquet(s"$base/verdicts")
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      10L -> "known_dup", // alpha seeded
+      11L -> "new",       // gamma first seen in b0
+      20L -> "known_dup", // gamma known from b0's delta
+      21L -> "new",       // delta keeper in b1
+      22L -> "batch_dup"))
+    // index now holds exactly the distinct fingerprints ever seen
+    val idx = spark.read.schema("fp string, delta long").parquet(s"$base/index")
+    assert(idx.select($"fp").distinct().count() === 4) // alpha beta gamma delta
+  }
+
+  test("replaying the stream is idempotent: deltas overwrite, never double-append") {
+    val base = Files.createTempDirectory("graft-ci-").toString
+    val src = s"$base/src"
+    val t0 = System.currentTimeMillis() - 60000
+    CorpusIndex.seed(Seq((1L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/index")
+    stageFile(Seq((10L, "alpha"), (11L, "gamma")), src, "b0", t0)
+    stageFile(Seq((20L, "gamma")), src, "b1", t0 + 2000)
+    runStream(src, base, s"$base/ck1")
+    val before = spark.read.schema("fp string, delta long")
+      .parquet(s"$base/index").collect().toSet
+    // crash-and-lose-the-checkpoint: the whole stream replays with the
+    // same batch ids against the existing index/verdict dirs
+    runStream(src, base, s"$base/ck2")
+    val after = spark.read.schema("fp string, delta long")
+      .parquet(s"$base/index").collect().toSet
+    assert(after === before)
+    // and verdicts are unchanged too — batch 0 must NOT classify gamma as
+    // known_dup from its own prior delta (self-delta is excluded)
+    val got = spark.read.parquet(s"$base/verdicts")
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(got(11L) === "new" && got(20L) === "known_dup")
+  }
+
+  test("missing index reads as empty; probe never shuffles document text") {
+    val empty = CorpusIndex.readIndex(spark,
+      Files.createTempDirectory("graft-ci-").toString + "/nope", -42L)
+    assert(empty.count() === 0)
+  }
+}
