@@ -567,6 +567,102 @@ object StreamQueries {
         |  CASE WHEN is_known THEN 'known_dup'
         |       WHEN doc_id <> batch_min THEN 'batch_dup'
         |       ELSE 'new' END AS verdict
-        |FROM known ORDER BY doc_id""".stripMargin))
+        |FROM known ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming NEAR-dup against the accumulating LSH index (the
+    // near-dup completion of q78): batches are banded map-side, probed
+    // against every earlier delta, Jaccard-verified, then appended to the
+    // index. Planted near-variants cross every boundary: batch-vs-seed,
+    // batch-vs-earlier-batch, within-batch. The oracle mirrors the exact
+    // deterministic band math (q63's pattern) with sequential batch
+    // constraints, so parity is exact, not probabilistic.
+    Q("q79_stream_near_dedup", (s, d) => {
+      import graft.streaming.CorpusIndex
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val base = tmp("graft-q79-")
+      CorpusIndex.seedNear(docs.where(col("doc_id") < 60), "doc_id", "text",
+        s"$base/index")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val t = tmp("graft-q79-stage-")
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        val part = new java.io.File(t).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"))
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val variant = (idOff: Long) => (df: org.apache.spark.sql.DataFrame) =>
+        df.select((col("doc_id") + idOff).as("doc_id"),
+          concat(col("text"), lit(" streaming near variant")).as("text"))
+      val t0 = System.currentTimeMillis() - 600000
+      stage(docs.where(col("doc_id") >= 60 && col("doc_id") < 90)
+        .unionByName(variant(830000L)(docs.where(col("doc_id") < 5))), "b0", t0)
+      stage(docs.where(col("doc_id") >= 90 && col("doc_id") < 120)
+        .unionByName(variant(840000L)(
+          docs.where(col("doc_id") >= 60 && col("doc_id") < 65))), "b1", t0 + 2000)
+      stage(docs.where(col("doc_id") >= 120 && col("doc_id") < 150)
+        .unionByName(variant(850000L)(docs.where(col("doc_id") === 120))),
+        "b2", t0 + 4000)
+      val stream = s.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      CorpusIndex.startNear(stream, "doc_id", "text", s"$base/index",
+        s"$base/pairs", s"$base/ck").awaitTermination()
+      s.read.schema("id_new long, id_other long, jaccard double, batch long")
+        .parquet(s"$base/pairs")
+        .select(col("batch"), col("id_new"), col("id_other"), col("jaccard"))
+        .orderBy(col("id_new"), col("id_other"))
+    }, Some(
+      s"""WITH stream AS (
+         |  SELECT CAST(0 AS BIGINT) AS batch, doc_id, text FROM documents
+         |    WHERE doc_id >= 60 AND doc_id < 90
+         |  UNION ALL
+         |  SELECT 0, doc_id + 830000, text || ' streaming near variant'
+         |    FROM documents WHERE doc_id < 5
+         |  UNION ALL
+         |  SELECT 1, doc_id, text FROM documents WHERE doc_id >= 90 AND doc_id < 120
+         |  UNION ALL
+         |  SELECT 1, doc_id + 840000, text || ' streaming near variant'
+         |    FROM documents WHERE doc_id >= 60 AND doc_id < 65
+         |  UNION ALL
+         |  SELECT 2, doc_id, text FROM documents WHERE doc_id >= 120 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT 2, doc_id + 850000, text || ' streaming near variant'
+         |    FROM documents WHERE doc_id = 120),
+         |allsides AS (
+         |  SELECT CAST(-1 AS BIGINT) AS batch, doc_id, text FROM documents
+         |    WHERE doc_id < 60
+         |  UNION ALL SELECT batch, doc_id, text FROM stream),
+         |toks AS (SELECT batch, doc_id, ${TextQueries.toksSql} AS t FROM allsides
+         |         WHERE len(${TextQueries.toksSql}) >= 3),
+         |sh AS (SELECT DISTINCT batch, doc_id,
+         |         t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+         |sig AS (SELECT batch, doc_id, i,
+         |         MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+         |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+         |        GROUP BY batch, doc_id, i),
+         |bands AS (SELECT batch, doc_id, i // 2 AS band,
+         |          md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+         |          FROM sig GROUP BY batch, doc_id, band),
+         |cand AS (SELECT DISTINCT n.batch, n.doc_id AS id_new, o.doc_id AS id_other
+         |         FROM bands n JOIN bands o
+         |           ON n.band = o.band AND n.band_sig = o.band_sig
+         |         WHERE n.batch >= 0
+         |           AND (o.batch < n.batch
+         |                OR (o.batch = n.batch AND o.doc_id < n.doc_id))),
+         |counts AS (SELECT doc_id, COUNT(*) AS cnt FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.batch, c.id_new, c.id_other, COUNT(*) AS n_common
+         |           FROM cand c JOIN sh a ON a.doc_id = c.id_new
+         |           JOIN sh b ON b.doc_id = c.id_other AND b.shingle = a.shingle
+         |           GROUP BY 1, 2, 3)
+         |SELECT batch, id_new, id_other,
+         |  CAST(n_common AS DOUBLE) / (ca.cnt + cb.cnt - n_common) AS jaccard
+         |FROM common JOIN counts ca ON ca.doc_id = id_new
+         |JOIN counts cb ON cb.doc_id = id_other
+         |WHERE CAST(n_common AS DOUBLE) / (ca.cnt + cb.cnt - n_common) >= 0.5
+         |ORDER BY id_new, id_other""".stripMargin))
   )
 }

@@ -58,6 +58,76 @@ object CorpusIndex {
       .select(col("fp"))
   }
 
+  val BandsSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("band", org.apache.spark.sql.types.IntegerType),
+    StructField("band_sig", StringType)))
+  val ArraysSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sh", org.apache.spark.sql.types.ArrayType(StringType))))
+
+  private def readDeltas(spark: SparkSession, dir: String, schema: StructType,
+      excludeDelta: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(StructType(schema.fields :+ StructField("delta", LongType)))
+      .parquet(dir)
+      .where(col("delta") =!= excludeDelta)
+      .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Seed the NEAR-dup index (LSH bands + shingle arrays) from an existing
+    * corpus, as delta = -1.
+    */
+  def seedNear(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      k: Int = 16, rowsPerBand: Int = 2): Unit = {
+    val arrays = Dedup.shingleArrays(docs, idCol, textCol, n = 3)
+    arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=-1")
+    Dedup.minhashBandsNarrow(arrays, k, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$indexDir/bands/delta=-1")
+  }
+
+  /** Streaming NEAR-dup detection against an accumulating LSH index — the
+    * streaming form of [[Dedup.incrementalNearDups]]. Each batch's docs are
+    * banded map-side ([[Dedup.minhashBandsNarrow]] — zero signature-stage
+    * exchanges), probed against every earlier delta's bands (plus the batch
+    * against itself, smaller id wins), Jaccard-verified over shingle
+    * arrays, and the batch's own bands/arrays are appended as idempotent
+    * per-batch deltas — same overwrite-by-batchId replay contract as
+    * [[start]], self-delta excluded from the probe.
+    *
+    * Index volume: bands are k/rowsPerBand 32-byte rows per doc; shingle
+    * arrays dominate (≈ doc token count × ~3 words each). A production
+    * variant can re-derive arrays from stored text at verify time and keep
+    * only bands indexed; both sides of that trade are one config away
+    * (the verify join takes any (id, sh) frame).
+    * Output: `outDir/batch=<id>/` rows (id_new, id_other, jaccard ≥
+    * threshold) with id_other from the corpus, earlier batches, or a
+    * smaller same-batch id.
+    */
+  def startNear(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      k: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val arrays = Dedup.shingleArrays(batch, idCol, textCol, n = 3)
+        val bands = Dedup.minhashBandsNarrow(arrays, k, rowsPerBand)
+        val corpusBands = readDeltas(spark, s"$indexDir/bands", BandsSchema, batchId)
+        val corpusArrays = readDeltas(spark, s"$indexDir/arrays", ArraysSchema, batchId)
+        Dedup.incrementalNearDups(bands, arrays, corpusBands, corpusArrays, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        bands.write.mode("overwrite").parquet(s"$indexDir/bands/delta=$batchId")
+        arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=$batchId")
+        ()
+      }
+      .start()
+
   /** Start the streaming dedup. `docs` is a streaming DataFrame with
     * (idCol: long, textCol: string). Verdicts land in
     * `verdictDir/batch=<id>/` as (doc_id, fp, verdict).

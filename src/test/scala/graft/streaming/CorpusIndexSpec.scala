@@ -81,6 +81,33 @@ class CorpusIndexSpec extends SparkSuite {
     assert(got(11L) === "new" && got(20L) === "known_dup")
   }
 
+  test("near-dup stream pairs each batch against seed, earlier batches, and itself") {
+    val base = Files.createTempDirectory("graft-ci-").toString
+    val src = s"$base/src"
+    val t0 = System.currentTimeMillis() - 60000
+    def words(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val seedText = words("alpha")
+    CorpusIndex.seedNear(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/index")
+    // b0: near-variant of the seed + an unrelated doc
+    stageFile(Seq((10L, seedText + " tail"), (11L, words("beta"))), src, "b0", t0)
+    // b1: near-variant of b0's beta + two in-batch near-variants of gamma
+    stageFile(Seq((20L, words("beta") + " tail"),
+      (21L, words("gamma")), (22L, words("gamma") + " tail")), src, "b1", t0 + 2000)
+    val docs = spark.readStream.schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = CorpusIndex.startNear(docs, "doc_id", "text",
+      s"$base/index", s"$base/pairs", s"$base/ck")
+    q.awaitTermination()
+    val got = spark.read.schema("id_new long, id_other long, jaccard double, batch long")
+      .parquet(s"$base/pairs")
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (10L, 1L),   // batch 0 vs seed
+      (20L, 11L),  // batch 1 vs batch 0's delta
+      (22L, 21L))) // within batch 1, smaller id is the "other"
+  }
+
   test("missing index reads as empty; probe never shuffles document text") {
     val empty = CorpusIndex.readIndex(spark,
       Files.createTempDirectory("graft-ci-").toString + "/nope", -42L)
