@@ -34,16 +34,27 @@ object Bench {
     // report steady-state latency: median of 3 runs per query — a single
     // run can absorb sandbox contention (round 3 recorded a 7× phantom
     // regression); the median rejects one-sided outliers while still
-    // reflecting real latency. All raw runs ship in the JSON so a noisy
-    // environment is visible rather than silently folded in.
+    // reflecting real latency. Outlier guard (round-3 advice): if the
+    // 3-run spread exceeds 3× the machine is contended (rounds 3-4 both
+    // recorded >5× swings minutes after the test suite; a quiet rerun is
+    // flat) — take 2 more runs and report the median of all 5. All raw
+    // runs ship in the JSON so noise stays visible, never silently folded.
+    def timed(run: () => Unit): Double = {
+      System.gc() // quiesce: don't bill query N for query N-1's garbage
+      val t0 = System.nanoTime()
+      try run() catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def robust(run: () => Unit): (Double, Seq[Double]) = {
+      val first = (1 to 3).map(_ => timed(run))
+      val all = if (first.max / first.min > 3.0) first ++ (1 to 2).map(_ => timed(run))
+                else first
+      (all.sorted.apply(all.size / 2), all)
+    }
     val results = headline.map { q =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (q.name, times.sorted.apply(1), times)
+      val (med, times) = robust(() =>
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+      (q.name, med, times)
     }
     // Streaming deliver segment at the reference's batch size: BASELINE.md
     // pins 2.1 s for transform+write of a 2.79 MB buffer (README.md:359);
@@ -76,20 +87,24 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // warm the streaming machinery (the managed-service baseline is
-      // steady-state), then median-of-3 the matched-size batch — same
-      // outlier policy as the query benchmarks (each run gets fresh
-      // lake/checkpoint dirs, so no run sees another's state)
+      // steady-state), then the same robust-median policy as the query
+      // benchmarks (each run gets fresh lake/checkpoint dirs, so no run
+      // sees another's state)
       graft.sources.ShardedLog.put(
         graft.sources.ShardedLog.fromEvents(events.limit(100)), s"$base/warmlog")
       deliverOnce(s"$base/warmlog", s"$base/warm")
-      (1 to 3).map(i => deliverOnce(s"$base/log", s"$base/run$i"))
+      val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+      val runs = new scala.collection.mutable.ArrayBuffer[Double]
+      // robust() drives the run count + outlier extension; report the
+      // inner per-delivery times (identical modulo ns-call overhead)
+      robust(() => runs += deliverOnce(s"$base/log", s"$base/run${ctr.incrementAndGet()}"))
+      (runs.sorted.apply(runs.size / 2), runs.toSeq)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] deliver segment failed: ${e.getMessage}")
-      Seq(-1.0)
+      (-1.0, Seq(-1.0))
     }
 
-    val all = results :+ (("stream_deliver_2p79mb",
-      deliverSec.sorted.apply(deliverSec.size / 2), deliverSec))
+    val all = results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2))
     val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val runs = all.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
