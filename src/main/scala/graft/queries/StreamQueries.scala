@@ -663,6 +663,46 @@ object StreamQueries {
          |FROM common JOIN counts ca ON ca.doc_id = id_new
          |JOIN counts cb ON cb.doc_id = id_other
          |WHERE CAST(n_common AS DOUBLE) / (ca.cnt + cb.cnt - n_common) >= 0.5
-         |ORDER BY id_new, id_other""".stripMargin))
+         |ORDER BY id_new, id_other""".stripMargin)),
+
+    // ---- time-travel reads over the upsert table's commit log: three CDC
+    // batches land with retainCommits=3, then the table is read AS OF each
+    // commit — the retained-commit tail is the same mechanism that shields
+    // in-flight readers, so time travel costs nothing extra. Batch
+    // membership is a deterministic hash split (event_id mod 3); the
+    // oracle replays the same last-writer-wins state per as-of cutoff
+    // (later batch wins per key; within a batch, highest seq; a trailing
+    // delete suppresses the key without resurfacing older values).
+    Q("q80_time_travel", (s, d) => {
+      val base = tmp("graft-q80-")
+      val changes = tbl(s, d, "events").select(
+        col("user_id").as("id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("seq"))
+      (0 to 2).foreach { b =>
+        UpsertSink.applyBatch(changes.where(pmod(col("seq"), lit(3)) === b),
+          b.toLong, s"$base/table", "id", "op", Seq("seq"), nBuckets = 8,
+          retainCommits = 3)
+      }
+      (0 to 2).map { b =>
+        UpsertSink.readTableAt(s, s"$base/table", b).get
+          .select(lit(b.toLong).as("as_of"), col("id"), col("value"))
+      }.reduce(_ unionByName _).orderBy(col("as_of"), col("id"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT user_id AS id, value, event_type, event_id,
+        |    event_id % 3 AS batch
+        |  FROM events),
+        |cutoffs AS (
+        |  SELECT g.as_of, c.* FROM (VALUES (0), (1), (2)) g(as_of)
+        |  JOIN c ON c.batch <= g.as_of),
+        |ranked AS (
+        |  SELECT as_of, id, value, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY as_of, id
+        |                       ORDER BY batch DESC, event_id DESC) AS rn
+        |  FROM cutoffs)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, id, value FROM ranked
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY as_of, id""".stripMargin))
   )
 }

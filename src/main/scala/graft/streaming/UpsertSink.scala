@@ -24,7 +24,9 @@ import graft.operators.Upsert
   *   - A batch writes its new bucket version dirs first (invisible — no
   *     commit references them), then creates its commit file via temp +
   *     rename to a NEW name. Resolution reads the highest-numbered commit;
-  *     older commits are pruned keeping one for in-flight readers.
+  *     older commits are pruned to the writer's `retainCommits` horizon
+  *     (≥ 2) — the retained tail shields in-flight readers and serves
+  *     time-travel reads ([[readTableAt]]/[[commitHistory]]).
   *   - Nothing is ever deleted before its replacement is live, so the
   *     delete-then-rename "no table" window cannot occur, and a crash
   *     between any two steps is recovered by replaying the batch.
@@ -163,15 +165,36 @@ object UpsertSink {
     * the committed schema.
     */
   def readTable(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentCommit(tableDir).map { c =>
-      if (c.versions.nonEmpty) {
-        val paths = c.versions.toSeq.sortBy(_._1)
-          .map { case (b, v) => s"$tableDir/buckets/b=$b/$v" }
-        spark.read.parquet(paths: _*)
-      } else {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
-      }
+    currentCommit(tableDir).map(readCommit(spark, tableDir, _))
+
+  /** Retained commit history, oldest → newest. Depth is bounded by the
+    * writer's `retainCommits` — O(retain) tiny JSON reads, never O(table).
+    */
+  def commitHistory(tableDir: String): Seq[Commit] = {
+    val spark = SparkSession.active
+    val (fs, table) = fsFor(spark, tableDir)
+    val commits = listCommits(fs, table).sortBy(_._1)
+      .map { case (_, p) => parseCommit(FsOps.readString(fs, p).trim) }
+    if (commits.nonEmpty) commits else readLegacy(fs, table).toSeq
+  }
+
+  /** Time-travel read: the table as of commit `asOfBatch` (the highest
+    * retained commit with batchId ≤ asOfBatch). None if the table has no
+    * commit that old — history beyond the writer's `retainCommits` horizon
+    * is pruned, so a miss means "too far back", not "empty table".
+    */
+  def readTableAt(spark: SparkSession, tableDir: String, asOfBatch: Long): Option[DataFrame] =
+    commitHistory(tableDir).filter(_.batchId <= asOfBatch).lastOption
+      .map(readCommit(spark, tableDir, _))
+
+  private def readCommit(spark: SparkSession, tableDir: String, c: Commit): DataFrame =
+    if (c.versions.nonEmpty) {
+      val paths = c.versions.toSeq.sortBy(_._1)
+        .map { case (b, v) => s"$tableDir/buckets/b=$b/$v" }
+      spark.read.parquet(paths: _*)
+    } else {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
     }
 
   /** Start the streaming upsert: `changes` must carry `keyCol`, `opCol`
@@ -180,19 +203,20 @@ object UpsertSink {
   def start(changes: DataFrame, tableDir: String, checkpointDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String],
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      nBuckets: Int = 16): StreamingQuery = {
+      nBuckets: Int = 16, retainCommits: Int = 2): StreamingQuery = {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, tableDir, keyCol, opCol, seqCols, nBuckets)
+        applyBatch(batch, batchId, tableDir, keyCol, opCol, seqCols, nBuckets,
+          retainCommits = retainCommits)
       }
       .start()
   }
 
   private[graft] def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String], nBuckets: Int = 16,
-      crashBeforeCommit: Boolean = false): Unit = {
+      crashBeforeCommit: Boolean = false, retainCommits: Int = 2): Unit = {
     val spark = batch.sparkSession
     val (fs, table) = fsFor(spark, tableDir)
     val hconf = spark.sessionState.newHadoopConf()
@@ -280,14 +304,21 @@ object UpsertSink {
     FsOps.atomicWrite(hconf, fs, new HPath(commitsDir(table), commitName(batchId)),
       renderCommit(commit).getBytes("UTF-8"))
 
-    // 5. prune: older commit files (keep the immediately previous one for
-    //    in-flight readers) and touched buckets' stale versions (same policy)
+    // 5. prune to the retention horizon: keep the newest `retainCommits`
+    //    commit files (≥ 2 — the immediately previous one shields in-flight
+    //    readers; more buys time-travel depth for readTableAt), then drop
+    //    any touched bucket version no retained commit references. Version
+    //    reachability comes from the RETAINED commit set, so a reader
+    //    resolving any surviving commit always finds its files.
+    val retain = math.max(2, retainCommits)
     val stale = listCommits(fs, table).map(_._1).filter(_ < batchId)
-      .sorted.dropRight(1)
+      .sorted.dropRight(retain - 1)
     stale.foreach(id =>
       FsOps.deleteOrThrow(fs, new HPath(commitsDir(table), commitName(id)), recursive = false))
+    val retained = listCommits(fs, table)
+      .map { case (_, p) => parseCommit(FsOps.readString(fs, p).trim) }
     touched.foreach { b =>
-      val keep = Set(ver) ++ current.flatMap(_.versions.get(b))
+      val keep = retained.flatMap(_.versions.get(b)).toSet + ver
       val bdir = new HPath(table, s"buckets/b=$b")
       if (fs.exists(bdir))
         fs.listStatus(bdir).map(_.getPath)

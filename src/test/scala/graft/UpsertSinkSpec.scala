@@ -117,6 +117,43 @@ class UpsertSinkSpec extends SparkSuite {
     assert(!new java.io.File(s"$table/_schema.json").exists, "legacy schema file retired")
   }
 
+  test("time travel reads any retained commit; pruning respects the retention horizon") {
+    val base = tmpDir("graft-usink6-")
+    val table = s"$base/table"
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+    UpsertSink.applyBatch(batchDf((1L, "a1", "I", 1L), (2L, "b1", "I", 2L)),
+      0L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    UpsertSink.applyBatch(batchDf((1L, "a2", "U", 3L), (3L, "c1", "I", 4L)),
+      1L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    UpsertSink.applyBatch(batchDf((2L, "x", "D", 5L)),
+      2L, table, "id", "op", Seq("seq"), retainCommits = 3)
+
+    def at(b: Long): Map[Long, String] =
+      UpsertSink.readTableAt(spark, table, b).map(
+        _.select($"id", $"payload").as[(Long, String)].collect().toMap)
+        .getOrElse(Map.empty)
+    assert(at(0L) == Map(1L -> "a1", 2L -> "b1"))
+    assert(at(1L) == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+    assert(at(2L) == Map(1L -> "a2", 3L -> "c1"))
+    assert(at(99L) == at(2L), "as-of past the head resolves the latest commit")
+    assert(UpsertSink.commitHistory(table).map(_.batchId) == Seq(0L, 1L, 2L))
+    // every retained commit still names only existing bucket version dirs
+    UpsertSink.commitHistory(table).foreach(_.versions.foreach { case (b, v) =>
+      assert(new java.io.File(s"$table/buckets/b=$b/$v").isDirectory)
+    })
+
+    // a 4th batch with retainCommits=2 shrinks the horizon: commit 0 and 1
+    // are pruned, their exclusive versions gone, and a too-far readTableAt
+    // is None rather than a partial state
+    UpsertSink.applyBatch(batchDf((4L, "d1", "I", 6L)),
+      3L, table, "id", "op", Seq("seq"), retainCommits = 2)
+    assert(UpsertSink.commitHistory(table).map(_.batchId) == Seq(2L, 3L))
+    assert(UpsertSink.readTableAt(spark, table, 1L).isEmpty,
+      "history beyond the retention horizon must not resolve")
+    assert(at(3L) == Map(1L -> "a2", 3L -> "c1", 4L -> "d1"))
+  }
+
   test("lost commit log with surviving bucket data fails fast instead of truncating") {
     val base = tmpDir("graft-usink4-")
     val table = s"$base/table"
