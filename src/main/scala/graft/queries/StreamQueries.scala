@@ -703,6 +703,48 @@ object StreamQueries {
         |  FROM cutoffs)
         |SELECT CAST(as_of AS BIGINT) AS as_of, id, value FROM ranked
         |WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY as_of, id""".stripMargin))
+        |ORDER BY as_of, id""".stripMargin)),
+
+    // ---- partition backfill / "re-run a bad hour": the initial delivery
+    // has a simulated producer gap (every 5th event of days 1-2 missing);
+    // the repair recomputes those days from the source of truth and
+    // atomically overwrites EXACTLY the touched partitions through the
+    // crash-recoverable two-phase protocol, folding the manifest chain.
+    // Reading the lake via the manifest must then equal a clean full
+    // delivery — missing rows restored, no day double-delivered, other
+    // days' files untouched (BackfillSpec pins the untouched-bytes part).
+    Q("q81_partition_backfill", (s, d) => {
+      val base = tmp("graft-q81-")
+      val logDir = tmp("graft-q81log-")
+      val events = tbl(s, d, "events")
+      ShardedLog.put(ShardedLog.fromEvents(
+        events.where(!(dayofmonth(col("ts")) <= 2 && pmod(col("event_id"), lit(5)) === 0))),
+        logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+        .awaitTermination()
+      val repaired = Deliver.transform(
+          ShardedLog.fromEvents(events.where(dayofmonth(col("ts")) <= 2)),
+          payloadSchema, Some(fixedClock))
+        .where(col("__ok"))
+        .select(col("partition_key"), col("sequence_number"), col("env.data.*"),
+          col("env.metadata.op").as("op"), col("processed_at"),
+          col("year"), col("month"), col("day"), col("hour"))
+      graft.streaming.Backfill.overwritePartitions(repaired, s"$base/lake",
+        Seq("year", "month", "day", "hour"), manifestDir = Some(s"$base/manifest"))
+      graft.sources.ManifestReader.read(s, s"$base/manifest")
+        .groupBy(col("year"), col("month"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_events"),
+          Agg.moneySum(col("value")).as("total_value"))
+        .orderBy(col("year"), col("month"), col("day"))
+    }, Some(
+      s"""SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+         | CAST(day(ts) AS INT) AS day,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

@@ -40,7 +40,7 @@ object Compact {
 
   final case class Stats(partitionsPacked: Int, filesBefore: Int, filesAfter: Int)
 
-  private def ctl(lake: HPath, name: String) = new HPath(lake, s"_compact/$name")
+  private[streaming] def ctl(lake: HPath, name: String) = new HPath(lake, s"_compact/$name")
 
   /** One compaction pass over `lakeDir`. Returns what changed. */
   def run(spark: SparkSession, lakeDir: String, targetBytes: Long = 128L << 20,
@@ -129,7 +129,7 @@ object Compact {
     }
   }
 
-  private def finish(spark: SparkSession, fs: FileSystem, lake: HPath,
+  private[streaming] def finish(spark: SparkSession, fs: FileSystem, lake: HPath,
       olds: Seq[String], news: Seq[String], manifestDir: Option[String]): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     olds.foreach(o => FsOps.deleteOrThrow(fs, new HPath(o), recursive = false))
@@ -168,7 +168,7 @@ object Compact {
     if (fs.exists(lake)) walk(lake) else Seq.empty
   }
 
-  private def listParquet(fs: FileSystem, dir: HPath): Seq[HPath] =
+  private[streaming] def listParquet(fs: FileSystem, dir: HPath): Seq[HPath] =
     fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
 }
