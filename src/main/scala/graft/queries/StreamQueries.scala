@@ -745,6 +745,37 @@ object StreamQueries {
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
          | ${Agg.moneySumSql("value")} AS total_value
-         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- GDPR key erasure over the delivered lake (README.md:83's 365-day
+    // retention exists to serve exactly this request): every row for the
+    // subject users is removed by file-pruned copy-on-write — only files
+    // containing a subject key are rewritten (EraseSpec pins that) — and
+    // the manifest chain folds at the commit point, so manifest readers
+    // flip atomically from pre- to post-erasure. The manifest read-back
+    // must equal plain SQL over events minus the subjects.
+    Q("q82_gdpr_erasure", (s, d) => {
+      val base = tmp("graft-q82-")
+      val logDir = tmp("graft-q82log-")
+      val events = tbl(s, d, "events")
+      ShardedLog.put(ShardedLog.fromEvents(events), logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+        .awaitTermination()
+      val subjects = events.select(col("user_id")).distinct()
+        .where(pmod(col("user_id"), lit(7)) === 0)
+      graft.streaming.Erase.eraseKeys(s, s"$base/lake", "id",
+        subjects.select(col("user_id").as("id")),
+        manifestDir = Some(s"$base/manifest"))
+      graft.sources.ManifestReader.read(s, s"$base/manifest")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("n_users"),
+          Agg.moneySum(col("value")).as("total_value"))
+    }, Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events WHERE user_id % 7 <> 0""".stripMargin))
   )
 }

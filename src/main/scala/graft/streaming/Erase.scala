@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Targeted key erasure ("right to be forgotten") over an immutable parquet
+  * lake — the GDPR operation the reference's 365-day replay retention
+  * (README.md:83) exists to serve: every row for a set of subject keys is
+  * removed by copy-on-write, rewriting ONLY the data files that actually
+  * contain those keys.
+  *
+  * Two phases, both key-pruned:
+  *  1. locate: one column-pruned scan of (keyCol, `_metadata.file_path`)
+  *     semi-joined against the (broadcast) key set → the affected file
+  *     list. At 100 TB this reads one column of the lake and ships file
+  *     NAMES, not rows, to the driver — O(affected files) driver state.
+  *  2. rewrite: only the affected files are read in full, anti-joined
+  *     against the keys, and swapped in through the same crash-recoverable
+  *     intent → promote → commit-marker → manifest-fold protocol as
+  *     [[Compact]]/[[Backfill]] (shared control files, shared
+  *     [[Compact.recover]]). Files without a target key are not opened,
+  *     rewritten, or renamed — an erasure touching 0.01% of keys rewrites
+  *     ~0.01% of the lake.
+  *
+  * A file whose every row is erased simply disappears (retired with no
+  * replacement). Partition pruning composes: if the caller knows the keys
+  * live in a partition range, pre-filtering `lake` narrows the locate scan.
+  */
+object Erase {
+
+  /** Erase every row whose `keyCol` appears in `keys` (single-column frame;
+    * deduplicated and broadcast — GDPR request batches are small by nature).
+    * Returns (affected partition dirs, files retired, files written).
+    */
+  def eraseKeys(spark: SparkSession, lakeDir: String, keyCol: String,
+      keys: DataFrame, manifestDir: Option[String] = None): Compact.Stats = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val lake = new HPath(lakeDir)
+    val fs = lake.getFileSystem(hconf)
+    Compact.recover(spark, lakeDir, manifestDir)
+
+    val keySet = broadcast(keys.toDF(keyCol).distinct())
+
+    // 1. locate affected files: column-pruned scan + broadcast semi-join
+    val affected = spark.read.parquet(lakeDir)
+      .select(col(keyCol), col("_metadata.file_path").as("__f"))
+      .join(keySet, Seq(keyCol), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(r => fs.makeQualified(new HPath(r.getString(0))))
+      .toSeq.sortBy(_.toString)
+    if (affected.isEmpty) return Compact.Stats(0, 0, 0)
+
+    // 2. rewrite ONLY the affected files, erased, in ONE job: basePath
+    //    recovers the hive partition columns, the partitioned stage write
+    //    regenerates the same dirs, and staged files map back by relative
+    //    path (a per-partition-dir job loop would launch O(partitions)
+    //    jobs — a key present in every hour of a year-deep lake must not
+    //    cost 8760 scheduler round-trips)
+    val stage = fs.makeQualified(Compact.ctl(lake, "stage"))
+    val lakePrefix = fs.makeQualified(lake).toString + "/"
+    val partCols = affected.head.toString.stripPrefix(lakePrefix)
+      .split('/').dropRight(1).filter(_.contains('=')).map(_.split('=')(0)).toSeq
+    val erased = spark.read.option("basePath", lakeDir)
+      .parquet(affected.map(_.toString): _*)
+      .join(keySet, Seq(keyCol), "left_anti")
+    val writer = erased.write.mode("overwrite").option("compression", "snappy")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    val stagePrefix = stage.toString + "/"
+    val news = walkParquet(fs, stage).map { f =>
+      val rel = fs.makeQualified(f).toString.stripPrefix(stagePrefix)
+      (f, new HPath(lake, rel))
+    }.sortBy(_._2.toString)
+    val olds = affected.map(_.toString)
+
+    FsOps.atomicWrite(hconf, fs, Compact.ctl(lake, "intent"),
+      (manifestDir.map("M " + _).toSeq ++
+        news.map(n => "N " + fs.makeQualified(n._2).toString) ++ olds.map("O " + _))
+        .mkString("\n").getBytes("UTF-8"))
+    news.foreach { case (src, dest) =>
+      fs.mkdirs(dest.getParent)
+      FsOps.renameOrThrow(fs, src, dest)
+    }
+    fs.create(Compact.ctl(lake, "promoted"), true).close()
+    Compact.finish(spark, fs, lake,
+      olds, news.map(n => fs.makeQualified(n._2).toString), manifestDir)
+    Compact.Stats(affected.map(_.getParent).distinct.size, olds.size, news.size)
+  }
+
+  private def walkParquet(fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Seq[HPath] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) walkParquet(fs, st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Seq.empty
+    }
+}
