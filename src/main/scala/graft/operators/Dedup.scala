@@ -376,6 +376,40 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** [[contamination]] with a bloom prefilter tier — the 100 TB shape when
+    * even the bench GRAM TABLE is too big to broadcast-join against every
+    * training shingle. Tier 1 aggregates the bench shingles into one
+    * bloom sketch (built distributed — partial sketches OR-merge; only the
+    * ~MB sketch reaches the driver) and probes it MAP-SIDE over the
+    * training grams: the overwhelmingly-clean corpus is filtered with zero
+    * shuffle and zero join. Tier 2 exact-verifies only the flagged sliver
+    * with the plain gram join, killing bloom false positives. No false
+    * negatives (bloom guarantee) + exact verify ⇒ result ≡
+    * [[contamination]], deterministically — the sketch changes WHICH rows
+    * reach tier 2, never the answer.
+    */
+  def contaminationBloom(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minHits: Int = 1,
+      expectedBenchGrams: Long = 1L << 22, fpp: Double = 0.001): DataFrame = {
+    import graft.functions.BloomFunctions
+    val trainGrams = shingleTable(train, trainId, trainText, n)
+      .select(col("id").as("train_id"), col("shingle"))
+    val benchGrams = shingleTable(bench, benchId, benchText, n)
+      .select(col("id").as("bench_id"), col("shingle"))
+    // the sketch rides as a SCALAR SUBQUERY (might_contain requires a
+    // constant/scalar bloom), so tier 1 is a plain Filter over the train
+    // grams — no join node at all on the corpus side
+    val sketch = benchGrams.agg(
+      BloomFunctions.bloomAgg(col("shingle"), expectedBenchGrams, fpp).as("__bf")).scalar()
+    val flagged = trainGrams
+      .where(BloomFunctions.mightContain(sketch, col("shingle")))
+    flagged.join(benchGrams, Seq("shingle"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** Connected components over a near-duplicate pair graph: every document
     * gets a `cluster_id` = the smallest doc id reachable through verified
     * pairs — the step that turns pairwise "A≈B" verdicts into duplicate

@@ -583,6 +583,38 @@ object TextQueries {
          |FROM tsh a JOIN bsh b USING (shingle)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- bloom-tier decontamination: same planted scenario and the SAME
+    // oracle as q68 — the bloom prefilter (distributed sketch build,
+    // map-side zero-shuffle probe over the corpus) may only change which
+    // rows reach the exact-verify tier, never the answer (no false
+    // negatives + exact verify). The hash compare against q68's oracle IS
+    // the proof the sketch tier is sound.
+    Q("q83_bloom_decontamination", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id").isin(3, 7))
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(999999L).as("doc_id"),
+          lit("entirely synthetic benchmark question with no overlap whatsoever").as("text")))
+      Dedup.contaminationBloom(docs, "doc_id", "text", bench, "doc_id", "text",
+        n = 8, expectedBenchGrams = 4096)
+        .orderBy(col("train_id"), col("bench_id"))
+    }, Some(
+      s"""WITH bench AS (
+         |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id IN (3, 7)
+         |  UNION ALL SELECT 999999 AS doc_id,
+         |    'entirely synthetic benchmark question with no overlap whatsoever' AS text),
+         |ttoks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE len($toksSql) >= 8),
+         |tsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
+         |  || ' ' || t[x+4] || ' ' || t[x+5] || ' ' || t[x+6] || ' ' || t[x+7] AS shingle
+         |  FROM ttoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x)),
+         |btoks AS (SELECT doc_id, $toksSql AS t FROM bench WHERE len($toksSql) >= 8),
+         |bsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
+         |  || ' ' || t[x+4] || ' ' || t[x+5] || ' ' || t[x+6] || ' ' || t[x+7] AS shingle
+         |  FROM btoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x))
+         |SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM tsh a JOIN bsh b USING (shingle)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- PII redaction: emails/SSNs/phones/IPv4 → typed placeholders, the
     // pre-training scrub pass. The corpus is synthetic word-soup with no
     // real PII, so known spans are planted per id range; the redacted text
