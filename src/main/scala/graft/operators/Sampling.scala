@@ -86,6 +86,22 @@ object Sampling {
       .where(col("cum_weight") <= budget)
   }
 
+  /** Deterministic per-epoch training-order shuffle: the permutation is a
+    * pure function of (seed, epoch, id) — every epoch reads the corpus in
+    * a different pseudorandom order, every re-run of the same epoch reads
+    * the SAME order, on any partitioning (the reproducibility property
+    * `orderBy(rand(seed))` lacks, for the same reason as [[hashBucket]]).
+    * The sort is Spark's distributed range sort — no global window, no
+    * single-point rank assignment; writing the result sorted IS the
+    * shuffled training order. Ties cannot occur (full md5 + id tiebreak).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      seed: String = "graft"): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(seed), lit(":"), lit(epoch.toString), lit(":"),
+        col(idCol).cast("string")).cast("binary")))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Assign each row to a named split with the given weights (each > 0,
     * summing to ~1; the last split takes any remainder). E.g.
     * `splitAssign(docs, "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))`.

@@ -146,4 +146,42 @@ object Similarity {
       .orderBy(round(col("sim"), 4).desc, col("nid"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
+
+  /** SemDeDup-style semantic near-duplicate detection (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a KMeans coarse
+    * quantizer (fit on a bounded sample, same discipline as [[ivfAnn]]),
+    * then compare pairs ONLY within a cluster — the quadratic all-pairs
+    * cosine becomes k independent (n/k)² cluster-local problems, and the
+    * corpus shuffles exactly once, on the cell id. Pairs whose cosine
+    * clears `threshold` are semantic duplicates (keep-smallest-id policy
+    * composes downstream, as with the lexical dedup operators).
+    *
+    * Approximation contract: every emitted pair is a TRUE cosine≥threshold
+    * pair (the verify is exact); pairs split across clusters are missed —
+    * recall rises with fewer/larger clusters and with duplicate pairs'
+    * tendency to co-locate (near-identical embeddings land in the same
+    * cell except on a Voronoi boundary). Size `nClusters` ≈ n/⟨cluster⟩
+    * for the (n/k)² cell cost the cluster budget affords.
+    */
+  def semanticNearDups(docs: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.9, nClusters: Int = 16, seed: Long = 42L,
+      maxFitRows: Int = 100000, roundScale: Int = 4): DataFrame = {
+    val vec = docs.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
+      .withColumn("__features", array_to_vector(col("e")))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__features")
+      .fit(vec.orderBy(col("id")).limit(maxFitRows))
+    val assigned = model.transform(vec)
+      .select(col("id"), col("e"), norm2(col("e")).as("nrm"),
+        col(model.getPredictionCol).as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), roundScale).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

@@ -402,6 +402,25 @@ object TextQueries {
            |FROM b GROUP BY split ORDER BY split""".stripMargin
       }),
 
+    // ---- deterministic per-epoch training-order shuffle: two epochs of
+    // the same corpus emit DIFFERENT pseudorandom orders, each a pure
+    // function of (seed, epoch, id) — reproducible on any partitioning,
+    // unlike orderBy(rand(seed)). The row ORDER itself is what the oracle
+    // hash-checks (both sides sort by the same md5 keys); the Spark side
+    // is a distributed range sort, no global rank window.
+    Q("q85_epoch_shuffle", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"))
+      (0 to 1).map { e =>
+        graft.operators.Sampling.epochShuffle(docs, "doc_id", e)
+          .select(lit(e).as("epoch"), col("shuffle_key"), col("doc_id"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("epoch"), col("shuffle_key"), col("doc_id"))
+    }, Some(
+      """SELECT epoch, md5('graft:' || CAST(epoch AS VARCHAR) || ':'
+        |    || CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id
+        |FROM documents, (VALUES (0), (1)) e(epoch)
+        |ORDER BY epoch, shuffle_key, doc_id""".stripMargin)),
+
     // ---- bottom-decile quality filtering: the corpus-cleaning gate that
     // drops the worst 10% by quality score; exact interpolated percentile
     // (q13's parity pattern)

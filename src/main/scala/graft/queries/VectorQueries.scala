@@ -111,6 +111,44 @@ object VectorQueries {
         |  TRUE AS recall_ok, TRUE AS containment_ok
         |FROM exact""".stripMargin)),
 
+    // ---- SemDeDup-style semantic dedup (arXiv:2303.09540): KMeans cells +
+    // within-cell cosine — the cluster-quantized alternative to q44's
+    // sign-LSH buckets. Same machine-checked contract: containment is
+    // exact (within-cell verify is a true cosine), recall vs the all-pairs
+    // answer must clear 80% (cross-cell boundary splits are the method's
+    // documented miss mode; q44's random hyperplanes and this quantizer
+    // fail differently, which is why both ship).
+    Q("q84_semantic_dedup", (s, d) => {
+      import graft.functions.VectorFunctions._
+      val emb = tbl(s, d, "embeddings")
+      val approx = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+        threshold = 0.9, nClusters = 8)
+      val e = toDouble(col("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"), e.as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), e.as("eb"))
+      val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val found = approx.select(col("id_a"), col("id_b"))
+      val hits = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+      val falsePos = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(falsePos.agg(count(lit(1)).as("n_false")))
+        .select(col("n_exact"),
+          (col("n_hit") >= lit(0.8) * col("n_exact")).as("recall_ok"),
+          (col("n_false") === 0).as("containment_ok"))
+    }, Some(
+      """WITH exact AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ok, TRUE AS containment_ok
+        |FROM exact""".stripMargin)),
+
     // ---- LSH-bucketed approximate NN: the 100 TB scale path. Oracle
     // contract (the q16 within-tolerance trick): the query emits the
     // measured recall@5 vs the exact brute-force top-5 computed in the same
