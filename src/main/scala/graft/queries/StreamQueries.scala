@@ -776,6 +776,104 @@ object StreamQueries {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
          | ${Agg.moneySumSql("value")} AS total_value
-         |FROM events WHERE user_id % 7 <> 0""".stripMargin))
+         |FROM events WHERE user_id % 7 <> 0""".stripMargin)),
+
+    // ---- incrementally-maintained live metrics table (README.md:17-18's
+    // "real-time dashboards / real-time metrics"): an update-mode streaming
+    // aggregation emits each micro-batch's CHANGED (hour, type) groups,
+    // which merge into the keyed upsert table — the serving table a
+    // dashboard reads is always a consistent commit, updated per batch
+    // with O(changed groups) work, never a full recompute. Multi-batch by
+    // construction (one file per trigger); the final table must equal the
+    // plain batch aggregate.
+    Q("q86_live_metrics_table", (s, d) => {
+      val base = tmp("graft-q86-")
+      val e = tbl(s, d, "events").select(col("ts"), col("event_type"), col("value"))
+      val src = Registry.stageTable(s, d, "events", Seq("ts", "event_type", "value"))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val up = batch.select(
+            concat(date_format(col("w.start"), "yyyy-MM-dd HH"), lit("|"),
+              col("event_type")).as("k"),
+            date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"), col("n"), col("total_cents"),
+            lit("U").as("op"), lit(batchId).as("seq"))
+          UpsertSink.applyBatch(up, batchId, s"$base/table", "k", "op", Seq("seq"),
+            nBuckets = 8)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      UpsertSink.readTable(s, s"$base/table").get
+        .select(col("hour"), col("event_type"), col("n"), col("total_cents"))
+        .orderBy(col("hour"), col("event_type"))
+    }, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- schema evolution mid-stream (§1.3 dynamic schemas — CDC payloads
+    // WIDEN in production): epoch 1 delivers the v1 payload; the producer
+    // then starts emitting v2 (adds `region`), and the SAME delivery —
+    // same lake, same checkpoint — restarts with the v2 decode schema and
+    // processes only the new offsets. The lake ends with v1-era and
+    // v2-era files; a mergeSchema read unifies them, v1 rows NULL for the
+    // new column. No rewrite of history, no second lake.
+    Q("q87_schema_evolution", (s, d) => {
+      val base = tmp("graft-q87-")
+      val logDir = tmp("graft-q87log-")
+      val events = tbl(s, d, "events")
+      val v2Schema = StructType(Seq(
+        StructField("data", StructType(
+          payloadSchema("data").dataType.asInstanceOf[StructType].fields :+
+            StructField("region", StringType))),
+        payloadSchema("metadata")))
+      def wireV2(e: org.apache.spark.sql.DataFrame) = {
+        val w = graft.codec.Envelope.encode(struct(
+          struct(col("user_id").as("id"), col("event_type").as("status"),
+            col("value"), col("ts"), col("event_id"),
+            concat(lit("r"), pmod(col("user_id"), lit(4))).as("region")).as("data"),
+          struct(when(col("event_type") === "error", "D").otherwise("U").as("op"))
+            .as("metadata")))
+        e.select(lit("rds-cdc-prod").as("stream_name"),
+          concat(lit("shardId-"), lpad(pmod(hash(concat(lit("events-"), col("user_id"))),
+            lit(4)).cast("string"), 12, "0")).as("shard_id"),
+          concat(lit("events-"), col("user_id")).as("partition_key"),
+          lpad(col("event_id").cast("string"), 30, "0").as("sequence_number"),
+          col("ts").as("approx_arrival_ts"), w.as("data"))
+      }
+      // epoch 1: v1 wire format, v1 decode
+      ShardedLog.put(ShardedLog.fromEvents(
+        events.where(dayofmonth(col("ts")) <= 15)), logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck",
+          trigger = Trigger.AvailableNow())).awaitTermination()
+      // epoch 2: producer upgraded; restart the SAME delivery with v2
+      ShardedLog.put(wireV2(events.where(dayofmonth(col("ts")) > 15)), logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), v2Schema,
+        Deliver.Config(s"$base/lake", s"$base/ck",
+          trigger = Trigger.AvailableNow())).awaitTermination()
+      s.read.option("mergeSchema", true).parquet(s"$base/lake")
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_keys"),
+          Agg.moneySum(col("value")).as("total_value"))
+        .orderBy(col("region"))
+    }, Some(
+      s"""SELECT CASE WHEN day(ts) <= 15 THEN NULL
+         |   ELSE 'r' || CAST(user_id % 4 AS VARCHAR) END AS region,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin))
   )
 }
