@@ -716,7 +716,10 @@ object StreamQueries {
     Q("q81_partition_backfill", (s, d) => {
       val base = tmp("graft-q81-")
       val logDir = tmp("graft-q81log-")
-      val events = tbl(s, d, "events")
+      // a bounded event slice: the protocol under test (two-phase swap,
+      // manifest fold, untouched-partition isolation) is partition-count-
+      // independent, and verify latency stays O(slice)
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 8)
       ShardedLog.put(ShardedLog.fromEvents(
         events.where(!(dayofmonth(col("ts")) <= 2 && pmod(col("event_id"), lit(5)) === 0))),
         logDir)
@@ -745,7 +748,7 @@ object StreamQueries {
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
          | ${Agg.moneySumSql("value")} AS total_value
-         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+         |FROM events WHERE day(ts) <= 8 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // ---- GDPR key erasure over the delivered lake (README.md:83's 365-day
     // retention exists to serve exactly this request): every row for the
@@ -757,7 +760,9 @@ object StreamQueries {
     Q("q82_gdpr_erasure", (s, d) => {
       val base = tmp("graft-q82-")
       val logDir = tmp("graft-q82log-")
-      val events = tbl(s, d, "events")
+      // bounded slice, same rationale as q81: file-pruned erasure + manifest
+      // fold are what's under test, not lake size
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 10)
       ShardedLog.put(ShardedLog.fromEvents(events), logDir)
       Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
         Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
@@ -776,7 +781,7 @@ object StreamQueries {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
          | ${Agg.moneySumSql("value")} AS total_value
-         |FROM events WHERE user_id % 7 <> 0""".stripMargin)),
+         |FROM events WHERE day(ts) <= 10 AND user_id % 7 <> 0""".stripMargin)),
 
     // ---- incrementally-maintained live metrics table (README.md:17-18's
     // "real-time dashboards / real-time metrics"): an update-mode streaming
