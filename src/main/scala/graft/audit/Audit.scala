@@ -1,8 +1,39 @@
 package graft.audit
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Batch data-quality audits over delivered data — the forensic queries the
+  * reference's runbook runs against its own guarantees.
+  */
+object Audit {
+
+  /** Per-key ordering audit (README.md:53: "records with the same
+    * PartitionKey never reorder"): replaying each key's records in
+    * sequence order, flag every adjacent pair whose event time REGRESSES —
+    * the signature of an out-of-order producer, a resharding bug, or
+    * clock skew upstream. Returns the violating pairs
+    * (key, seq, prev_ts, ts, regress_seconds).
+    *
+    * One key-shuffle (the lag window) over (key, seq, ts) only — payloads
+    * never move. At lake scale, run it per partition slice; the audit is
+    * embarrassingly parallel across keys.
+    */
+  def orderingViolations(records: DataFrame, keyCol: String, seqCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    records.select(col(keyCol), col(seqCol), col(tsCol))
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .where(col("prev_ts") > col(tsCol))
+      .select(col(keyCol), col(seqCol), col("prev_ts"), col(tsCol),
+        (unix_timestamp(col("prev_ts")) - unix_timestamp(col(tsCol)))
+          .as("regress_seconds"))
+  }
+}
 
 /** Observability (SURVEY.md §2.8): the reference's per-stage forensic audit
   * trail (README.md:200-330) re-expressed as a structured per-batch log from

@@ -879,6 +879,30 @@ object StreamQueries {
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
          | ${Agg.moneySumSql("value")} AS total_value
-         |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin))
+         |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    // ---- per-key ordering audit (README.md:53: same-key records never
+    // reorder): replay each user's events in sequence order and flag every
+    // adjacent event-time regression — the forensic query that catches an
+    // out-of-order producer or resharding bug. One (key,seq,ts) shuffle;
+    // payloads never move. Summary form so the output is sf-stable.
+    Q("q88_ordering_audit", (s, d) => {
+      val v = graft.audit.Audit.orderingViolations(
+        tbl(s, d, "events"), "user_id", "event_id", "ts")
+      v.agg(count(lit(1)).as("n_violations"),
+        countDistinct(col("user_id")).as("n_keys_affected"),
+        max(col("regress_seconds")).as("max_regress_seconds"))
+    }, Some(
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |  FROM events),
+        |viol AS (SELECT user_id,
+        |    CAST(date_diff('second', ts, prev_ts) AS BIGINT) AS regress_seconds
+        |  FROM lagged WHERE prev_ts > ts)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_violations,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_affected,
+        |  MAX(regress_seconds) AS max_regress_seconds
+        |FROM viol""".stripMargin))
   )
 }
