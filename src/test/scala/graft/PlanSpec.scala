@@ -146,6 +146,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("q84 semantic dedup pairs only within KMeans cells — no all-pairs join") {
+    import org.apache.spark.sql.functions.col
+    val emb = Registry.tbl(spark, sfDir, "embeddings")
+    val df = graft.operators.Similarity.semanticNearDups(
+      emb, "vec_id", "embedding", threshold = 0.9, nClusters = 4)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the pair join is an equi-join on the cell id (shuffle or broadcast
+    // hash — either is cell-local); a BNLJ/cartesian would be the
+    // quadratic all-pairs shape the quantizer exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, p)
+    assert(joins.head.condition.get.references.exists(_.name == "cell"), p)
+  }
+
+  test("q85 epoch shuffle is a distributed range sort — no global rank window") {
+    val p = plan("q85_epoch_shuffle")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Sort"), p)
+    // rangepartitioning — the parallel sort; a single-partition Exchange
+    // would serialize the epoch order through one task
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("partitioned lake point query prunes to the matching hour partition") {
     val base = tmpDir("graft-prune-")
     import org.apache.spark.sql.functions._
