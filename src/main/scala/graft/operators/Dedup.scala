@@ -200,9 +200,14 @@ object Dedup {
     math.min(24, math.max(4, needed))
   }
 
-  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String, dim: Int,
-      threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
-      roundScale: Int = 4): DataFrame = {
+  /** Multi-table sign-LSH bucketing of an embedding column: one row per
+    * (vector, table) with `tb = (table, sign-bucket)`, the raw vector and
+    * its norm riding along. Deterministic (seeded hyperplanes), map-side
+    * only — the shared candidate-generation stage of [[embeddingNearDups]]
+    * and the streaming embedding index.
+    */
+  def embeddingBuckets(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
     import graft.operators.Similarity.hyperplanes
     val planes = hyperplanes(nTables * bitsPerTable, dim)
@@ -215,9 +220,18 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(t).as("t"), bits.as("b"))
     }
-    // norms ride along once per row; the per-pair verify is one dot + divide
-    val bucketed = emb.select(col(idCol).as("id"), col(embCol).as("e"),
-      norm2(col(embCol)).as("nrm"), explode(array(bucketCols: _*)).as("tb"))
+    // norms ride along once per row (computed over the same double view
+    // the pair verify dots, so cosine arithmetic matches the exact path);
+    // the per-pair verify is one dot + divide
+    emb.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"),
+      norm2(toDouble(col(embCol))).as("nrm"), explode(array(bucketCols: _*)).as("tb"))
+  }
+
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
+      roundScale: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = embeddingBuckets(emb, idCol, embCol, dim, nTables, bitsPerTable)
     val a = bucketed.select(col("tb"), col("id").as("id_a"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = bucketed.select(col("tb"), col("id").as("id_b"),

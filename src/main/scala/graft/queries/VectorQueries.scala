@@ -178,7 +178,75 @@ object VectorQueries {
       val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 8, nprobe = 3)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
-    }, Some(recallOracle))
+    }, Some(recallOracle)),
+
+    // ---- streaming embedding near-dup against an ACCUMULATING sign-LSH
+    // index (q79's vector counterpart): batches are bucketed map-side with
+    // the deterministic hyperplanes (no model state), probed against every
+    // earlier delta + themselves, cosine-verified, appended idempotently.
+    // Contract: containment exact (every emitted pair truly ≥ threshold),
+    // recall ≥ 95% vs the all-pairs answer computed in-job.
+    Q("q89_stream_embedding_index", (s, d) => {
+      import graft.functions.VectorFunctions._
+      import graft.streaming.EmbeddingIndex
+      val base = java.nio.file.Files.createTempDirectory("graft-q89-").toString
+      val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      EmbeddingIndex.seed(emb.where(col("vec_id") < 200), "vec_id", "embedding",
+        dim = 64, s"$base/index")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val t = java.nio.file.Files.createTempDirectory("graft-q89s-").toString
+        df.coalesce(1).write.mode("overwrite").parquet(t)
+        val part = new java.io.File(t).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"))
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = System.currentTimeMillis() - 600000
+      stage(emb.where(col("vec_id") >= 200 && col("vec_id") < 350), "b0", t0)
+      stage(emb.where(col("vec_id") >= 350 && col("vec_id") < 500), "b1", t0 + 2000)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      EmbeddingIndex.start(stream, "vec_id", "embedding", dim = 64,
+        s"$base/index", s"$base/pairs", s"$base/ck", threshold = 0.9)
+        .awaitTermination()
+      val found = s.read
+        .schema("id_new long, id_other long, cos double, batch long")
+        .parquet(s"$base/pairs")
+        .select(col("id_other").as("id_a"), col("id_new").as("id_b"))
+      val all = emb.where(col("vec_id") < 500)
+      val e = toDouble(col("embedding"))
+      val a = all.select(col("vec_id").as("id_a"), e.as("ea"))
+      val b = all.select(col("vec_id").as("id_b"), e.as("eb"))
+      // pairs INTERNAL to the seed predate the stream (a production seed
+      // is already deduped); the streaming contract covers every pair
+      // whose later side arrived in a batch: id_b >= 200
+      val exact = a.join(broadcast(b),
+          col("id_a") < col("id_b") && col("id_b") >= 200)
+        .select(col("id_a"), col("id_b"),
+          round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+        .where(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val hits = found.join(exact, Seq("id_a", "id_b"), "left_semi")
+      val falsePos = found.join(exact, Seq("id_a", "id_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(falsePos.agg(count(lit(1)).as("n_false")))
+        .select(col("n_exact"),
+          (col("n_hit") >= lit(0.95) * col("n_exact")).as("recall_ok"),
+          (col("n_false") === 0).as("containment_ok"))
+    }, Some(
+      """WITH exact AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 500 AND b.vec_id < 500 AND b.vec_id >= 200
+        |    AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ok, TRUE AS containment_ok
+        |FROM exact""".stripMargin))
   )
 
   /** One-row recall report: |approx ∩ exact| / |exact| over all queries,

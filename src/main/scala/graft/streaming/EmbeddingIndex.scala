@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** Streaming embedding near-duplicate detection against an ACCUMULATING
+  * sign-LSH index — the vector counterpart of [[CorpusIndex.startNear]]:
+  * each micro-batch of embeddings is bucketed map-side
+  * ([[Dedup.embeddingBuckets]] — deterministic seeded hyperplanes, no
+  * model state to version), probed against every earlier delta's buckets
+  * (and against itself, smaller id wins), cosine-verified, and appended as
+  * an idempotent per-batch delta (overwrite-by-batchId — replays never
+  * double-append; the self-delta is excluded from the probe).
+  *
+  * Scale shape: the index stores (id, vector, norm, bucket) rows — the
+  * join key is the (table, bucket) pair, so a batch compares against
+  * O(batch × bucket-collisions), never O(index). Index volume is
+  * nTables× the corpus vectors; at 100 TB-corpus scale, partition the
+  * delta dirs by bucket prefix so a probe's shuffle reads only colliding
+  * buckets.
+  */
+object EmbeddingIndex {
+
+  def bucketSchema(dim: Int): StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("e", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType),
+    StructField("tb", StructType(Seq(
+      StructField("t", IntegerType), StructField("b", IntegerType))))))
+
+  private def readDeltas(spark: SparkSession, dir: String, dim: Int,
+      excludeDelta: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketSchema(dim))
+    spark.read
+      .schema(StructType(bucketSchema(dim).fields :+ StructField("delta", LongType)))
+      .parquet(dir)
+      .where(col("delta") =!= excludeDelta)
+      .select(bucketSchema(dim).fieldNames.map(col): _*)
+  }
+
+  /** Seed the index from an existing corpus, as delta = -1. */
+  def seed(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      indexDir: String, nTables: Int = 8, bitsPerTable: Int = 4): Unit =
+    Dedup.embeddingBuckets(emb, idCol, embCol, dim, nTables, bitsPerTable)
+      .write.mode("overwrite").parquet(s"$indexDir/delta=-1")
+
+  /** Start the streaming near-dup detector. Output rows land in
+    * `outDir/batch=<id>/` as (id_new, id_other, cos, with id_other from
+    * the seed, an earlier batch, or a smaller same-batch id).
+    */
+  def start(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      indexDir: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
+      roundScale: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bb = Dedup.embeddingBuckets(batch, idCol, embCol, dim, nTables, bitsPerTable)
+        val idx = readDeltas(spark, indexDir, dim, batchId)
+        val cos = round(
+          graft.functions.VectorFunctions.dot(col("ea"), col("eb"))
+            / (col("na") * col("nb")), roundScale)
+        // probe 1: batch vs accumulated index (id_other always earlier)
+        val vsIndex = bb.select(col("tb"), col("id").as("id_new"),
+            col("e").as("ea"), col("nrm").as("na"))
+          .join(idx.select(col("tb"), col("id").as("id_other"),
+            col("e").as("eb"), col("nrm").as("nb")), Seq("tb"))
+        // probe 2: within-batch, smaller id is the "other" side
+        val vsSelf = bb.select(col("tb"), col("id").as("id_new"),
+            col("e").as("ea"), col("nrm").as("na"))
+          .join(bb.select(col("tb"), col("id").as("id_other"),
+            col("e").as("eb"), col("nrm").as("nb")), Seq("tb"))
+          .where(col("id_other") < col("id_new"))
+        vsIndex.unionByName(vsSelf)
+          .select(col("id_new"), col("id_other"),
+            col("ea"), col("eb"), col("na"), col("nb"))
+          .distinct() // a pair may collide in several tables
+          .select(col("id_new"), col("id_other"), cos.as("cos"))
+          .where(col("cos") >= threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        bb.write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
+        ()
+      }
+      .start()
+}
