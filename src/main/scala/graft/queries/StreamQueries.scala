@@ -903,6 +903,64 @@ object StreamQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_violations,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_affected,
         |  MAX(regress_seconds) AS max_regress_seconds
-        |FROM viol""".stripMargin))
+        |FROM viol""".stripMargin)),
+
+    // ---- DLQ reprocessing (the runbook's "replay failed records" step,
+    // README.md:426): a producer schema drift (field renamed data→payload)
+    // sends a slice to the error prefix instead of crashing the stream or
+    // silently dropping rows; the repair job decodes the DLQ's raw wire
+    // bytes against the drifted schema, maps them back, and APPENDS them
+    // into the lake — good rows were never blocked, bad rows are never
+    // lost, and the repaired lake equals a clean full delivery.
+    Q("q90_dlq_reprocess", (s, d) => {
+      val base = tmp("graft-q90-")
+      val logDir = tmp("graft-q90log-")
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 10)
+      val bad = events.where(pmod(col("event_id"), lit(10)) === 0)
+      ShardedLog.put(ShardedLog.fromEvents(
+        events.where(pmod(col("event_id"), lit(10)) =!= 0)), logDir)
+      // the drifted producer: same envelope, data field renamed "payload"
+      val wireBad = {
+        val w = graft.codec.Envelope.encode(struct(
+          struct(col("user_id").as("id"), col("event_type").as("status"),
+            col("value"), col("ts"), col("event_id")).as("payload"),
+          struct(when(col("event_type") === "error", "D").otherwise("U").as("op"))
+            .as("metadata")))
+        bad.select(lit("rds-cdc-prod").as("stream_name"),
+          concat(lit("shardId-"), lpad(pmod(hash(concat(lit("events-"), col("user_id"))),
+            lit(4)).cast("string"), 12, "0")).as("shard_id"),
+          concat(lit("events-"), col("user_id")).as("partition_key"),
+          lpad(col("event_id").cast("string"), 30, "0").as("sequence_number"),
+          col("ts").as("approx_arrival_ts"), w.as("data"))
+      }
+      ShardedLog.put(wireBad, logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", errorDir = Some(s"$base/errors"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+        .awaitTermination()
+      // repair: decode the DLQ raw wire against the drifted schema, restore
+      // the lake row shape, recompute event-time partitions, append
+      val drifted = StructType(Seq(
+        StructField("payload", payloadSchema("data").dataType),
+        payloadSchema("metadata")))
+      val errs = s.read.parquet(s"$base/errors")
+        .withColumn("env", graft.codec.Envelope.decode(col("raw"), drifted))
+      graft.codec.Envelope.withTimePartitions(errs, col("env.payload.ts"))
+        .select(col("partition_key"), col("sequence_number"),
+          col("env.payload.*"), col("env.metadata.op").as("op"),
+          col("processed_at"), col("year"), col("month"), col("day"), col("hour"))
+        .write.mode("append").partitionBy("year", "month", "day", "hour")
+        .parquet(s"$base/lake")
+      s.read.parquet(s"$base/lake")
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_keys"),
+          Agg.moneySum(col("value")).as("total_value"))
+        .orderBy(col("op"))
+    }, Some(
+      s"""SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events WHERE day(ts) <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
