@@ -42,9 +42,18 @@ object Compact {
 
   private[streaming] def ctl(lake: HPath, name: String) = new HPath(lake, s"_compact/$name")
 
-  /** One compaction pass over `lakeDir`. Returns what changed. */
+  /** One compaction pass over `lakeDir`. Returns what changed.
+    *
+    * `sortBy`: cluster each packed partition by these columns while
+    * rewriting — files become disjoint sorted ranges
+    * (`repartitionByRange` + `sortWithinPartitions`), so parquet row-group
+    * and page min/max stats turn point/range predicates into data
+    * skipping. Compaction has to rewrite the bytes anyway; ordering them
+    * is the cheapest moment to buy every later scan's pruning (the
+    * Z-order/cluster-by idea, one dimension at a time).
+    */
   def run(spark: SparkSession, lakeDir: String, targetBytes: Long = 128L << 20,
-      manifestDir: Option[String] = None): Stats = {
+      manifestDir: Option[String] = None, sortBy: Seq[String] = Nil): Stats = {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
@@ -72,9 +81,12 @@ object Compact {
         // index-named stage subdirs: partition-layout-agnostic (hive dirs,
         // nested dirs, or files at the lake ROOT all stage the same way)
         val outDir = new HPath(stage, f"g$i%05d")
-        spark.read.parquet(files.map(_.toString): _*)
-          .coalesce(want)
-          .write.mode("overwrite").option("compression", "snappy")
+        val packed = spark.read.parquet(files.map(_.toString): _*)
+        val shaped =
+          if (sortBy.isEmpty) packed.coalesce(want)
+          else packed.repartitionByRange(want, sortBy.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+        shaped.write.mode("overwrite").option("compression", "snappy")
           .parquet(outDir.toString)
         listParquet(fs, outDir).map { f =>
           (f, new HPath(dir, f.getName)) // promotes into the same partition dir

@@ -123,6 +123,38 @@ class CompactSpec extends SparkSuite {
     assert(!fs.exists(new HPath(s"$lake/_compact/promoted")))
   }
 
+  test("sortBy compaction clusters files into disjoint sorted ranges (data skipping)") {
+    val lake = tmpDir("graft-cpts-")
+    // many small unsorted files; ids interleave across all of them
+    (0 until 6).foreach { i =>
+      (0 until 200).filter(_ % 6 == i).map(n => (n.toLong, s"v$n"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(s"$lake/part=a")
+    }
+    // pack into ~2 files, clustered by id
+    val total = new java.io.File(s"$lake/part=a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    Compact.run(spark, lake, targetBytes = total / 2 + 1, sortBy = Seq("id"))
+
+    val files = new java.io.File(s"$lake/part=a").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2, s"expected ≥2 packed files, got ${files.length}")
+    // per-file id ranges must be disjoint (range clustering) and each file
+    // internally sorted — the layout parquet min/max skipping needs
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f).select($"id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"$f not internally sorted")
+      (ids.min, ids.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges overlap: ${ranges.mkString(", ")}")
+      case _ =>
+    }
+    // content is intact
+    assert(spark.read.parquet(lake).count() == 200)
+  }
+
   test("compacts an unpartitioned lake (data files at the root)") {
     val lake = tmpDir("graft-cpr-")
     (1 to 100).map(i => (i.toLong, s"r-$i")).toDF("id", "v")
