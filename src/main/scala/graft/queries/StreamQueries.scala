@@ -961,6 +961,76 @@ object StreamQueries {
          | CAST(COUNT(*) AS BIGINT) AS n,
          | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
          | ${Agg.moneySumSql("value")} AS total_value
-         |FROM events WHERE day(ts) <= 10 GROUP BY 1 ORDER BY 1""".stripMargin))
+         |FROM events WHERE day(ts) <= 10 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- multi-table CDC fan-out (README.md:47/227: one stream's
+    // PartitionKey is "schema-table-id" — a single DMS stream carries MANY
+    // tables): each micro-batch splits by table identity and drives a
+    // SEPARATE bucketed upsert table through its own commit log. Both
+    // serving tables stay independently consistent; the oracle replays
+    // last-writer-wins per table over the same hash split.
+    Q("q91_multitable_cdc", (s, d) => {
+      val base = tmp("graft-q91-")
+      val changes = tbl(s, d, "events").select(
+        when(pmod(col("user_id"), lit(2)) === 0, "orders")
+          .otherwise("customers").as("tbl"),
+        col("user_id").as("id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("seq"))
+      val src = tmp("graft-q91src-")
+      changes.write.mode("overwrite").parquet(src)
+      val q = s.readStream.schema(changes.schema).parquet(src)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.persist()
+          try Seq("orders", "customers").foreach { t =>
+            UpsertSink.applyBatch(batch.where(col("tbl") === t).drop("tbl"),
+              batchId, s"$base/tables/$t", "id", "op", Seq("seq"), nBuckets = 4)
+          } finally { batch.unpersist(); () }
+        }
+        .start()
+      q.awaitTermination()
+      Seq("orders", "customers").map { t =>
+        UpsertSink.readTable(s, s"$base/tables/$t").get
+          .select(lit(t).as("tbl"), col("id"), col("value"))
+      }.reduce(_ unionByName _).orderBy(col("tbl"), col("id"))
+    }, Some(
+      """WITH ranked AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'orders' ELSE 'customers' END AS tbl,
+        |    user_id AS id, value, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT tbl, id, value FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY tbl, id""".stripMargin)),
+
+    // ---- retention enforcement (README.md:60, 81-83: the stream's expiry
+    // applied to the delivered lake): partitions wholly past the cutoff
+    // drop WHOLE-DIRECTORY — zero data reads, pure partition metadata —
+    // through the shared intent/marker/manifest-fold protocol. The
+    // manifest read-back must equal the source filtered to the horizon.
+    Q("q92_retention_sweep", (s, d) => {
+      val base = tmp("graft-q92-")
+      val logDir = tmp("graft-q92log-")
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 20)
+      ShardedLog.put(ShardedLog.fromEvents(events), logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+        .awaitTermination()
+      graft.streaming.Retention.sweep(s, s"$base/lake",
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+        manifestDir = Some(s"$base/manifest"))
+      graft.sources.ManifestReader.read(s, s"$base/manifest")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), Agg.moneySum(col("value")).as("total_value"))
+        .orderBy(col("day"))
+    }, Some(
+      s"""SELECT CAST(day(ts) AS INT) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         | ${Agg.moneySumSql("value")} AS total_value
+         |FROM events
+         |WHERE day(ts) <= 20 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
