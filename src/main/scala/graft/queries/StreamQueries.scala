@@ -1031,6 +1031,39 @@ object StreamQueries {
          | ${Agg.moneySumSql("value")} AS total_value
          |FROM events
          |WHERE day(ts) <= 20 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
-         |GROUP BY 1 ORDER BY 1""".stripMargin))
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- incrementally-maintained corpus statistics: per-batch delta rows
+    // (exact counters + a mergeable HLL sketch of the batch's tokens) fold
+    // into corpus-wide stats without ever rescanning the corpus — q49's
+    // numbers maintained streaming. Counters are hash-exact; the vocab
+    // estimate carries a machine-checked ±5% contract vs the exact
+    // distinct computed in-job (HLL lgK=12 ⇒ ~1.6% typical error).
+    Q("q93_incremental_corpus_stats", (s, d) => {
+      import graft.streaming.CorpusStats
+      val base = tmp("graft-q93-")
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      CorpusStats.start(stream, "doc_id", "text", s"$base/stats", s"$base/ck")
+        .awaitTermination()
+      val stats = CorpusStats.read(s, s"$base/stats")
+      val exactVocab = docs
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab_exact"))
+      stats.crossJoin(broadcast(exactVocab))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("vocab_exact"),
+          (abs(col("vocab_estimate") - col("vocab_exact"))
+            <= lit(0.05) * col("vocab_exact")).as("vocab_est_ok"))
+    }, Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(len(${TextQueries.toksSql})) AS BIGINT) AS n_tokens,
+         | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         | (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+         |  FROM (SELECT unnest(${TextQueries.toksSql}) AS tok FROM documents) u)
+         |   AS vocab_exact,
+         | TRUE AS vocab_est_ok
+         |FROM documents""".stripMargin))
   )
 }
