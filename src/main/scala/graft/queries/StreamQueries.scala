@@ -1064,6 +1064,37 @@ object StreamQueries {
          |  FROM (SELECT unnest(${TextQueries.toksSql}) AS tok FROM documents) u)
          |   AS vocab_exact,
          | TRUE AS vocab_est_ok
-         |FROM documents""".stripMargin))
+         |FROM documents""".stripMargin)),
+
+    // ---- streaming quality-quantile monitoring: the KLL sketch column of
+    // the q93 deltas answers "what is the corpus's p50/p90 quality right
+    // now" without rescanning. Contract is RANK-based (the only stable
+    // check for a randomized sketch): the exact rank of each estimated
+    // quantile must sit within ±5pp of its target — KLL k=200's 99%-conf
+    // rank error is ~1.65%, so a pass is robust, a regression loud.
+    Q("q94_stream_quality_quantiles", (s, d) => {
+      import graft.streaming.CorpusStats
+      val base = tmp("graft-q94-")
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
+      CorpusStats.start(stream, "doc_id", "text", s"$base/stats", s"$base/ck")
+        .awaitTermination()
+      val stats = CorpusStats.read(s, s"$base/stats")
+        .select(col("n_docs"), col("quality_p50"), col("quality_p90"))
+      val quality = docs.select(
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      quality.crossJoin(broadcast(stats))
+        .agg(max(col("n_docs")).as("n_docs"),
+          avg((col("q") <= col("quality_p50")).cast("double")).as("r50"),
+          avg((col("q") <= col("quality_p90")).cast("double")).as("r90"))
+        .select(col("n_docs"),
+          (col("r50") >= 0.45 && col("r50") <= 0.55).as("p50_rank_ok"),
+          (col("r90") >= 0.85 && col("r90") <= 0.95).as("p90_rank_ok"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        |FROM documents""".stripMargin))
   )
 }

@@ -30,7 +30,12 @@ object CorpusStats {
         val counters = batch.agg(
           count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
-          sum(length(col(textCol)).cast("long")).as("n_chars"))
+          sum(length(col(textCol)).cast("long")).as("n_chars"),
+          // mergeable KLL quantile sketch of the batch's quality scores —
+          // corpus-wide quality percentiles (the drift monitor every
+          // continuous ingest wants) fold from deltas like the counters do
+          kll_sketch_agg_double(TextFunctions.qualityScore(col(textCol)))
+            .as("quality_sketch"))
         val sketch = batch.select(explode(toks).as("tok"))
           .agg(hll_sketch_agg(col("tok")).as("vocab_sketch"))
         counters.crossJoin(sketch)
@@ -39,13 +44,17 @@ object CorpusStats {
       }
       .start()
 
-  /** The corpus-wide stats: one row
-    * (n_docs, n_tokens, n_chars, vocab_estimate) folded from all deltas.
+  /** The corpus-wide stats: one row (n_docs, n_tokens, n_chars,
+    * vocab_estimate, quality_p50, quality_p90) folded from all deltas.
     */
   def read(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(statsDir).agg(
       sum(col("n_docs")).as("n_docs"),
       sum(col("n_tokens")).as("n_tokens"),
       sum(col("n_chars")).as("n_chars"),
-      hll_sketch_estimate(hll_union_agg(col("vocab_sketch"))).as("vocab_estimate"))
+      hll_sketch_estimate(hll_union_agg(col("vocab_sketch"))).as("vocab_estimate"),
+      kll_merge_agg_double(col("quality_sketch")).as("quality_merged"))
+    .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("vocab_estimate"),
+      kll_sketch_get_quantile_double(col("quality_merged"), lit(0.5)).as("quality_p50"),
+      kll_sketch_get_quantile_double(col("quality_merged"), lit(0.9)).as("quality_p90"))
 }
