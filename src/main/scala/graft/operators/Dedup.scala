@@ -390,6 +390,27 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** One representative per duplicate cluster by QUALITY policy: the
+    * highest-scoring member survives (smallest id on ties) instead of the
+    * smallest id — dedup should keep the best copy, not the oldest.
+    * `members` carries (id, cluster_id) from [[clusters]]; `scores` maps
+    * id → score. One cluster-keyed window exchange; scores join by id.
+    */
+  def clusterRepresentatives(members: DataFrame, scores: DataFrame,
+      idCol: String = "id", scoreCol: String = "score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    members.join(scores, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("keep_id"),
+        col(scoreCol).as("keep_score"), col("n_members"))
+  }
+
   /** [[contamination]] with a bloom prefilter tier — the 100 TB shape when
     * even the bench GRAM TABLE is too big to broadcast-join against every
     * training shingle. Tier 1 aggregates the bench shingles into one

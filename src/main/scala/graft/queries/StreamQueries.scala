@@ -1095,6 +1095,41 @@ object StreamQueries {
     }, Some(
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         | TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // ---- exactly-once reconciliation report (the audit the reference's
+    // manifest protocol exists to make possible, README.md:413-430): after
+    // a full delivery, the lake is reconciled against the durable log BY
+    // SEQUENCE NUMBER — anti-joins in both directions plus a duplicate
+    // check. (0, 0, 0) is not asserted by a test here; it is the QUERY
+    // RESULT, hash-compared against the oracle's zeros — the exactly-once
+    // claim as data.
+    Q("q95_delivery_reconciliation", (s, d) => {
+      val base = tmp("graft-q95-")
+      val logDir = tmp("graft-q95log-")
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 6)
+      ShardedLog.put(ShardedLog.fromEvents(events), logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+        .awaitTermination()
+      val logSeq = s.read.parquet(logDir).select(col("sequence_number"))
+      val lakeSeq = graft.sources.ManifestReader.read(s, s"$base/manifest")
+        .select(col("sequence_number"))
+      val missing = logSeq.join(lakeSeq, Seq("sequence_number"), "left_anti")
+      val extra = lakeSeq.join(logSeq, Seq("sequence_number"), "left_anti")
+      val dups = lakeSeq.groupBy(col("sequence_number"))
+        .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      logSeq.agg(count(lit(1)).as("n_log"))
+        .crossJoin(lakeSeq.agg(count(lit(1)).as("n_lake")))
+        .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+        .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+        .crossJoin(dups.agg(count(lit(1)).as("n_dup_seq")))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_log,
+        | CAST(COUNT(*) AS BIGINT) AS n_lake,
+        | CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra,
+        | CAST(0 AS BIGINT) AS n_dup_seq
+        |FROM events WHERE day(ts) <= 6""".stripMargin))
   )
 }

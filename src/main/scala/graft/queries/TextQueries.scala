@@ -740,6 +740,61 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_members, CAST(MAX(v) AS BIGINT) AS max_id
          |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
+    // ---- duplicate-cluster representatives by QUALITY policy (q70's
+    // clusters, but the BEST copy survives, not the smallest id — dedup
+    // should keep the highest-quality member). Same deterministic banded
+    // pipeline; the oracle adds a quality-argmax window over the recursive
+    // components.
+    Q("q96_cluster_representatives", (s, d) => {
+      val planted = withPlanted(s, d)
+      val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+      val candidates = Dedup.lshCandidates(
+        Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
+      val pairs = Dedup.jaccardOnArrays(candidates, arrays)
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val scores = planted.select(col("doc_id").as("id"),
+        round(TextFunctions.qualityScore(col("text")), 4).as("score"))
+      Dedup.clusterRepresentatives(Dedup.clusters(pairs), scores)
+        .orderBy(col("cluster_id"))
+    }, Some(
+      s"""WITH RECURSIVE docs AS ($plantedSql),
+         |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+         |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+         |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+         |        GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+         |          FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+         |         WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+         |           FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |           JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN counts ca ON ca.doc_id = id_a
+         |          JOIN counts cb ON cb.doc_id = id_b
+         |          WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS v FROM edges),
+         |reach AS (SELECT v, v AS r FROM verts
+         |          UNION
+         |          SELECT e.dst AS v, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |labels AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v),
+         |q AS (SELECT doc_id, ROUND($qualitySql, 4) AS score FROM docs),
+         |ranked AS (SELECT labels.cluster_id, labels.v, q.score,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q.score DESC, labels.v) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM labels JOIN q ON q.doc_id = labels.v)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, CAST(v AS BIGINT) AS keep_id,
+         |  score AS keep_score, CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
     // ---- TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df).
     // Raw idf (N/df, no log) keeps the score an exact integer ratio — IEEE
     // division is bit-identical across engines, so ranking parity is exact
