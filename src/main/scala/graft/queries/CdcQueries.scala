@@ -169,6 +169,54 @@ object CdcQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_subkeys, CAST(SUM(n) AS BIGINT) AS n_records
         |FROM (SELECT CAST(user_id AS VARCHAR) || '||' || CAST(event_id % 16 AS VARCHAR) AS salted_key,
         |             COUNT(*) AS n
-        |      FROM events GROUP BY 1) t""".stripMargin))
+        |      FROM events GROUP BY 1) t""".stripMargin)),
+
+    // ---- CSV bulk-import path (the batch-file sibling of the streaming
+    // ingest — operational backfills arrive as CSV exports): events staged
+    // as headered CSV with ISO timestamps, read back with an EXPLICIT
+    // schema (inference on 100 TB of CSV is a second full scan), and
+    // aggregated identically to the parquet path. Round-trip fidelity of
+    // timestamps/doubles through text is what the oracle hash-checks.
+    Q("q97_csv_ingest", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q97-").toString
+      val e = tbl(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .where(dayofmonth(col("ts")) <= 12)
+      e.write.mode("overwrite").option("header", true)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(s"$base/csv")
+      s.read.schema(e.schema)
+        .option("header", true)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(s"$base/csv")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          Agg.moneySum(col("value")).as("total_value"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }, Some(
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         | ${dsumSql("value")} AS total_value, MAX(ts) AS max_ts
+         |FROM events WHERE day(ts) <= 12 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- VARIANT semi-structured payload (Spark 4's shredded JSON type —
+    // the modern form of q22's string-path extraction): props parses ONCE
+    // into a binary VARIANT, round-trips through parquet, and typed access
+    // is `variant_get` — at scale this replaces per-query JSON re-parsing
+    // with a parse-once, read-many encoding.
+    Q("q98_variant_payload", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q98-").toString
+      tbl(s, d, "events")
+        .select(col("event_id"), parse_json(col("props")).as("payload"))
+        .write.mode("overwrite").parquet(s"$base/variant")
+      s.read.parquet(s"$base/variant")
+        .select(variant_get(col("payload"), "$.k", "long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }, Some(
+      "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY k ORDER BY k"))
   )
 }
