@@ -98,6 +98,11 @@ object Bench {
       // robust() drives the run count + outlier extension; report the
       // inner per-delivery times (identical modulo ns-call overhead)
       robust(() => runs += deliverOnce(s"$base/log", s"$base/run${ctr.incrementAndGet()}"))
+      // timed() swallows per-run exceptions for the query benchmarks; a
+      // FAILED delivery must not silently shrink the median's sample —
+      // surface it as the segment's failure sentinel instead
+      if (runs.size < ctr.get)
+        throw new RuntimeException(s"${ctr.get - runs.size} of ${ctr.get} deliver runs failed")
       (runs.sorted.apply(runs.size / 2), runs.toSeq)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] deliver segment failed: ${e.getMessage}")

@@ -28,6 +28,20 @@ object BloomFunctions {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate silently CLAMPS to the runtime-filter session
+    // caps — a 2^28-item request would come back as a 4M-item sketch whose
+    // real FP rate approaches 1, degrading the prefilter to a no-op with
+    // no error. Fail fast and tell the caller which knobs to raise.
+    val spark = org.apache.spark.sql.SparkSession.active
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4194304").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sketch for $expectedItems items at fpp=$fpp needs $numBits bits, but the " +
+        s"session caps are maxNumItems=$maxItems / maxNumBits=$maxBits and Spark would " +
+        "silently clamp (FP rate → 1). Raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits to match.")
     ColumnBridge.column(new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())

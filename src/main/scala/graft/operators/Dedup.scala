@@ -280,9 +280,12 @@ object Dedup {
   def incrementalNearDups(newBands: DataFrame, newArrays: DataFrame,
       corpusBands: DataFrame, corpusArrays: DataFrame,
       threshold: Double = 0.5): DataFrame = {
+    // id inequality: an at-least-once upstream can re-deliver a doc id the
+    // index already holds — jaccard(X, X) = 1 must not emit a self-pair
     val vsCorpus = newBands.select(col("band"), col("band_sig"), col("id").as("id_new"))
       .join(corpusBands.select(col("band"), col("band_sig"), col("id").as("id_other")),
         Seq("band", "band_sig"))
+      .where(col("id_other") =!= col("id_new"))
     val vsBatch = newBands.select(col("band"), col("band_sig"), col("id").as("id_new"))
       .join(newBands.select(col("band"), col("band_sig"), col("id").as("id_other")),
         Seq("band", "band_sig"))
@@ -398,10 +401,15 @@ object Dedup {
     */
   def clusterRepresentatives(members: DataFrame, scores: DataFrame,
       idCol: String = "id", scoreCol: String = "score"): DataFrame = {
+    // LEFT join + nulls-last ordering: a member missing from `scores`
+    // (quality computed over a filtered slice, say) must still COUNT as a
+    // member and must lose the election only to a scored sibling — an
+    // inner join would silently shrink n_members and could vanish a
+    // whole cluster
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    members.join(scores, Seq(idCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    members.join(scores, Seq(idCol), "left")
       .withColumn("__rn", row_number().over(w))
       .withColumn("n_members",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

@@ -178,7 +178,7 @@ object CdcQueries {
     // aggregated identically to the parquet path. Round-trip fidelity of
     // timestamps/doubles through text is what the oracle hash-checks.
     Q("q97_csv_ingest", (s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q97-").toString
+      val base = Registry.tmpDir("graft-q97-")
       val e = tbl(s, d, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -207,7 +207,7 @@ object CdcQueries {
     // is `variant_get` — at scale this replaces per-query JSON re-parsing
     // with a parse-once, read-many encoding.
     Q("q98_variant_payload", (s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q98-").toString
+      val base = Registry.tmpDir("graft-q98-")
       tbl(s, d, "events")
         .select(col("event_id"), parse_json(col("props")).as("payload"))
         .write.mode("overwrite").parquet(s"$base/variant")

@@ -77,6 +77,33 @@ object Registry {
       path
     })
 
+  /** Query-local temp dir, registered for JVM-exit cleanup. */
+  def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** Stage `df` as ONE parquet file named `name.parquet` under `srcDir`
+    * with a pinned mtime — file-stream sources order batches by mtime, so
+    * staged files arrive as deterministic micro-batches under
+    * `maxFilesPerTrigger=1` (the arrival-order harness of the
+    * accumulating-index queries).
+    */
+  def stageOrderedFile(df: org.apache.spark.sql.DataFrame, srcDir: String,
+      name: String, mtime: Long): Unit = {
+    val t = tmpDir("graft-stage-")
+    df.coalesce(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(srcDir, s"$name.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
   lazy val all: Seq[Q] =
     CoreQueries.qs ++ MoreQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++
       VectorQueries.qs ++ StreamQueries.qs

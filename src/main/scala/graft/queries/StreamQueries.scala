@@ -31,11 +31,7 @@ object StreamQueries {
 
   private val fixedClock = java.sql.Timestamp.valueOf("2025-11-07 14:32:09.13")
 
-  private def tmp(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  private def tmp(prefix: String): String = Registry.tmpDir(prefix)
 
   val qs: Seq[Q] = Seq(
 
@@ -501,18 +497,8 @@ object StreamQueries {
       val base = tmp("graft-q78-")
       CorpusIndex.seed(docs.where(col("doc_id") < 300), "doc_id", "text",
         s"$base/index")
-      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val t = tmp("graft-q78-stage-")
-        df.coalesce(1).write.mode("overwrite").parquet(t)
-        val part = new java.io.File(t).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"))
-        java.nio.file.Files.setLastModifiedTime(
-          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit =
+        Registry.stageOrderedFile(df, s"$base/src", name, mtime)
       val t0 = System.currentTimeMillis() - 600000
       stage(docs.where(col("doc_id") >= 300 && col("doc_id") < 360)
         .unionByName(docs.where(col("doc_id") < 10) // copies of seed → known_dup
@@ -582,18 +568,8 @@ object StreamQueries {
       val base = tmp("graft-q79-")
       CorpusIndex.seedNear(docs.where(col("doc_id") < 60), "doc_id", "text",
         s"$base/index")
-      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val t = tmp("graft-q79-stage-")
-        df.coalesce(1).write.mode("overwrite").parquet(t)
-        val part = new java.io.File(t).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"))
-        java.nio.file.Files.setLastModifiedTime(
-          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit =
+        Registry.stageOrderedFile(df, s"$base/src", name, mtime)
       val variant = (idOff: Long) => (df: org.apache.spark.sql.DataFrame) =>
         df.select((col("doc_id") + idOff).as("doc_id"),
           concat(col("text"), lit(" streaming near variant")).as("text"))

@@ -189,22 +189,12 @@ object VectorQueries {
     Q("q89_stream_embedding_index", (s, d) => {
       import graft.functions.VectorFunctions._
       import graft.streaming.EmbeddingIndex
-      val base = java.nio.file.Files.createTempDirectory("graft-q89-").toString
+      val base = Registry.tmpDir("graft-q89-")
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       EmbeddingIndex.seed(emb.where(col("vec_id") < 200), "vec_id", "embedding",
         dim = 64, s"$base/index")
-      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-        val t = java.nio.file.Files.createTempDirectory("graft-q89s-").toString
-        df.coalesce(1).write.mode("overwrite").parquet(t)
-        val part = new java.io.File(t).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"))
-        java.nio.file.Files.setLastModifiedTime(
-          java.nio.file.Paths.get(s"$base/src", s"$name.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit =
+        Registry.stageOrderedFile(df, s"$base/src", name, mtime)
       val t0 = System.currentTimeMillis() - 600000
       stage(emb.where(col("vec_id") >= 200 && col("vec_id") < 350), "b0", t0)
       stage(emb.where(col("vec_id") >= 350 && col("vec_id") < 500), "b1", t0 + 2000)

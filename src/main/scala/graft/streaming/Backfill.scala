@@ -56,7 +56,7 @@ object Backfill {
       .partitionBy(partitionCols: _*).parquet(stage.toString)
 
     // 2. the repair set = the stage's partition paths (k1=v1/k2=v2/…)
-    val staged = walkParquet(fs, stage)
+    val staged = FsOps.walkParquet(fs, stage, skipHidden = true)
     val stagePrefix = stage.toString + "/"
     val byPartition = staged.groupBy { f =>
       val rel = fs.makeQualified(f).toString.stripPrefix(stagePrefix)
@@ -97,10 +97,4 @@ object Backfill {
     Compact.Stats(byPartition.size, olds.size, news.size)
   }
 
-  private def walkParquet(fs: FileSystem, dir: HPath): Seq[HPath] =
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      if (st.isDirectory) walkParquet(fs, st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-      else Seq.empty
-    }
 }

@@ -168,17 +168,8 @@ object Compact {
   /** Every visible .parquet data file under the lake (skips `_`/`.` control
     * trees: `_commits`, `_staging`, `_spark_metadata`, `_compact`).
     */
-  private def dataFiles(fs: FileSystem, lake: HPath): Seq[HPath] = {
-    def walk(dir: HPath): Seq[HPath] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-        else if (st.isDirectory) walk(st.getPath)
-        else if (n.endsWith(".parquet")) Seq(st.getPath)
-        else Seq.empty
-      }
-    if (fs.exists(lake)) walk(lake) else Seq.empty
-  }
+  private def dataFiles(fs: FileSystem, lake: HPath): Seq[HPath] =
+    FsOps.walkParquet(fs, lake, skipHidden = true)
 
   private[streaming] def listParquet(fs: FileSystem, dir: HPath): Seq[HPath] =
     fs.listStatus(dir).toSeq.map(_.getPath)

@@ -65,7 +65,11 @@ object CorpusIndex {
     StructField("id", LongType),
     StructField("sh", org.apache.spark.sql.types.ArrayType(StringType))))
 
-  private def readDeltas(spark: SparkSession, dir: String, schema: StructType,
+  /** Shared delta reader (also used by [[EmbeddingIndex]]): all deltas
+    * except the in-flight batch's own (replay idempotence — a replayed
+    * batch must not probe the half-written delta it is about to replace).
+    */
+  private[streaming] def readDeltas(spark: SparkSession, dir: String, schema: StructType,
       excludeDelta: Long): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,15 +120,19 @@ object CorpusIndex {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val arrays = Dedup.shingleArrays(batch, idCol, textCol, n = 3)
-        val bands = Dedup.minhashBandsNarrow(arrays, k, rowsPerBand)
-        val corpusBands = readDeltas(spark, s"$indexDir/bands", BandsSchema, batchId)
-        val corpusArrays = readDeltas(spark, s"$indexDir/arrays", ArraysSchema, batchId)
-        Dedup.incrementalNearDups(bands, arrays, corpusBands, corpusArrays, threshold)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        bands.write.mode("overwrite").parquet(s"$indexDir/bands/delta=$batchId")
-        arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=$batchId")
-        ()
+        // arrays/bands each feed the probe AND a delta write — persist so
+        // the tokenize + shingle + 16-perm minhash map side runs once per
+        // batch, not once per consumer
+        val arrays = Dedup.shingleArrays(batch, idCol, textCol, n = 3).persist()
+        val bands = Dedup.minhashBandsNarrow(arrays, k, rowsPerBand).persist()
+        try {
+          val corpusBands = readDeltas(spark, s"$indexDir/bands", BandsSchema, batchId)
+          val corpusArrays = readDeltas(spark, s"$indexDir/arrays", ArraysSchema, batchId)
+          Dedup.incrementalNearDups(bands, arrays, corpusBands, corpusArrays, threshold)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          bands.write.mode("overwrite").parquet(s"$indexDir/bands/delta=$batchId")
+          arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=$batchId")
+        } finally { bands.unpersist(); arrays.unpersist(); () }
       }
       .start()
 

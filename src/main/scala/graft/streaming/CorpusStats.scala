@@ -25,7 +25,9 @@ object CorpusStats {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val batch = b.persist() // two aggregations consume the same batch
+        try {
         val toks = TextFunctions.tokens(col(textCol))
         val counters = batch.agg(
           count(lit(1)).as("n_docs"),
@@ -40,7 +42,7 @@ object CorpusStats {
           .agg(hll_sketch_agg(col("tok")).as("vocab_sketch"))
         counters.crossJoin(sketch)
           .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
-        ()
+        } finally { batch.unpersist(); () }
       }
       .start()
 

@@ -31,20 +31,6 @@ object EmbeddingIndex {
     StructField("tb", StructType(Seq(
       StructField("t", IntegerType), StructField("b", IntegerType))))))
 
-  private def readDeltas(spark: SparkSession, dir: String, dim: Int,
-      excludeDelta: Long): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bucketSchema(dim))
-    spark.read
-      .schema(StructType(bucketSchema(dim).fields :+ StructField("delta", LongType)))
-      .parquet(dir)
-      .where(col("delta") =!= excludeDelta)
-      .select(bucketSchema(dim).fieldNames.map(col): _*)
-  }
-
   /** Seed the index from an existing corpus, as delta = -1. */
   def seed(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       indexDir: String, nTables: Int = 8, bitsPerTable: Int = 4): Unit =
@@ -65,16 +51,23 @@ object EmbeddingIndex {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // bb feeds both probes and the delta write — persist so the
+        // hyperplane bucketing runs once per batch, not three times
         val bb = Dedup.embeddingBuckets(batch, idCol, embCol, dim, nTables, bitsPerTable)
-        val idx = readDeltas(spark, indexDir, dim, batchId)
+          .persist()
+        try {
+        val idx = CorpusIndex.readDeltas(spark, indexDir, bucketSchema(dim), batchId)
         val cos = round(
           graft.functions.VectorFunctions.dot(col("ea"), col("eb"))
             / (col("na") * col("nb")), roundScale)
-        // probe 1: batch vs accumulated index (id_other always earlier)
+        // probe 1: batch vs accumulated index (id_other always earlier);
+        // id inequality guards against an at-least-once redelivery of an
+        // already-indexed id pairing with itself (cos = 1.0)
         val vsIndex = bb.select(col("tb"), col("id").as("id_new"),
             col("e").as("ea"), col("nrm").as("na"))
           .join(idx.select(col("tb"), col("id").as("id_other"),
             col("e").as("eb"), col("nrm").as("nb")), Seq("tb"))
+          .where(col("id_other") =!= col("id_new"))
         // probe 2: within-batch, smaller id is the "other" side
         val vsSelf = bb.select(col("tb"), col("id").as("id_new"),
             col("e").as("ea"), col("nrm").as("na"))
@@ -89,7 +82,7 @@ object EmbeddingIndex {
           .where(col("cos") >= threshold)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         bb.write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
-        ()
+        } finally { bb.unpersist(); () }
       }
       .start()
 }

@@ -38,6 +38,11 @@ object Erase {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
+    // a request against a not-yet-delivered or already-emptied lake is a
+    // no-op, not a job failure (the scan below would throw on schema
+    // inference) — same guard discipline as Retention.sweep
+    if (FsOps.walkParquet(fs, lake, skipHidden = true).isEmpty)
+      return Compact.Stats(0, 0, 0)
     Compact.recover(spark, lakeDir, manifestDir)
 
     val keySet = broadcast(keys.toDF(keyCol).distinct())
@@ -68,7 +73,7 @@ object Erase {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
     val stagePrefix = stage.toString + "/"
-    val news = walkParquet(fs, stage).map { f =>
+    val news = FsOps.walkParquet(fs, stage, skipHidden = true).map { f =>
       val rel = fs.makeQualified(f).toString.stripPrefix(stagePrefix)
       (f, new HPath(lake, rel))
     }.sortBy(_._2.toString)
@@ -88,10 +93,4 @@ object Erase {
     Compact.Stats(affected.map(_.getParent).distinct.size, olds.size, news.size)
   }
 
-  private def walkParquet(fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Seq[HPath] =
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      if (st.isDirectory) walkParquet(fs, st.getPath)
-      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
-      else Seq.empty
-    }
 }

@@ -18,6 +18,22 @@ private[graft] object FsOps {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Recursive listing of every `.parquet` file under `dir`.
+    * `skipHidden` prunes `_`/`.`-prefixed subtrees (control dirs like
+    * `_compact`, `_staging`, `_spark_metadata`) — the shared walker behind
+    * Compact/Backfill/Erase/Retention, so a change to what counts as a
+    * data file cannot desynchronize the ops that share recovery.
+    */
+  def walkParquet(fs: FileSystem, dir: HPath, skipHidden: Boolean): Seq[HPath] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (skipHidden && (n.startsWith("_") || n.startsWith("."))) Seq.empty
+      else if (st.isDirectory) walkParquet(fs, st.getPath, skipHidden)
+      else if (n.endsWith(".parquet")) Seq(st.getPath)
+      else Seq.empty
+    }
+
   /** Rename that throws when the filesystem reports failure. */
   def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
     if (!fs.rename(src, dst))

@@ -23,10 +23,18 @@ object Retention {
   /** Drop every `year=/month=/day=/hour=` partition strictly older than
     * `cutoff` (exclusive; rows with ts ≥ cutoff are untouched). Returns
     * (partitions dropped, files retired, 0).
+    *
+    * The cutoff's WALL-CLOCK FIELDS are matched against the partition
+    * values — the same session-timezone-relative terms the delivery
+    * derived year/month/day/hour from — so the comparison is independent
+    * of the JVM default timezone (`cutoff.getTime`, an epoch instant,
+    * would shift by the JVM offset and silently expire the wrong hours on
+    * a non-UTC driver).
     */
   def sweep(spark: SparkSession, lakeDir: String, cutoff: java.sql.Timestamp,
       manifestDir: Option[String] = None): Compact.Stats = {
-    require(cutoff.getTime % 3600000L == 0,
+    val cutLocal = cutoff.toLocalDateTime
+    require(cutLocal.getMinute == 0 && cutLocal.getSecond == 0 && cutLocal.getNano == 0,
       s"cutoff $cutoff must align to the hour-partition granularity")
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
@@ -34,29 +42,19 @@ object Retention {
     if (!fs.exists(lake)) return Compact.Stats(0, 0, 0)
     Compact.recover(spark, lakeDir, manifestDir)
 
-    // partition dir → the [start, start+1h) range it covers, in the same
-    // UTC terms the delivery derived the partition values from
-    def partStart(dir: HPath): Option[java.time.Instant] = {
+    // partition dir → the [start, start+1h) wall-clock range it covers,
+    // compared field-wise against the cutoff's wall clock (no epoch
+    // conversion anywhere — timezone cannot leak in)
+    def partStart(dir: HPath): Option[java.time.LocalDateTime] = {
       val segs = dir.toString.split('/').filter(_.contains("="))
         .map { s => val Array(k, v) = s.split("=", 2); k -> v }.toMap
       for {
         y <- segs.get("year"); m <- segs.get("month")
         d <- segs.get("day"); h <- segs.get("hour")
-      } yield java.time.LocalDateTime
-        .of(y.toInt, m.toInt, d.toInt, h.toInt, 0)
-        .toInstant(java.time.ZoneOffset.UTC)
+      } yield java.time.LocalDateTime.of(y.toInt, m.toInt, d.toInt, h.toInt, 0)
     }
-    def walk(dir: HPath): Seq[HPath] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-        else if (st.isDirectory) walk(st.getPath)
-        else if (n.endsWith(".parquet")) Seq(st.getPath)
-        else Seq.empty
-      }
-    val cut = cutoff.toInstant
-    val expired = walk(lake).groupBy(_.getParent).filter { case (dir, _) =>
-      partStart(dir).exists(start => start.plusSeconds(3600).compareTo(cut) <= 0)
+    val expired = FsOps.walkParquet(fs, lake, skipHidden = true).groupBy(_.getParent).filter { case (dir, _) =>
+      partStart(dir).exists(start => !start.plusHours(1).isAfter(cutLocal))
     }
     if (expired.isEmpty) return Compact.Stats(0, 0, 0)
 
