@@ -795,6 +795,93 @@ object TextQueries {
          |  score AS keep_score, CAST(n_members AS BIGINT) AS n_members
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
+    // ---- the END-TO-END training-corpus build, every stage an operator
+    // this library ships: quality/lang gate + exact & near dedup
+    // (CorpusPipeline) → benchmark decontamination → deterministic 80%
+    // sample → token-budget pack → epoch-0 training order. The output IS
+    // the train-ready manifest (docs in training order with their packed
+    // cumulative token counts), and the oracle mirrors every stage
+    // exactly — the strongest single statement that the composed pipeline
+    // is deterministic and engine-portable end to end.
+    Q("q99_train_corpus_build", (s, d) => {
+      val ann = graft.operators.CorpusPipeline.annotate(withPlanted(s, d),
+        graft.operators.CorpusPipeline.Config(
+          parallelism = Some(s.sparkContext.defaultParallelism)))
+      val clean = ann.where(col("reject_reason").isNull)
+        .select(col("doc_id"), col("text"), col("n_tokens"))
+      val bench = tbl(s, d, "documents").where(col("doc_id").isin(3, 7))
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val contaminated = Dedup.contamination(clean, "doc_id", "text",
+          bench, "doc_id", "text", n = 8)
+        .select(col("train_id").as("doc_id")).distinct()
+      val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = graft.operators.Sampling.deterministicSample(decon, "doc_id", 0.8)
+        .withColumn("stratum", lit("all"))
+      val packed = graft.operators.Sampling.packByBudget(
+        sampled, "doc_id", "n_tokens", "stratum", budget = 10000)
+      graft.operators.Sampling.epochShuffle(
+          packed.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("cum_weight")),
+          "doc_id", epoch = 0)
+        .select(col("shuffle_key"), col("doc_id"), col("n_tokens"), col("cum_weight"))
+    }, Some {
+      val thr80 = graft.operators.Sampling.hexThreshold(0.8)
+      s"""WITH docs AS ($plantedSql),
+         |base AS (SELECT doc_id, text, ROUND($qualitySql, 4) AS quality,
+         |  $langIdSql AS lang_pred, len($toksSql) AS n_tokens,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs),
+         |we AS (SELECT base.*, doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS exact_dup FROM base),
+         |survivors AS (SELECT doc_id, text FROM we WHERE NOT exact_dup),
+         |toks3 AS (SELECT doc_id, $toksSql AS t FROM survivors WHERE len($toksSql) >= 3),
+         |sh3 AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+         |       FROM toks3, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+         |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+         |        FROM sh3, UNNEST(generate_series(0, 15)) AS g(i)
+         |        GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+         |          FROM sig GROUP BY doc_id, band),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+         |         WHERE a.doc_id < b.doc_id),
+         |counts3 AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+         |common3 AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+         |           FROM cand c JOIN sh3 a ON a.doc_id = c.id_a
+         |           JOIN sh3 b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |           GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT id_b AS doc_id FROM common3
+         |         JOIN counts3 ca ON ca.doc_id = id_a JOIN counts3 cb ON cb.doc_id = id_b
+         |         WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+         |clean AS (SELECT we.doc_id, we.text, we.n_tokens FROM we
+         |  LEFT JOIN near ON we.doc_id = near.doc_id
+         |  WHERE we.quality >= 0.5 AND we.n_tokens >= 5 AND we.lang_pred = 'en'
+         |    AND NOT we.exact_dup AND near.doc_id IS NULL),
+         |bench AS (SELECT doc_id + 900000 AS doc_id, text FROM docs_src
+         |  WHERE doc_id IN (3, 7)),
+         |ttoks AS (SELECT doc_id, $toksSql AS t FROM clean WHERE len($toksSql) >= 8),
+         |tsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
+         |  || ' ' || t[x+4] || ' ' || t[x+5] || ' ' || t[x+6] || ' ' || t[x+7] AS shingle
+         |  FROM ttoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x)),
+         |btoks AS (SELECT doc_id, $toksSql AS t FROM bench WHERE len($toksSql) >= 8),
+         |bsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
+         |  || ' ' || t[x+4] || ' ' || t[x+5] || ' ' || t[x+6] || ' ' || t[x+7] AS shingle
+         |  FROM btoks, UNNEST(generate_series(1, len(t) - 7)) AS g(x)),
+         |contaminated AS (SELECT DISTINCT a.doc_id FROM tsh a JOIN bsh b USING (shingle)),
+         |decon AS (SELECT clean.* FROM clean
+         |  LEFT JOIN contaminated c ON c.doc_id = clean.doc_id WHERE c.doc_id IS NULL),
+         |sampled AS (SELECT * FROM decon
+         |  WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) < '$thr80'),
+         |packed AS (SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_weight
+         |  FROM sampled)
+         |SELECT md5('graft:0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         |  doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(cum_weight AS BIGINT) AS cum_weight
+         |FROM packed WHERE cum_weight <= 10000
+         |ORDER BY shuffle_key, doc_id""".stripMargin
+        .replace("docs_src", "documents")
+    }),
+
     // ---- TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df).
     // Raw idf (N/df, no log) keeps the score an exact integer ratio — IEEE
     // division is bit-identical across engines, so ranking parity is exact
