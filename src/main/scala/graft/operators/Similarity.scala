@@ -147,6 +147,63 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
+  /** Build and PERSIST an IVF index: the KMeans coarse quantizer's
+    * centroids (tiny parquet) plus the corpus assigned to cells, written
+    * `partitionBy("cell")` — the layout is the index. A probe reads ONLY
+    * its nprobe cells' directories (partition pruning), so repeated query
+    * batches never rescan or re-fit: build once per corpus version, query
+    * forever. This is the persisted form of [[ivfAnn]] (which fits and
+    * assigns per call — right for one-shot jobs, wasteful for a serving
+    * pattern).
+    */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+      seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
+    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .fit(cVec.orderBy(col("id")).limit(maxFitRows))
+    model.transform(cVec)
+      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
+        norm2(toDouble(col("embedding"))).as("nn"),
+        col(model.getPredictionCol).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/corpus")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      (i, ctr.toArray.toSeq)
+    }.toSeq
+    corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Query a [[buildIvfIndex]] index: rank each query's centroids, read
+    * ONLY the union of probed cells' partitions (cell pruning reaches the
+    * file listing — the scan never touches unprobed cells' files), then
+    * the usual bucket join + top-k window.
+    */
+  def ivfIndexQuery(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
+      norm2(toDouble(col("embedding"))).as("qn"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+    val probes = qe.crossJoin(centDf)
+      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cell"))
+    // the probed-cell union is O(nlist) ints — collect it so the corpus
+    // scan is a PARTITION-PRUNED read of just those cell directories
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$indexDir/corpus")
+      .where(col("cell").isin(cells: _*))
+    val sims = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a KMeans coarse
     * quantizer (fit on a bounded sample, same discipline as [[ivfAnn]]),

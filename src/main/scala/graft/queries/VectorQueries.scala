@@ -180,6 +180,24 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
 
+    // ---- PERSISTED IVF index: build once (centroids + corpus bucketed by
+    // cell — the partition layout IS the index), then serve query batches
+    // with partition-pruned probes that never re-fit or rescan unprobed
+    // cells. Same machine-checked recall contract as q46; PlanSpec pins
+    // that the probe scan reads only the probed cells' partitions.
+    Q("q100_ivf_index_persisted", (s, d) => {
+      val base = Registry.tmpDir("graft-q100-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.buildIvfIndex(corpus, s"$base/index", nlist = 8)
+      val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 3)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
     // ---- streaming embedding near-dup against an ACCUMULATING sign-LSH
     // index (q79's vector counterpart): batches are bucketed map-side with
     // the deterministic hyperplanes (no model state), probed against every

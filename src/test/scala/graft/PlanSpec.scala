@@ -172,6 +172,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q100 persisted IVF probe reads only the probed cells' partitions") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft-ivfidx-")
+    val emb = Registry.tbl(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.Similarity.buildIvfIndex(corpus, s"$base/index", nlist = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val df = graft.operators.Similarity.ivfIndexQuery(queries, s"$base/index",
+      k = 5, nprobe = 2)
+    // sparkPlan, not executedPlan: AQE wraps this multi-join query and
+    // hides the leaves until execution
+    val scans = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.metadata.get("Location").exists(_.contains("index")) => sc
+    }
+    assert(scans.nonEmpty)
+    val corpusScan = scans.find(_.metadata("Location").contains("corpus")).get
+    assert(corpusScan.metadata("PartitionFilters").contains("cell"),
+      corpusScan.metadata.toString)
+    // the static isin() filter alone must prune (DPP subquery filters are
+    // unevaluable before execution — drop them for the listing)
+    val static = corpusScan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    val readParts = corpusScan.relation.location
+      .listFiles(static, corpusScan.dataFilters).size
+    assert(readParts < 8, s"probe read $readParts of 8 cells — pruning lost")
+  }
+
   test("partitioned lake point query prunes to the matching hour partition") {
     val base = tmpDir("graft-prune-")
     import org.apache.spark.sql.functions._
