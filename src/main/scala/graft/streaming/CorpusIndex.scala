@@ -82,6 +82,50 @@ object CorpusIndex {
       .select(schema.fieldNames.map(col): _*)
   }
 
+  /** Fold an accumulating delta-dir index (one subdir per batch) back into
+    * a single base delta — the maintenance pass a long-running index
+    * stream needs (every batch adds a directory; a year of 60 s batches is
+    * ~500k dirs of listing cost per probe). Crash-safe by WRITE ORDER
+    * alone: the merged base is written to a STAGING dir, promoted under a
+    * FRESH negative delta id, and only then are the folded deltas removed —
+    * a crash at any point leaves every row visible at least once, and the
+    * consumers are duplicate-tolerant (fingerprint probes are semi-joins;
+    * band/array candidate pairs go through distinct()).
+    */
+  private[graft] def compactDeltas(spark: SparkSession, dir: String,
+      schema: StructType): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return 0
+    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("delta="))
+    if (deltas.size <= 1) return 0
+    // the new base gets a FRESH negative delta id (below every existing
+    // one): batch ids are ≥ 0, so a negative delta is never excluded from
+    // a probe, and promoting BEFORE deleting the olds means no instant
+    // where a row lives only in the hidden stage — the crash window is
+    // "old ∪ new visible" (duplicates, which every consumer tolerates and
+    // the next compaction's distinct() folds away)
+    val newBase = deltas.map(_.getName.stripPrefix("delta=").toLong).min - 1
+    val stage = new org.apache.hadoop.fs.Path(dir, ".compact-stage")
+    spark.read.schema(StructType(schema.fields :+ StructField("delta", LongType)))
+      .parquet(dir)
+      .select(schema.fieldNames.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(stage.toString)
+    FsOps.renameOrThrow(fs, stage, new org.apache.hadoop.fs.Path(dir, s"delta=$newBase"))
+    deltas.foreach(d => FsOps.deleteOrThrow(fs, d, recursive = true))
+    deltas.size
+  }
+
+  /** Fold the exact-dedup fingerprint index's deltas into one base. */
+  def compact(spark: SparkSession, indexDir: String): Int =
+    compactDeltas(spark, indexDir, IndexSchema)
+
+  /** Fold the NEAR-dup index's band and array deltas into one base each. */
+  def compactNear(spark: SparkSession, indexDir: String): Int =
+    compactDeltas(spark, s"$indexDir/bands", BandsSchema) +
+      compactDeltas(spark, s"$indexDir/arrays", ArraysSchema)
+
   /** Seed the NEAR-dup index (LSH bands + shingle arrays) from an existing
     * corpus, as delta = -1.
     */

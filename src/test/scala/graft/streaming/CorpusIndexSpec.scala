@@ -108,6 +108,31 @@ class CorpusIndexSpec extends SparkSuite {
       (22L, 21L))) // within batch 1, smaller id is the "other"
   }
 
+  test("delta compaction folds the index without changing what a probe sees") {
+    val base = Files.createTempDirectory("graft-cic-").toString
+    CorpusIndex.seed(Seq((1L, "alpha one"), (2L, "beta two")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/index")
+    // two batch deltas on top of the seed
+    Seq((10L, "gamma three")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .write.parquet(s"$base/index/delta=0")
+    Seq((11L, "delta four")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .write.parquet(s"$base/index/delta=1")
+    val before = CorpusIndex.readIndex(spark, s"$base/index", 99L)
+      .as[String].collect().sorted.toSeq
+    assert(CorpusIndex.compact(spark, s"$base/index") == 3)
+    val after = CorpusIndex.readIndex(spark, s"$base/index", 99L)
+      .as[String].collect().sorted.toSeq
+    assert(after == before, "compaction must preserve the probe-visible set")
+    // one folded dir remains, under a fresh negative id (never excluded)
+    val dirs = new java.io.File(s"$base/index").listFiles()
+      .filter(_.getName.startsWith("delta=")).map(_.getName).toSeq
+    assert(dirs.size == 1 && dirs.head.stripPrefix("delta=").toLong < -1, dirs.toString)
+    // idempotent: a single-delta index is already compact
+    assert(CorpusIndex.compact(spark, s"$base/index") == 0)
+  }
+
   test("missing index reads as empty; probe never shuffles document text") {
     val empty = CorpusIndex.readIndex(spark,
       Files.createTempDirectory("graft-ci-").toString + "/nope", -42L)
