@@ -297,6 +297,10 @@ object Dedup {
       pairs.select(col("id_new").as("id_a"), col("id_other").as("id_b")), arrays)
       .where(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_other"), col("jaccard"))
+      // a duplicated corpus arrays row (the index compactor's documented
+      // crash window) would otherwise emit the same verified pair twice;
+      // the verified set is small, so the dedup is cheap insurance
+      .distinct()
   }
 
   /** Paragraph-level exact dedup: drop every paragraph that already

@@ -105,6 +105,27 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
+  /** Rank each query's centroids and keep its `nprobe` nearest cells —
+    * the probe-planning stage shared by [[ivfAnn]] and [[ivfIndexQuery]].
+    */
+  private def rankedProbes(qe: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame = {
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+    qe.crossJoin(centDf)
+      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cell"))
+  }
+
+  /** Per-query top-k on a (qid, nid, sim) table — rounded-sim ranking with
+    * nid tie-break, the engine-stable ordering every ANN path shares.
+    */
+  private def topK(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
   /** IVF (inverted-file) approximate NN: a KMeans coarse quantizer
     * partitions the corpus into `nlist` cells; each query scans only its
     * `nprobe` nearest cells. The classic ANN scale path: the corpus is
@@ -133,18 +154,11 @@ object Similarity {
       .toDF("cell", "centroid"))
     val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
       norm2(col("embedding")).as("qn"))
-    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
-    val probes = qe.crossJoin(centDf)
-      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
-      .withColumn("crn", row_number().over(wCell))
-      .where(col("crn") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("cell"))
+    val probes = rankedProbes(qe, centDf, nprobe)
     val sims = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(round(col("sim"), 4).desc, col("nid"))
-    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    topK(sims, k)
   }
 
   /** Build and PERSIST an IVF index: the KMeans coarse quantizer's
@@ -184,24 +198,21 @@ object Similarity {
     val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
       norm2(toDouble(col("embedding"))).as("qn"))
-    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
-    val probes = qe.crossJoin(centDf)
-      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
-      .withColumn("crn", row_number().over(wCell))
-      .where(col("crn") <= nprobe)
-      .select(col("qid"), col("qe"), col("qn"), col("cell"))
-    // the probed-cell union is O(nlist) ints — collect it so the corpus
-    // scan is a PARTITION-PRUNED read of just those cell directories
-    val cells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // the probe plan runs ONCE: its rows (query batch × nprobe — small by
+    // the serving contract) are collected, the cell union drives a
+    // PARTITION-PRUNED read of just those cell directories, and the same
+    // collected rows become the broadcast join side
+    val probePlan = rankedProbes(qe, centDf, nprobe)
+    val probeRows = probePlan.collect().toSeq
+    val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows), probePlan.schema)
     val assigned = spark.read.parquet(s"$indexDir/corpus")
       .where(col("cell").isin(cells: _*))
     val sims = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(round(col("sim"), 4).desc, col("nid"))
-    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    topK(sims, k)
   }
 
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al. 2023,

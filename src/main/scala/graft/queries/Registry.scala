@@ -77,10 +77,24 @@ object Registry {
       path
     })
 
-  /** Query-local temp dir, registered for JVM-exit cleanup. */
+  /** Query-local temp dir, removed RECURSIVELY at JVM exit (a bare
+    * `deleteOnExit` only removes empty dirs, so staged corpora would
+    * accumulate across bench/verify runs).
+    */
+  private val tmpDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.io.File]())
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tmpDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }))
   def tmpDir(prefix: String): String = {
+    cleanupHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    tmpDirs.add(p.toFile)
     p.toString
   }
 

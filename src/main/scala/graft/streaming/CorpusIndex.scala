@@ -90,7 +90,11 @@ object CorpusIndex {
     * FRESH negative delta id, and only then are the folded deltas removed —
     * a crash at any point leaves every row visible at least once, and the
     * consumers are duplicate-tolerant (fingerprint probes are semi-joins;
-    * band/array candidate pairs go through distinct()).
+    * band/array candidates and verified pairs go through distinct()).
+    * The NEWEST batch delta is never folded, so compaction is safe to run
+    * at any moment — including between a crashed batch and its replay,
+    * whose excludeDelta protection depends on that delta staying where
+    * the replay expects it.
     */
   private[graft] def compactDeltas(spark: SparkSession, dir: String,
       schema: StructType): Int = {
@@ -99,7 +103,18 @@ object CorpusIndex {
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return 0
     val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
       .map(_.getPath).filter(_.getName.startsWith("delta="))
-    if (deltas.size <= 1) return 0
+    // NEVER fold the newest batch delta: if the stream crashed after that
+    // batch's delta landed but before its checkpoint committed, the
+    // restart REPLAYS that batch id and relies on excludeDelta to not
+    // probe its own half-state — folding it into a negative base (which
+    // no probe ever excludes) would misclassify the whole replayed batch
+    // as already-known. Everything older is safe: earlier batches'
+    // checkpoints are committed and can never replay.
+    val newestBatch = deltas.map(_.getName.stripPrefix("delta=").toLong)
+      .filter(_ >= 0).maxOption
+    val fold = deltas.filterNot(d =>
+      newestBatch.contains(d.getName.stripPrefix("delta=").toLong))
+    if (fold.size <= 1) return 0
     // the new base gets a FRESH negative delta id (below every existing
     // one): batch ids are ≥ 0, so a negative delta is never excluded from
     // a probe, and promoting BEFORE deleting the olds means no instant
@@ -108,13 +123,12 @@ object CorpusIndex {
     // the next compaction's distinct() folds away)
     val newBase = deltas.map(_.getName.stripPrefix("delta=").toLong).min - 1
     val stage = new org.apache.hadoop.fs.Path(dir, ".compact-stage")
-    spark.read.schema(StructType(schema.fields :+ StructField("delta", LongType)))
-      .parquet(dir)
-      .select(schema.fieldNames.map(col): _*).distinct()
+    spark.read.schema(schema).parquet(fold.map(_.toString): _*)
+      .distinct()
       .write.mode("overwrite").parquet(stage.toString)
     FsOps.renameOrThrow(fs, stage, new org.apache.hadoop.fs.Path(dir, s"delta=$newBase"))
-    deltas.foreach(d => FsOps.deleteOrThrow(fs, d, recursive = true))
-    deltas.size
+    fold.foreach(d => FsOps.deleteOrThrow(fs, d, recursive = true))
+    fold.size
   }
 
   /** Fold the exact-dedup fingerprint index's deltas into one base. */

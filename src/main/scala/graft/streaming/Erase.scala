@@ -38,12 +38,14 @@ object Erase {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
-    // a request against a not-yet-delivered or already-emptied lake is a
-    // no-op, not a job failure (the scan below would throw on schema
-    // inference) — same guard discipline as Retention.sweep
-    if (FsOps.walkParquet(fs, lake, skipHidden = true).isEmpty)
-      return Compact.Stats(0, 0, 0)
+    // recovery FIRST (an interrupted maintenance pass must complete even
+    // when this request turns out to be a no-op), then a SHORT-CIRCUIT
+    // emptiness guard: a request against a not-yet-delivered or
+    // already-emptied lake is a no-op, not a job failure (the scan below
+    // would throw on schema inference)
     Compact.recover(spark, lakeDir, manifestDir)
+    if (!FsOps.anyParquet(fs, lake, skipHidden = true))
+      return Compact.Stats(0, 0, 0)
 
     val keySet = broadcast(keys.toDF(keyCol).distinct())
 

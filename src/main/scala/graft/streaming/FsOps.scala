@@ -34,6 +34,19 @@ private[graft] object FsOps {
       else Seq.empty
     }
 
+  /** Short-circuiting "does any parquet data file exist under `dir`" —
+    * O(depth × dir fanout until first hit), NOT a full lake walk; use for
+    * emptiness guards where [[walkParquet]]'s full materialized listing
+    * would bill O(total files) just to test non-emptiness.
+    */
+  def anyParquet(fs: FileSystem, dir: HPath, skipHidden: Boolean): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      if (skipHidden && (n.startsWith("_") || n.startsWith("."))) false
+      else if (st.isDirectory) anyParquet(fs, st.getPath, skipHidden)
+      else n.endsWith(".parquet")
+    }
+
   /** Rename that throws when the filesystem reports failure. */
   def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
     if (!fs.rename(src, dst))

@@ -20,20 +20,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Retention {
 
+  /** Timestamp convenience overload: the cutoff's WALL-CLOCK FIELDS (what
+    * `Timestamp.valueOf("2024-01-15 00:00:00")` reads back) are the
+    * cutoff — NOT its epoch instant. A Timestamp built from an epoch
+    * (`new Timestamp(now - retentionMs)`) carries JVM-default-zone fields;
+    * when partitions were derived under a different session timezone,
+    * convert explicitly and call the [[java.time.LocalDateTime]] form.
+    */
+  def sweep(spark: SparkSession, lakeDir: String, cutoff: java.sql.Timestamp,
+      manifestDir: Option[String]): Compact.Stats =
+    sweep(spark, lakeDir, cutoff.toLocalDateTime, manifestDir)
+
+  def sweep(spark: SparkSession, lakeDir: String, cutoff: java.sql.Timestamp): Compact.Stats =
+    sweep(spark, lakeDir, cutoff.toLocalDateTime, None)
+
   /** Drop every `year=/month=/day=/hour=` partition strictly older than
     * `cutoff` (exclusive; rows with ts ≥ cutoff are untouched). Returns
     * (partitions dropped, files retired, 0).
     *
-    * The cutoff's WALL-CLOCK FIELDS are matched against the partition
-    * values — the same session-timezone-relative terms the delivery
-    * derived year/month/day/hour from — so the comparison is independent
-    * of the JVM default timezone (`cutoff.getTime`, an epoch instant,
-    * would shift by the JVM offset and silently expire the wrong hours on
-    * a non-UTC driver).
+    * The cutoff is a timezone-free WALL CLOCK compared field-wise against
+    * the partition values — interpret it in whatever frame the delivery's
+    * session timezone derived year/month/day/hour in (UTC for every
+    * session this library builds). No epoch conversion happens anywhere,
+    * so the JVM default timezone cannot shift the horizon.
     */
-  def sweep(spark: SparkSession, lakeDir: String, cutoff: java.sql.Timestamp,
+  def sweep(spark: SparkSession, lakeDir: String, cutoff: java.time.LocalDateTime,
       manifestDir: Option[String] = None): Compact.Stats = {
-    val cutLocal = cutoff.toLocalDateTime
+    val cutLocal = cutoff
     require(cutLocal.getMinute == 0 && cutLocal.getSecond == 0 && cutLocal.getNano == 0,
       s"cutoff $cutoff must align to the hour-partition granularity")
     val hconf = spark.sessionState.newHadoopConf()

@@ -121,15 +121,21 @@ class CorpusIndexSpec extends SparkSuite {
       .write.parquet(s"$base/index/delta=1")
     val before = CorpusIndex.readIndex(spark, s"$base/index", 99L)
       .as[String].collect().sorted.toSeq
-    assert(CorpusIndex.compact(spark, s"$base/index") == 3)
+    // folds seed + delta=0; the NEWEST batch delta (1) must survive as-is —
+    // a crashed-then-replayed batch 1 depends on excludeDelta finding it
+    assert(CorpusIndex.compact(spark, s"$base/index") == 2)
     val after = CorpusIndex.readIndex(spark, s"$base/index", 99L)
       .as[String].collect().sorted.toSeq
     assert(after == before, "compaction must preserve the probe-visible set")
-    // one folded dir remains, under a fresh negative id (never excluded)
     val dirs = new java.io.File(s"$base/index").listFiles()
-      .filter(_.getName.startsWith("delta=")).map(_.getName).toSeq
-    assert(dirs.size == 1 && dirs.head.stripPrefix("delta=").toLong < -1, dirs.toString)
-    // idempotent: a single-delta index is already compact
+      .filter(_.getName.startsWith("delta=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("delta=-2", "delta=1"), dirs.toString)
+    // a replay of batch 1 still sees ONLY the folded base when excluding
+    // its own delta — the protection compaction must not break
+    val replayView = CorpusIndex.readIndex(spark, s"$base/index", 1L)
+      .as[String].collect().sorted.toSeq
+    assert(replayView.size == before.size - 1)
+    // nothing foldable remains (base + newest batch): no-op
     assert(CorpusIndex.compact(spark, s"$base/index") == 0)
   }
 
