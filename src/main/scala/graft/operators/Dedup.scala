@@ -116,10 +116,28 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("i"), col("minhash")))),
           x => x.getField("minhash"))).cast("binary")).as("band_sig"))
 
-  /** Candidate near-duplicate pairs: docs sharing at least one LSH band. */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("id").as("id_a"), col("band"), col("band_sig"))
-    val b = bands.select(col("id").as("id_b"), col("band"), col("band_sig"))
+  /** Candidate near-duplicate pairs: docs sharing at least one LSH band.
+    *
+    * `maxBucketSize`: skip buckets holding more than N docs. A flood of
+    * near-identical documents (template spam, mirrored pages) lands in ONE
+    * (band, band_sig) bucket and the self-join emits C(n,2) pairs — at
+    * corpus scale, a million-doc bucket is a half-trillion-pair stage. A
+    * capped bucket is the standard guard (its members are so mutually
+    * similar that downstream clustering recovers them through transitive
+    * pairs in their OTHER, smaller buckets; a doc in k bands gets k
+    * chances). Default unlimited — exact recall, the oracle-checked mode.
+    */
+  def lshCandidates(bands: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val bounded = maxBucketSize match {
+      case None => bands
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_sig"))
+        bands.withColumn("__bn", count(lit(1)).over(w))
+          .where(col("__bn") <= cap).drop("__bn")
+    }
+    val a = bounded.select(col("id").as("id_a"), col("band"), col("band_sig"))
+    val b = bounded.select(col("id").as("id_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

@@ -122,6 +122,22 @@ class DedupSpec extends SparkSuite {
     assert(!near.exists { case (a, b) => b == 2L }, s"unrelated corpus doc paired: $near")
   }
 
+  test("hot-bucket cap bounds candidate pairs under a near-identical flood") {
+    def words(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    // a 12-doc flood of the same template + one ordinary near-dup pair
+    val flood = (0 until 12).map(i => (100L + i, words("tmpl") + s" v$i"))
+    val pair = Seq((1L, words("alpha")), (2L, words("alpha") + " tail"))
+    val d = (flood ++ pair).toDF("doc_id", "text")
+    val arrays = Dedup.shingleArrays(d, "doc_id", "text", n = 3)
+    val bands = Dedup.minhashBandsNarrow(arrays, 16, 2)
+    val unbounded = Dedup.lshCandidates(bands).count()
+    val capped = Dedup.lshCandidates(bands, maxBucketSize = Some(8))
+    // the flood's C(12,2)=66-pair buckets are skipped; the small pair survives
+    assert(capped.count() < unbounded)
+    assert(capped.select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .contains((1L, 2L)), "ordinary pairs must survive the cap")
+  }
+
   test("decontamination flags 8-gram overlap with the benchmark, broadcast-shaped") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
