@@ -26,6 +26,23 @@ object Salting {
       concat_ws("||", keyCol.cast("string"),
         pmod(hash(tiebreak), lit(buckets)).cast("string")))
 
+  /** Hot-key detection — the monitoring half of the salting loop: keys
+    * whose record share exceeds `minShare` (and at least `minCount` rows)
+    * are the ones worth salting. One partial-aggregated key count (map-side
+    * combine ships one row per key per partition, never records) + a
+    * broadcast-scalar total; output (key, n, share) sorted hottest-first.
+    */
+  def detectHotKeys(df: DataFrame, keyCol: Column, minShare: Double,
+      minCount: Long = 0L): DataFrame = {
+    val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n") / col("__total"))
+      .where(col("share") >= minShare && col("n") >= minCount)
+      .drop("__total")
+      .orderBy(col("n").desc, col("key"))
+  }
+
   /** Two-phase aggregation over a skewed key: partial aggregate on the
     * salted key (spreads a hot key over `buckets` reducers), then final
     * aggregate on the true key. `partials` map output column names to

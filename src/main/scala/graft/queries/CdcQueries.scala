@@ -171,6 +171,42 @@ object CdcQueries {
         |             COUNT(*) AS n
         |      FROM events GROUP BY 1) t""".stripMargin)),
 
+    // ---- the full skew-management loop (T11 operationalized): plant a
+    // hot key carrying ~25% of an inflated stream, DETECT it by record
+    // share (map-side combined key counts — records never move), then
+    // aggregate it through the two-phase salted path. The salted result
+    // must equal the plain group-by exactly — salting changes the shuffle
+    // shape, never the answer — and the detector's share must match SQL.
+    Q("q101_hot_key_salting", (s, d) => {
+      import graft.operators.Salting
+      val events = tbl(s, d, "events")
+      val skewed = events.unionByName(
+        events.where(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("user_id", lit(-1L)))
+      val hot = Salting.detectHotKeys(skewed, col("user_id"), minShare = 0.05)
+        .select(col("key"), round(col("share"), 4).as("share"))
+      val cents = round(col("value") * 100).cast("long")
+      val agg = Salting.saltedAgg(skewed, col("user_id"), col("event_id"), buckets = 16,
+        partials = Map("n_part" -> count(lit(1)), "cents_part" -> sum(cents)),
+        finals = Map("n" -> sum(col("n_part")), "total_cents" -> sum(col("cents_part"))))
+      hot.join(agg, Seq("key"))
+        .select(col("key"), col("share"), col("n"), col("total_cents"))
+        .orderBy(col("key"))
+    }, Some(
+      """WITH skewed AS (
+        |  SELECT user_id, event_id, value FROM events
+        |  UNION ALL
+        |  SELECT -1 AS user_id, event_id, value FROM events WHERE event_id % 3 = 0),
+        |counts AS (SELECT user_id AS key, COUNT(*) AS n FROM skewed GROUP BY 1),
+        |total AS (SELECT SUM(n) AS t FROM counts),
+        |hot AS (SELECT key, ROUND(CAST(n AS DOUBLE) / t, 4) AS share
+        |        FROM counts, total WHERE CAST(n AS DOUBLE) / t >= 0.05),
+        |agg AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |        FROM skewed GROUP BY 1)
+        |SELECT hot.key, hot.share, agg.n, agg.total_cents
+        |FROM hot JOIN agg USING (key) ORDER BY key""".stripMargin)),
+
     // ---- CSV bulk-import path (the batch-file sibling of the streaming
     // ingest — operational backfills arrive as CSV exports): events staged
     // as headered CSV with ISO timestamps, read back with an EXPLICIT
