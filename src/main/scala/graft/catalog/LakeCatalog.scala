@@ -22,16 +22,44 @@ object LakeCatalog {
     */
   def registerLake(spark: SparkSession, table: String, lakeDir: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val schema = spark.read.parquet(lakeDir).schema
-    val dataCols = schema.fields.filterNot(f =>
-      Seq("year", "month", "day", "hour").contains(f.name))
-    val colsDdl = dataCols.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-    spark.sql(
-      s"""CREATE TABLE $table ($colsDdl, year INT, month INT, day INT, hour INT)
-         |USING parquet
-         |PARTITIONED BY (year, month, day, hour)
-         |LOCATION '$lakeDir'""".stripMargin)
-    refreshPartitions(spark, table)
+    val df = spark.read.parquet(lakeDir)
+    // partition columns come from the lake's ACTUAL directory layout (what
+    // Spark's partition discovery found), in layout order — hardcoding
+    // year/month/day/hour would misregister a routeByTable lake, whose
+    // leading `table=` dir must be a partition column or MSCK finds nothing
+    val discovered = {
+      val fs = new org.apache.hadoop.fs.Path(lakeDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def firstLeafChain(p: org.apache.hadoop.fs.Path): Seq[String] = {
+        val kids = fs.listStatus(p).filter(st =>
+          st.isDirectory && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        kids.headOption match {
+          case Some(k) if k.getPath.getName.contains("=") =>
+            k.getPath.getName.split("=", 2)(0) +: firstLeafChain(k.getPath)
+          case _ => Seq.empty
+        }
+      }
+      firstLeafChain(new org.apache.hadoop.fs.Path(lakeDir))
+    }
+    val schema = df.schema
+    val partCols = discovered.flatMap(n => schema.fields.find(_.name == n))
+    val dataCols = schema.fields.filterNot(f => discovered.contains(f.name))
+    val colsDdl = (dataCols ++ partCols)
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    if (partCols.isEmpty) {
+      spark.sql(
+        s"""CREATE TABLE $table ($colsDdl)
+           |USING parquet
+           |LOCATION '$lakeDir'""".stripMargin)
+    } else {
+      spark.sql(
+        s"""CREATE TABLE $table ($colsDdl)
+           |USING parquet
+           |PARTITIONED BY (${partCols.map(_.name).mkString(", ")})
+           |LOCATION '$lakeDir'""".stripMargin)
+      refreshPartitions(spark, table)
+    }
   }
 
   /** C2: incremental partition registration (`MSCK REPAIR` ≙ crawler pass).
@@ -54,12 +82,18 @@ object LakeCatalog {
     * committed micro-batch (the EventBridge → crawler trigger,
     * README.md:524-549).
     */
-  def eventDrivenRefresh(spark: SparkSession, table: String): StreamingQueryListener = {
+  def eventDrivenRefresh(spark: SparkSession, table: String,
+      onlyQueryId: Option[java.util.UUID] = None): StreamingQueryListener = {
     val l = new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        if (e.progress.numInputRows > 0) refreshPartitions(spark, table)
+        // scope to the DELIVERY query when given: MSCK is O(lake listing),
+        // and a session running unrelated streams (alerts, pushes) must
+        // not pay it once per every stream's micro-batch
+        if (e.progress.numInputRows > 0 &&
+            onlyQueryId.forall(_ == e.progress.id))
+          refreshPartitions(spark, table)
     }
     spark.streams.addListener(l)
     l

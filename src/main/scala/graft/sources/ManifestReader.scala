@@ -40,18 +40,18 @@ object ManifestReader {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
     // basePath preserves the Hive partition columns of the listed files:
-    // strip from the FIRST `name=value` path segment (handles both
-    // year=.../... and table=.../year=.../... layouts). Unpartitioned
-    // manifests (no name=value segment anywhere) fall back to the files'
-    // common parent directory — basePath must be an ancestor DIRECTORY, and
-    // the unstripped first entry would be a data-file path Spark rejects.
-    val stripped = files.head.replaceAll("/[^/=]+=[^/]*(/.*)?$", "")
-    val base =
-      if (stripped != files.head) stripped
-      else files
-        .map(_.split('/').dropRight(1).toSeq) // parent dir segments
-        .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
-        .mkString("/")
+    // take the files' longest common parent DIRECTORY, then peel trailing
+    // `name=value` segments off it. Peeling from the END of the common
+    // prefix (not matching the first '=' anywhere in the path) keeps an
+    // ancestor directory that happens to contain '=' (e.g. .../run=7/lake)
+    // out of partition discovery; unpartitioned manifests peel nothing and
+    // use the common parent as-is.
+    val common = files
+      .map(_.split('/').dropRight(1).toSeq) // parent dir segments
+      .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
+    val base = common.reverse.dropWhile(seg =>
+        seg.contains('=') && !seg.startsWith("=")).reverse
+      .mkString("/")
     spark.read.option("basePath", base).parquet(files: _*)
   }
 }

@@ -13,7 +13,8 @@ object StreamIngest {
 
   sealed trait SourceConfig
   /** Offline emulation: ShardedLog parquet directory. */
-  final case class Emulated(dir: String, maxFilesPerTrigger: Option[Int] = None)
+  final case class Emulated(dir: String, maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None) // the size half of "64 MB OR 60 s"
       extends SourceConfig
   /** Kinesis Data Streams via the spark-sql-kinesis connector.
     * `startingPosition`: TRIM_HORIZON | LATEST | AT_TIMESTAMP (S5 replay,
@@ -34,8 +35,8 @@ object StreamIngest {
     * kafka/kinesis branches all yield the ShardedLog envelope columns.
     */
   def readStream(spark: SparkSession, cfg: SourceConfig): DataFrame = cfg match {
-    case Emulated(dir, maxFiles) =>
-      ShardedLog.readStream(spark, dir, maxFiles)
+    case Emulated(dir, maxFiles, maxBytes) =>
+      ShardedLog.readStream(spark, dir, maxFiles, maxBytes)
     case k: Kinesis =>
       val r = spark.readStream.format("kinesis")
         .option("streamName", k.streamName)

@@ -23,7 +23,10 @@ object Alert {
   def alerts(records: DataFrame, payloadSchema: StructType, pred: Column): DataFrame =
     records
       .withColumn("env", Envelope.decode(col("data"), payloadSchema))
-      .where(col("env").isNotNull && pred)
+      // env.data too: PERMISSIVE from_json turns corrupt JSON into an
+      // all-null STRUCT, not a null — without the inner check a predicate
+      // firing on null fields raises false alerts for garbage records
+      .where(col("env").isNotNull && col("env.data").isNotNull && pred)
       .select(col("partition_key"), col("sequence_number"),
         col("approx_arrival_ts"), col("env.data.*"), col("env.metadata.op").as("op"))
 

@@ -62,9 +62,17 @@ object Deliver {
       .withColumn("env", Envelope.decode(col("data"), payloadSchema))
       .withColumn("__ok", col("env").isNotNull && col("env.data").isNotNull)
     val withPt = Envelope.withProcessedAt(decoded, clock)
+    // a registered table whose payload has no event-time field must fall
+    // back to arrival time, not crash the stream with an unresolvable
+    // env.data.ts (the registry contract: per-table problems never kill
+    // the query)
+    val hasTs = scala.util.Try(payloadSchema("data").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("ts"))
+      .getOrElse(false)
     val ts =
       if (partitionByProcessingTime) col("processed_at")
-      else coalesce(col("env.data.ts"), col("approx_arrival_ts"))
+      else if (hasTs) coalesce(col("env.data.ts"), col("approx_arrival_ts"))
+      else col("approx_arrival_ts")
     Envelope.withTimePartitions(withPt, ts)
   }
 
@@ -87,7 +95,11 @@ object Deliver {
     val partCols =
       (if (cfg.routeByTable) Seq("table") else Seq.empty) ++ Seq("year", "month", "day", "hour")
 
-    val needForeach = cfg.errorDir.isDefined || cfg.backupDir.isDefined || cfg.manifestDir.isDefined
+    // compact=true needs the foreachBatch path too: the native
+    // FileStreamSink branch has no per-batch coalesce, so B2's
+    // one-file-per-flush contract would silently not hold there
+    val needForeach = cfg.errorDir.isDefined || cfg.backupDir.isDefined ||
+      cfg.manifestDir.isDefined || cfg.compact
     if (!needForeach) {
       flat.where(col("__ok")).drop("__ok", "__raw")
         .writeStream
@@ -132,14 +144,46 @@ object Deliver {
     * deployments at scale should prefer the native `_spark_metadata` sink
     * path, which commits without renames.)
     */
+  /** Replay check with CHECKPOINT LINEAGE: the commit marker records which
+    * checkpoint delivered the batch. Same checkpoint ⇒ genuine replay,
+    * skip. A DIFFERENT checkpoint reusing the batch id means the
+    * checkpoint was reset against a retained lake — silently skipping
+    * would discard the new data those reused ids carry, so fail fast.
+    * (Markers from older releases are empty; they can only be same-lineage
+    * in a continuously-operated lake, so they skip as before.)
+    */
+  private def alreadyDelivered(fs: FileSystem, marker: HPath, batchId: Long,
+      cfg: Config): Boolean = {
+    if (!fs.exists(marker)) return false
+    val by = FsOps.readString(fs, marker).trim
+    if (by.nonEmpty && by != cfg.checkpointDir)
+      throw new IllegalStateException(
+        s"lake ${cfg.lakeDir} batch $batchId was delivered by checkpoint '$by' but this " +
+          s"stream runs from '${cfg.checkpointDir}': a reset checkpoint reuses batch ids " +
+          "and silently skipping would drop the new records behind them — deliver into a " +
+          "fresh lake, or clear _commits/ after verifying the lake matches the log")
+    true
+  }
+
+  private def writeMarker(fs: FileSystem, marker: HPath, cfg: Config): Unit = {
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, true)
+    try out.write(cfg.checkpointDir.getBytes("UTF-8")) finally out.close()
+  }
+
   private[graft] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(cfg.lakeDir)
     val fs = lake.getFileSystem(hconf)
     val marker = new HPath(lake, f"_commits/$batchId%010d")
-    if (fs.exists(marker)) return // replayed, already fully delivered
+    if (alreadyDelivered(fs, marker, batchId, cfg)) return
 
+    // lake write, DLQ write, and raw backup all consume this batch —
+    // persist so the source scan + decode run once, and processed_at
+    // cannot drift between the destinations of one batch
+    batch.persist()
+    try {
     val okAll = batch.where(col("__ok")).drop("__ok", "__raw")
     // B2 batch compaction: the reference's buffer flush emits ONE object per
     // flush (1000 records → 1 part file); coalesce(1) reproduces that.
@@ -184,9 +228,9 @@ object Deliver {
     }
 
     // 6. commit marker — the batch is fully delivered; replays become no-ops
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
+    writeMarker(fs, marker, cfg)
     clearIntent(fs, lake, batchId)
+    } finally { batch.unpersist(); () }
   }
 
   private def intentPath(lake: HPath, batchId: Long) =
@@ -286,7 +330,7 @@ object Deliver {
     val lake = new HPath(cfg.lakeDir)
     val fs = lake.getFileSystem(hconf)
     val marker = new HPath(lake, f"_commits/$batchId%010d")
-    if (fs.exists(marker)) return // replayed, already fully delivered
+    if (alreadyDelivered(fs, marker, batchId, cfg)) return
 
     val tabled = batch
       .withColumn("table", substring_index(col("partition_key"), "-", 1))
@@ -295,8 +339,14 @@ object Deliver {
       // which registered tables actually appear in this batch — avoids one
       // no-op Spark job per registered-but-absent table (a 1000-table
       // registry must not cost 1000 jobs per flush)
-      val present = tabled.select("table").distinct()
-        .collect().map(_.getString(0)).filter(_ != null).toSet // O(#tables in batch)
+      // restrict to REGISTERED tables before the distinct-collect: the
+      // table prefix is raw user data, and a feed of pathological keys
+      // must not materialize millions of driver strings — unknown tables
+      // take the DLQ path below without ever being enumerated here
+      val present = tabled.select("table")
+        .where(col("table").isin(cfg.schemas.keys.toSeq: _*))
+        .distinct()
+        .collect().map(_.getString(0)).toSet // O(#registered tables)
       val stage = fs.makeQualified(new HPath(lake, f"_staging/batch-$batchId%010d"))
       val rawCols = Seq(col("table"), col("partition_key"), col("sequence_number"),
         col("data").as("raw"))
@@ -346,8 +396,7 @@ object Deliver {
           .write.mode("overwrite").parquet(s"$bdir/batch=$batchId")
       }
 
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+      writeMarker(fs, marker, cfg)
       clearIntent(fs, lake, batchId)
     } finally tabled.unpersist()
   }
