@@ -176,6 +176,32 @@ class DeliverSpec extends SparkSuite {
     assert(lake.select($"event_id").distinct().count() == 50)
   }
 
+  test("a reset checkpoint reusing batch ids fails fast instead of dropping data") {
+    val base = tmpDir("graft-lineage-")
+    ShardedLog.put(ShardedLog.fromEvents(events.limit(20)), s"$base/log")
+    val cfg1 = Deliver.Config(s"$base/lake", s"$base/ck1",
+      manifestDir = Some(s"$base/manifest"), // the marker-protocol (foreachBatch) path
+      trigger = Trigger.AvailableNow(), clock = clock)
+    val q1 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg1)
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$base/lake").count() == 20)
+    // same lake, FRESH checkpoint: batch ids restart at 0 — silently
+    // skipping the existing marker would discard whatever those reused
+    // ids now carry; the delivery must refuse loudly
+    val cfg2 = cfg1.copy(checkpointDir = s"$base/ck2")
+    val q2 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("reset checkpoint")), e.getMessage)
+    // genuine same-checkpoint restart still no-ops cleanly
+    val q3 = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg1)
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$base/lake").count() == 20)
+  }
+
   test("per-key ordering survives the shard layout (S2: same key ⇒ same shard)") {
     val recs = ShardedLog.fromEvents(events)
     val keyShards = recs.groupBy($"partition_key")
