@@ -34,8 +34,12 @@ object LakeCatalog {
         val kids = fs.listStatus(p).filter(st =>
           st.isDirectory && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
-        kids.headOption match {
-          case Some(k) if k.getPath.getName.contains("=") =>
+        // pick the first PARTITION child (`k=v`), not merely the first
+        // listed child — a stray non-partition dir sitting beside the
+        // partition dirs must not end discovery early and silently
+        // register the table unpartitioned
+        kids.find(_.getPath.getName.contains("=")) match {
+          case Some(k) =>
             k.getPath.getName.split("=", 2)(0) +: firstLeafChain(k.getPath)
           case _ => Seq.empty
         }

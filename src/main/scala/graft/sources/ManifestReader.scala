@@ -39,19 +39,36 @@ object ManifestReader {
   def read(spark: SparkSession, manifestDir: String): DataFrame = {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
-    // basePath preserves the Hive partition columns of the listed files:
-    // take the files' longest common parent DIRECTORY, then peel trailing
-    // `name=value` segments off it. Peeling from the END of the common
-    // prefix (not matching the first '=' anywhere in the path) keeps an
-    // ancestor directory that happens to contain '=' (e.g. .../run=7/lake)
-    // out of partition discovery; unpartitioned manifests peel nothing and
-    // use the common parent as-is.
-    val common = files
-      .map(_.split('/').dropRight(1).toSeq) // parent dir segments
-      .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
-    val base = common.reverse.dropWhile(seg =>
-        seg.contains('=') && !seg.startsWith("=")).reverse
-      .mkString("/")
+    // basePath preserves the Hive partition columns of the listed files.
+    // Graft-written manifests RECORD the writer's lake root — exact, no
+    // guessing (an unpartitioned lake whose root dir is named `run=7` is
+    // otherwise indistinguishable from a partition dir). Foreign
+    // Redshift-style manifests carry no basePath → fall back to the path
+    // heuristic: longest common parent dir, then peel trailing `name=value`
+    // segments. Peeling from the END of the common prefix keeps an
+    // ancestor directory that happens to contain '=' out of partition
+    // discovery; unpartitioned manifests peel nothing.
+    val base = recordedBasePath(spark, manifestDir).getOrElse {
+      val common = files
+        .map(_.split('/').dropRight(1).toSeq) // parent dir segments
+        .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
+      common.reverse.dropWhile(seg =>
+          seg.contains('=') && !seg.startsWith("=")).reverse
+        .mkString("/")
+    }
     spark.read.option("basePath", base).parquet(files: _*)
+  }
+
+  /** The lake root recorded by the manifest writer, when all chain
+    * manifests that record one agree (path-normalized). Disagreement means
+    * mixed producers — fall back to the heuristic rather than guess.
+    */
+  private def recordedBasePath(spark: SparkSession, manifestDir: String): Option[String] = {
+    val dir = new HPath(manifestDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val bases = ManifestChain.chainFiles(fs, dir)
+      .flatMap(p => ManifestChain.parseBasePath(graft.streaming.FsOps.readString(fs, p)))
+      .map(b => new HPath(b).toString).distinct
+    if (bases.size == 1) Some(bases.head) else None
   }
 }

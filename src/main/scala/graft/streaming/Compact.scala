@@ -156,9 +156,10 @@ object Compact {
       val oldSet = olds.map(norm).toSet
       val urls = ((ManifestChain.chainUrls(mfs, dir, Long.MaxValue)
         .map(norm).filterNot(oldSet) ++ news.map(norm)).distinct.sorted)
-      val entries = urls.map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
+      // the folded snapshot keeps the lake root the delivery stream recorded
+      val base = Some(fs.makeQualified(lake).toString)
       FsOps.atomicWrite(hconf, mfs, new HPath(dir, f"manifest-$nextId%010d.snap.json"),
-        s"""{"entries": $entries}""".getBytes("UTF-8"))
+        ManifestChain.render(urls, base).getBytes("UTF-8"))
     }
     FsOps.deleteOrThrow(fs, ctl(lake, "stage"), recursive = true)
     FsOps.deleteOrThrow(fs, ctl(lake, "promoted"), recursive = false)

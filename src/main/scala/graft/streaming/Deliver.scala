@@ -156,7 +156,10 @@ object Deliver {
       cfg: Config): Boolean = {
     if (!fs.exists(marker)) return false
     val by = FsOps.readString(fs, marker).trim
-    if (by.nonEmpty && by != cfg.checkpointDir)
+    // compare fully-qualified paths: a same-checkpoint restart that spells
+    // the dir differently (relative vs absolute, trailing slash, file://
+    // scheme) must not be mistaken for a reset checkpoint
+    if (by.nonEmpty && qualifiedCkpt(by, fs) != qualifiedCkpt(cfg.checkpointDir, fs))
       throw new IllegalStateException(
         s"lake ${cfg.lakeDir} batch $batchId was delivered by checkpoint '$by' but this " +
           s"stream runs from '${cfg.checkpointDir}': a reset checkpoint reuses batch ids " +
@@ -165,10 +168,19 @@ object Deliver {
     true
   }
 
+  /** Canonical spelling of a checkpoint dir: qualified against its own
+    * filesystem (scheme + authority + absolute path, no trailing slash).
+    * `lakeFs` only supplies the Hadoop conf; the path's scheme wins.
+    */
+  private def qualifiedCkpt(dir: String, lakeFs: FileSystem): String = {
+    val p = new HPath(dir)
+    p.getFileSystem(lakeFs.getConf).makeQualified(p).toString
+  }
+
   private def writeMarker(fs: FileSystem, marker: HPath, cfg: Config): Unit = {
     fs.mkdirs(marker.getParent)
     val out = fs.create(marker, true)
-    try out.write(cfg.checkpointDir.getBytes("UTF-8")) finally out.close()
+    try out.write(qualifiedCkpt(cfg.checkpointDir, fs).getBytes("UTF-8")) finally out.close()
   }
 
   private[graft] def deliverBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit = {
@@ -207,7 +219,7 @@ object Deliver {
     // incremental per-batch listing; every Nth batch folds the chain into a
     // snapshot so reader/compaction work stays O(batch + chain/N)
     cfg.manifestDir.foreach { mdir =>
-      writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery)
+      writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir)
     }
 
     // 4. failed records → errors/ prefix (README.md:426). Batch-scoped
@@ -265,7 +277,7 @@ object Deliver {
     val intent = intentPath(lake, batchId)
     if (fs.exists(intent)) {
       cfg.manifestDir.foreach { mdir =>
-        writeManifest(hconf, mdir, batchId, Seq.empty, cfg.manifestCompactEvery)
+        writeManifest(hconf, mdir, batchId, Seq.empty, cfg.manifestCompactEvery, cfg.lakeDir)
       }
       FsOps.readString(fs, intent).split("\n").filter(_.nonEmpty)
         .foreach(p => FsOps.deleteOrThrow(fs, new HPath(p), recursive = false))
@@ -375,7 +387,7 @@ object Deliver {
       val added = if (fs.exists(stage)) promoteStage(fs, hconf, lake, stage, batchId, cfg)
         else Seq.empty
       cfg.manifestDir.foreach { mdir =>
-        writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery)
+        writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir)
       }
 
       // DLQ: unknown tables + per-table decode failures, one idempotent
@@ -409,7 +421,8 @@ object Deliver {
     * double-list across attempts.
     */
   private def writeManifest(hconf: org.apache.hadoop.conf.Configuration,
-      mdir: String, batchId: Long, added: Seq[String], compactEvery: Int): Unit = {
+      mdir: String, batchId: Long, added: Seq[String], compactEvery: Int,
+      lakeDir: String): Unit = {
     val dir = new HPath(mdir)
     val fs = dir.getFileSystem(hconf)
     fs.mkdirs(dir)
@@ -418,11 +431,12 @@ object Deliver {
       if (!snapshot) added
       else (ManifestChain.chainUrls(fs, dir, upToExclusive = batchId) ++ added).distinct.sorted
     val name = f"manifest-$batchId%010d" + (if (snapshot) ".snap.json" else ".json")
-    val entries = urls.map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
+    val lakeRoot = new HPath(lakeDir)
+    val base = lakeRoot.getFileSystem(hconf).makeQualified(lakeRoot).toString
     // atomic replace: no delete-then-rename window where the manifest is
     // absent mid-chain, and a failed rename throws instead of returning false
     FsOps.atomicWrite(hconf, fs, new HPath(dir, name),
-      s"""{"entries": $entries}""".getBytes("UTF-8"))
+      ManifestChain.render(urls, Some(base)).getBytes("UTF-8"))
   }
 }
 
@@ -468,4 +482,25 @@ private[graft] object ManifestChain {
 
   def parseUrls(json: String): Seq[String] =
     """"url"\s*:\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toVector
+
+  /** The `basePath` a manifest recorded (the writer's lake root), if any.
+    * Foreign Redshift-style manifests carry no basePath → None, and the
+    * reader falls back to its path heuristic.
+    */
+  def parseBasePath(json: String): Option[String] =
+    """"basePath"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Render a manifest document. `basePath` (the writer's lake root) makes
+    * partition-column recovery exact for readers — without it an
+    * unpartitioned lake whose root dir is named like `k=v` is
+    * indistinguishable from a partition dir. The extra top-level key keeps
+    * the `entries` shape Redshift-COPY-compatible.
+    */
+  def render(urls: Seq[String], basePath: Option[String]): String = {
+    val entries = urls.map(f => s"""{"url": "$f", "mandatory": true}""").mkString("[", ",", "]")
+    basePath match {
+      case Some(b) => s"""{"basePath": "$b", "entries": $entries}"""
+      case None    => s"""{"entries": $entries}"""
+    }
+  }
 }

@@ -62,12 +62,19 @@ object EmbeddingIndex {
             / (col("na") * col("nb")), roundScale)
         // probe 1: batch vs accumulated index (id_other always earlier);
         // id inequality guards against an at-least-once redelivery of an
-        // already-indexed id pairing with itself (cos = 1.0)
+        // already-indexed id pairing with itself (cos = 1.0). Pairs whose
+        // BOTH members sit in the current batch are probe 2's job — on a
+        // redelivery both are also in the index, and probe 1 would emit
+        // the pair in both orientations ((a,b) AND (b,a)), which distinct()
+        // cannot collapse; the anti-join leaves exactly probe 2's canonical
+        // (greater, smaller) row for them
+        val batchIds = bb.select(col("id").as("id_other")).distinct()
         val vsIndex = bb.select(col("tb"), col("id").as("id_new"),
             col("e").as("ea"), col("nrm").as("na"))
           .join(idx.select(col("tb"), col("id").as("id_other"),
             col("e").as("eb"), col("nrm").as("nb")), Seq("tb"))
           .where(col("id_other") =!= col("id_new"))
+          .join(broadcast(batchIds), Seq("id_other"), "left_anti")
         // probe 2: within-batch, smaller id is the "other" side
         val vsSelf = bb.select(col("tb"), col("id").as("id_new"),
             col("e").as("ea"), col("nrm").as("na"))

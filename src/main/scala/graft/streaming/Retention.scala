@@ -57,9 +57,13 @@ object Retention {
 
     // partition dir → the [start, start+1h) wall-clock range it covers,
     // compared field-wise against the cutoff's wall clock (no epoch
-    // conversion anywhere — timezone cannot leak in)
+    // conversion anywhere — timezone cannot leak in). Only segments BELOW
+    // the lake root count: an ancestor directory named like `hour=0`
+    // sitting above lakeDir must not masquerade as a partition value.
+    val lakePrefix = fs.makeQualified(lake).toString.stripSuffix("/") + "/"
     def partStart(dir: HPath): Option[java.time.LocalDateTime] = {
-      val segs = dir.toString.split('/').filter(_.contains("="))
+      val rel = fs.makeQualified(dir).toString.stripPrefix(lakePrefix)
+      val segs = rel.split('/').filter(_.contains("="))
         .map { s => val Array(k, v) = s.split("=", 2); k -> v }.toMap
       for {
         y <- segs.get("year"); m <- segs.get("month")
