@@ -47,7 +47,17 @@ final case class BatchAudit(
     numInputRows: Long,
     inputRowsPerSecond: Double,
     processedRowsPerSecond: Double,
-    batchDurationMs: Long)
+    batchDurationMs: Long,
+    // state-store observability (the O1 contract extended to stateful
+    // queries — stream-stream joins, windowed aggs, mapGroupsWithState):
+    // zero for stateless queries. Unbounded state growth here is the
+    // watermark-misconfiguration signature — rows climb monotonically and
+    // memory follows until executors OOM.
+    stateOperators: Int = 0,
+    stateRowsTotal: Long = 0L,
+    stateMemoryBytes: Long = 0L,
+    stateRowsUpdated: Long = 0L,
+    stateRowsRemoved: Long = 0L)
 
 final class AuditListener extends StreamingQueryListener {
   private val log = new ConcurrentLinkedQueue[BatchAudit]()
@@ -56,11 +66,17 @@ final class AuditListener extends StreamingQueryListener {
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(e: QueryProgressEvent): Unit = {
     val p = e.progress
+    val so = Option(p.stateOperators).map(_.toSeq).getOrElse(Seq.empty)
     log.add(BatchAudit(
       Option(p.name).getOrElse(p.id.toString),
       p.batchId, p.timestamp, p.numInputRows,
       safe(p.inputRowsPerSecond), safe(p.processedRowsPerSecond),
-      p.batchDuration))
+      p.batchDuration,
+      stateOperators = so.size,
+      stateRowsTotal = so.map(_.numRowsTotal).sum,
+      stateMemoryBytes = so.map(_.memoryUsedBytes).sum,
+      stateRowsUpdated = so.map(_.numRowsUpdated).sum,
+      stateRowsRemoved = so.map(_.numRowsRemoved).sum))
   }
 
   private def safe(d: Double): Double = if (d.isNaN || d.isInfinite) 0.0 else d

@@ -738,7 +738,8 @@ object TextQueries {
          |labels AS (SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v)
          |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_members, CAST(MAX(v) AS BIGINT) AS max_id
-         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+         |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      bench = true),
 
     // ---- duplicate-cluster representatives by QUALITY policy (q70's
     // clusters, but the BEST copy survives, not the smallest id — dedup
@@ -880,7 +881,7 @@ object TextQueries {
          |FROM packed WHERE cum_weight <= 10000
          |ORDER BY shuffle_key, doc_id""".stripMargin
         .replace("docs_src", "documents")
-    }),
+    }, bench = true),
 
     // ---- TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df).
     // Raw idf (N/df, no log) keeps the score an exact integer ratio — IEEE

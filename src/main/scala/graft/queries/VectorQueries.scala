@@ -147,7 +147,7 @@ object VectorQueries {
         |  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  TRUE AS recall_ok, TRUE AS containment_ok
-        |FROM exact""".stripMargin)),
+        |FROM exact""".stripMargin), bench = true),
 
     // ---- LSH-bucketed approximate NN: the 100 TB scale path. Oracle
     // contract (the q16 within-tolerance trick): the query emits the
@@ -196,7 +196,7 @@ object VectorQueries {
       val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 3)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
-    }, Some(recallOracle)),
+    }, Some(recallOracle), bench = true),
 
     // ---- streaming embedding near-dup against an ACCUMULATING sign-LSH
     // index (q79's vector counterpart): batches are bucketed map-side with

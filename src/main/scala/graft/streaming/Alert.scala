@@ -43,4 +43,15 @@ object Alert {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) => notify(batch) }
       .start()
+
+  /** Source-seam variant: same alert path, source chosen by config —
+    * `Emulated(dir)` offline, `Kinesis(stream, region)`/`Kafka(...)` in
+    * production. One line changes; the pipeline does not.
+    */
+  def start(spark: org.apache.spark.sql.SparkSession,
+      source: graft.sources.StreamIngest.SourceConfig,
+      payloadSchema: StructType, pred: Column,
+      checkpointDir: String, notify: DataFrame => Unit): StreamingQuery =
+    start(graft.sources.StreamIngest.readStream(spark, source),
+      payloadSchema, pred, checkpointDir, notify)
 }

@@ -48,7 +48,8 @@ object Backfill {
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
     fs.mkdirs(lake)
-    Compact.recover(spark, lakeDir, manifestDir)
+    Compact.withWriterLock(fs, lake) {
+    Compact.recoverUnlocked(spark, lakeDir, manifestDir)
 
     // 1. stage the repaired partitions (underscore dir ⇒ invisible)
     val stage = fs.makeQualified(Compact.ctl(lake, "stage"))
@@ -64,11 +65,11 @@ object Backfill {
     }
     if (byPartition.isEmpty || byPartition.keys.exists(_.isEmpty)) {
       FsOps.deleteOrThrow(fs, stage, recursive = true)
-      if (byPartition.isEmpty) return Compact.Stats(0, 0, 0)
-      throw new IllegalArgumentException(
+      if (byPartition.isEmpty) Compact.Stats(0, 0, 0)
+      else throw new IllegalArgumentException(
         s"staged files not under ${partitionCols.mkString("/")} partition dirs — " +
           "partitionCols must name columns present in `repaired`")
-    }
+    } else {
 
     // 3. olds = every visible data file currently in a repaired partition
     val olds = byPartition.keys.toSeq.sorted.flatMap { rel =>
@@ -95,6 +96,8 @@ object Backfill {
     Compact.finish(spark, fs, lake,
       olds, news.map(n => fs.makeQualified(n._2).toString), manifestDir)
     Compact.Stats(byPartition.size, olds.size, news.size)
+    } // byPartition.nonEmpty
+    } // withWriterLock
   }
 
 }

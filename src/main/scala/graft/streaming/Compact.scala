@@ -42,6 +42,44 @@ object Compact {
 
   private[streaming] def ctl(lake: HPath, name: String) = new HPath(lake, s"_compact/$name")
 
+  /** Exclusive per-lake maintenance lock. The whole maintenance family
+    * (Compact/Backfill/Erase/Retention) shares `_compact/` control files
+    * and assumes ONE writer: two interleaved passes could each read the
+    * other's intent as their own crash to recover, promoting or retiring
+    * the wrong files. The lock turns that silent interleave into a
+    * fail-fast: `fs.create(…, overwrite=false)` is atomic on HDFS and
+    * local filesystems, so exactly one of two racing writers wins.
+    * (On S3 without a consistency layer create-if-absent is not atomic —
+    * front the lake with a real lock service there.)
+    *
+    * The lock is released on completion AND on failure (try/finally); only
+    * a hard JVM death leaves it behind. A stale lock never self-expires —
+    * clear it with [[forceUnlock]] once no writer is running, and the next
+    * pass's recovery completes whatever the dead writer left.
+    */
+  private[streaming] def withWriterLock[T](fs: FileSystem, lake: HPath)(body: => T): T = {
+    val lock = ctl(lake, "lock")
+    fs.mkdirs(lock.getParent)
+    try fs.create(lock, false).close() catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another maintenance writer holds $lock (Compact/Backfill/Erase/Retention " +
+            "are single-writer per lake): wait for it to finish, or — only if its JVM " +
+            "died — clear the lock with Compact.forceUnlock and the next pass will " +
+            "recover the interrupted work", e)
+    }
+    try body finally FsOps.deleteOrThrow(fs, lock, recursive = false)
+  }
+
+  /** Remove a stale maintenance lock left by a crashed writer. Only call
+    * when no maintenance pass is running against the lake.
+    */
+  def forceUnlock(spark: SparkSession, lakeDir: String): Unit = {
+    val lake = new HPath(lakeDir)
+    val fs = lake.getFileSystem(spark.sessionState.newHadoopConf())
+    FsOps.deleteOrThrow(fs, ctl(lake, "lock"), recursive = false)
+  }
+
   /** One compaction pass over `lakeDir`. Returns what changed.
     *
     * `sortBy`: cluster each packed partition by these columns while
@@ -60,7 +98,8 @@ object Compact {
     require(!fs.exists(new HPath(lake, "_spark_metadata")),
       "refusing to compact a FileStreamSink lake: its _spark_metadata log " +
         "names the original files; compact foreachBatch/manifest lakes only")
-    recover(spark, lakeDir, manifestDir)
+    withWriterLock(fs, lake) {
+    recoverUnlocked(spark, lakeDir, manifestDir)
 
     // 1. plan — group visible data files by partition directory
     val byDir = dataFiles(fs, lake).groupBy(_.getParent)
@@ -69,7 +108,7 @@ object Compact {
         files.map(f => fs.getFileStatus(f).getLen).sum.toDouble / targetBytes).toInt)
       files.size > want
     }
-    if (picked.isEmpty) return Stats(0, 0, 0)
+    if (picked.isEmpty) Stats(0, 0, 0) else {
 
     // 2. stage the rewritten partitions (invisible under _compact/)
     val stage = fs.makeQualified(ctl(lake, "stage"))
@@ -108,12 +147,23 @@ object Compact {
     fs.create(ctl(lake, "promoted"), true).close()
     finish(spark, fs, lake, olds, news.map(n => fs.makeQualified(n._2).toString), manifestDir)
     Stats(picked.size, olds.size, news.size)
+    } // picked.nonEmpty
+    } // withWriterLock
   }
 
   /** Roll an interrupted pass back (before the promoted marker) or forward
-    * (after it). Idempotent; a no-op on a clean lake.
+    * (after it). Idempotent; a no-op on a clean lake. Takes the writer
+    * lock itself — safe to call standalone after a crash; the maintenance
+    * ops call [[recoverUnlocked]] inside their own lock scope.
     */
   def recover(spark: SparkSession, lakeDir: String,
+      manifestDir: Option[String] = None): Unit = {
+    val lake = new HPath(lakeDir)
+    val fs = lake.getFileSystem(spark.sessionState.newHadoopConf())
+    withWriterLock(fs, lake) { recoverUnlocked(spark, lakeDir, manifestDir) }
+  }
+
+  private[streaming] def recoverUnlocked(spark: SparkSession, lakeDir: String,
       manifestDir: Option[String] = None): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)

@@ -122,6 +122,19 @@ object Deliver {
     }
   }
 
+  /** Source-seam variant (README.md:46-53's source contract): the stream
+    * backend is a CONFIG, not a call-site rewrite. Offline:
+    * `StreamIngest.Emulated(dir)`. Production swaps ONE line —
+    * `StreamIngest.Kinesis(stream, region)` (spark-sql-kinesis connector,
+    * enhanced fan-out via `consumerArn`) or `StreamIngest.Kafka(...)` —
+    * and every downstream stage (decode, partitions, manifest, DLQ,
+    * backup) is unchanged, because all bindings yield the same
+    * record-envelope columns.
+    */
+  def start(spark: SparkSession, source: graft.sources.StreamIngest.SourceConfig,
+      payloadSchema: StructType, cfg: Config): StreamingQuery =
+    start(graft.sources.StreamIngest.readStream(spark, source), payloadSchema, cfg)
+
   /** One buffer flush (README.md:282-303): stage this batch's data files
     * under a batch-scoped prefix, promote them into the lake, then —
     * strictly after — the per-batch manifest listing exactly this flush's
@@ -327,6 +340,11 @@ object Deliver {
       }
       .start()
   }
+
+  /** Source-seam variant of [[startRegistry]] — see [[start]]'s seam note. */
+  def startRegistry(spark: SparkSession,
+      source: graft.sources.StreamIngest.SourceConfig, cfg: Config): StreamingQuery =
+    startRegistry(graft.sources.StreamIngest.readStream(spark, source), cfg)
 
   /** One registry flush: per registered table, decode that table's slice
     * with its own schema and stage it under `table=<t>/year=…`; then the

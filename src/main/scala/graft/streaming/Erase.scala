@@ -32,9 +32,18 @@ object Erase {
   /** Erase every row whose `keyCol` appears in `keys` (single-column frame;
     * deduplicated and broadcast — GDPR request batches are small by nature).
     * Returns (affected partition dirs, files retired, files written).
+    *
+    * `maxAffectedFiles` bounds the driver-side file list (the one
+    * `collect()` in the operation): an erasure touching more files than
+    * the cap fails fast BEFORE any rewrite starts — such a request
+    * (hot key, wrong key column) should be split by partition range or
+    * run with an explicitly raised cap, not silently balloon driver
+    * memory. The limit is applied in the scan, so the driver never holds
+    * more than cap+1 paths even when failing.
     */
   def eraseKeys(spark: SparkSession, lakeDir: String, keyCol: String,
-      keys: DataFrame, manifestDir: Option[String] = None): Compact.Stats = {
+      keys: DataFrame, manifestDir: Option[String] = None,
+      maxAffectedFiles: Int = 100000): Compact.Stats = {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
@@ -43,19 +52,28 @@ object Erase {
     // emptiness guard: a request against a not-yet-delivered or
     // already-emptied lake is a no-op, not a job failure (the scan below
     // would throw on schema inference)
-    Compact.recover(spark, lakeDir, manifestDir)
+    Compact.withWriterLock(fs, lake) {
+    Compact.recoverUnlocked(spark, lakeDir, manifestDir)
     if (!FsOps.anyParquet(fs, lake, skipHidden = true))
       return Compact.Stats(0, 0, 0)
 
     val keySet = broadcast(keys.toDF(keyCol).distinct())
 
-    // 1. locate affected files: column-pruned scan + broadcast semi-join
+    // 1. locate affected files: column-pruned scan + broadcast semi-join.
+    // limit(cap+1) bounds the collect itself — the cap check cannot OOM
+    // the driver on the way to its own error message
     val affected = spark.read.parquet(lakeDir)
       .select(col(keyCol), col("_metadata.file_path").as("__f"))
       .join(keySet, Seq(keyCol), "left_semi")
       .select(col("__f")).distinct()
+      .limit(maxAffectedFiles + 1)
       .collect().map(r => fs.makeQualified(new HPath(r.getString(0))))
       .toSeq.sortBy(_.toString)
+    if (affected.size > maxAffectedFiles)
+      throw new IllegalStateException(
+        s"erasure of $keyCol keys in $lakeDir touches more than $maxAffectedFiles files: " +
+          "split the request by partition range (pre-filter the lake) or raise " +
+          "maxAffectedFiles explicitly — refusing before any rewrite starts")
     if (affected.isEmpty) return Compact.Stats(0, 0, 0)
 
     // 2. rewrite ONLY the affected files, erased, in ONE job: basePath
@@ -93,6 +111,7 @@ object Erase {
     Compact.finish(spark, fs, lake,
       olds, news.map(n => fs.makeQualified(n._2).toString), manifestDir)
     Compact.Stats(affected.map(_.getParent).distinct.size, olds.size, news.size)
+    } // withWriterLock
   }
 
 }

@@ -53,7 +53,8 @@ object Retention {
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
     if (!fs.exists(lake)) return Compact.Stats(0, 0, 0)
-    Compact.recover(spark, lakeDir, manifestDir)
+    Compact.withWriterLock(fs, lake) {
+    Compact.recoverUnlocked(spark, lakeDir, manifestDir)
 
     // partition dir → the [start, start+1h) wall-clock range it covers,
     // compared field-wise against the cutoff's wall clock (no epoch
@@ -93,5 +94,6 @@ object Retention {
       }
     }
     Compact.Stats(expired.size, olds.size, 0)
+    } // withWriterLock
   }
 }

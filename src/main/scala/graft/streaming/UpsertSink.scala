@@ -255,6 +255,14 @@ object UpsertSink {
     // bucket count is pinned by the first commit — a config change must not
     // silently re-key the layout
     val nb = current.map(_.nBuckets).getOrElse(nBuckets)
+    // the per-batch touched-bucket collect and the commit's version map are
+    // both O(nb) DRIVER state — enforce the documented bound instead of
+    // letting a runaway config turn them into a driver OOM (1M buckets is
+    // already far past the useful range: buckets exist to bound rewrite
+    // amplification, not to shard rows one-per-file)
+    require(nb > 0 && nb <= (1 << 20),
+      s"nBuckets=$nb out of range (1..${1 << 20}): the bucket map and " +
+        "touched-bucket set are driver-side state sized O(nBuckets)")
     val bucketOf = pmod(hash(col(keyCol)), lit(nb))
 
     // 1. touched buckets: the batch's keys hash into a bounded set (≤ nb ints

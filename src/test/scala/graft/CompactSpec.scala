@@ -171,4 +171,57 @@ class CompactSpec extends SparkSuite {
     hfs(lake).mkdirs(new HPath(s"$lake/_spark_metadata"))
     intercept[IllegalArgumentException] { Compact.run(spark, lake) }
   }
+
+  test("a held writer lock fails every maintenance op fast; forceUnlock releases it") {
+    import graft.streaming.{Backfill, Erase, Retention}
+    val lake = buildLake(filesPer = 4)
+    val fs = hfs(lake)
+    fs.create(new HPath(s"$lake/_compact/lock"), false).close() // writer "crashed" holding it
+    val ops: Seq[() => Any] = Seq(
+      () => Compact.run(spark, lake),
+      () => Compact.recover(spark, lake),
+      () => Erase.eraseKeys(spark, lake, "id", Seq(1L).toDF("id")),
+      () => Retention.sweep(spark, lake, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      () => Backfill.overwritePartitions(
+        Seq((1L, "x", "a")).toDF("id", "v", "part"), lake, Seq("part")))
+    ops.foreach { op =>
+      val e = intercept[IllegalStateException] { op() }
+      assert(e.getMessage.contains("maintenance writer"), e.getMessage)
+    }
+    val before = snapshot(lake)
+    Compact.forceUnlock(spark, lake)
+    assert(Compact.run(spark, lake).partitionsPacked == 2)
+    assert(snapshot(lake) == before)
+  }
+
+  test("two racing maintenance writers: exactly one wins, the lake stays consistent") {
+    val lake = buildLake(filesPer = 6)
+    val before = snapshot(lake)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Compact.Stats]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        barrier.await()
+        try results.add(Right(Compact.run(spark, lake)))
+        catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val (losers, winners) = results.toArray(Array.empty[Either[Throwable, Compact.Stats]])
+      .toSeq.partition(_.isLeft)
+    // exactly one writer packs the lake; the other either lost the lock
+    // race (fail-fast) or started after the winner finished and found
+    // nothing left to pack — NEVER a second concurrent pack
+    val packed = winners.collect { case Right(s) if s.partitionsPacked > 0 => s }
+    assert(packed.size == 1, s"want exactly one packer, got $results")
+    losers.foreach { case Left(t) =>
+      assert(t.isInstanceOf[IllegalStateException] &&
+        t.getMessage.contains("maintenance writer"), t.toString)
+      case _ => ()
+    }
+    assert(snapshot(lake) == before, "racing writers must not lose or duplicate a row")
+    assert(dataFileCount(lake) == 2)
+    // the lock is released: a follow-up pass runs (and no-ops)
+    assert(Compact.run(spark, lake) == Compact.Stats(0, 0, 0))
+  }
 }

@@ -85,6 +85,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("batch queries execute under AQE (AdaptiveSparkPlan at the root)") {
+    // the bench-tail "AQE disabled" warnings are STREAMING-only (Spark
+    // disables AQE in stateful workloads); the batch path must keep it —
+    // runtime re-planning is the skew/shuffle safety net at 100 TB
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    for (name <- Seq("q01_pricing_summary", "q05_nation_revenue", "q33_exact_dedup")) {
+      val df = Registry.byName(name).run(spark, sfDir)
+      val root = df.queryExecution.executedPlan
+      assert(root.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+          || root.find(_.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]).isDefined,
+        s"$name does not execute adaptively:\n$root")
+    }
+  }
+
   test("embedding near-dup pairs go through LSH buckets, not an all-pairs BNLJ") {
     // pins the scale path itself (registry q44 wraps it in a recall
     // contract whose exact-answer verifier is a deliberate small-scale BNLJ)

@@ -171,6 +171,23 @@ class UpsertSinkSpec extends SparkSuite {
     assert(e.getMessage.contains("no commit"))
   }
 
+  test("out-of-range nBuckets fails fast (driver state is O(nBuckets))") {
+    val base = tmpDir("graft-usink-nb-")
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+    for (bad <- Seq(0, -4, (1 << 20) + 1)) {
+      val e = intercept[IllegalArgumentException] {
+        UpsertSink.applyBatch(batchDf((1L, "a1", "I", 1L)),
+          0L, s"$base/t$bad", "id", "op", Seq("seq"), nBuckets = bad)
+      }
+      assert(e.getMessage.contains("nBuckets"), e.getMessage)
+    }
+    // the max itself is accepted — the bound is a cap, not a cliff
+    UpsertSink.applyBatch(batchDf((1L, "a1", "I", 1L)),
+      0L, s"$base/ok", "id", "op", Seq("seq"), nBuckets = 1 << 20)
+    assert(tableState(s"$base/ok") == Map(1L -> "a1"))
+  }
+
   private def tableState(dir: String): Map[Long, String] =
     UpsertSink.readTable(spark, dir).map(
       _.select($"id", $"payload").as[(Long, String)].collect().toMap)

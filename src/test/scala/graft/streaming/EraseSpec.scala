@@ -65,4 +65,29 @@ class EraseSpec extends SparkSuite {
     assert(stats == Compact.Stats(0, 0, 0))
     assert(files(lake) == before)
   }
+
+  test("an erasure touching more files than the cap fails fast, lake untouched") {
+    val base = tmpDir("graft-er4-")
+    val lake = s"$base/lake"
+    // key 1 lives in two files
+    Seq((1L, "a", 1)).toDF("user_id", "v", "day")
+      .coalesce(1).write.partitionBy("day").parquet(lake)
+    Seq((1L, "b", 2)).toDF("user_id", "v", "day")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(lake)
+    val before = files(lake)
+    val e = intercept[IllegalStateException] {
+      Erase.eraseKeys(spark, lake, "user_id", Seq(1L).toDF("user_id"),
+        maxAffectedFiles = 1)
+    }
+    assert(e.getMessage.contains("maxAffectedFiles"), e.getMessage)
+    // refused BEFORE any rewrite: every file is still in place, unmodified
+    assert(files(lake) == before)
+    assert(spark.read.parquet(lake).count() == 2)
+    // an explicitly raised cap lets the same request through
+    val stats = Erase.eraseKeys(spark, lake, "user_id", Seq(1L).toDF("user_id"),
+      maxAffectedFiles = 10)
+    assert(stats.filesBefore == 2)
+    // both files held only key 1 — they retire with no replacement
+    assert(files(lake).isEmpty)
+  }
 }
