@@ -218,37 +218,89 @@ object Similarity {
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a KMeans coarse
     * quantizer (fit on a bounded sample, same discipline as [[ivfAnn]]),
-    * then compare pairs ONLY within a cluster — the quadratic all-pairs
-    * cosine becomes k independent (n/k)² cluster-local problems, and the
-    * corpus shuffles exactly once, on the cell id. Pairs whose cosine
-    * clears `threshold` are semantic duplicates (keep-smallest-id policy
-    * composes downstream, as with the lexical dedup operators).
+    * then compare pairs only NEAR each other inside a cluster — never
+    * all-pairs anywhere.
+    *
+    * Two bounds make the cost linear in corpus size, empirically forced by
+    * the round-6 sf1 run (fixed 8-cell quantization measured 39× cost for
+    * 10× data — within-cell all-pairs is quadratic in cell size, and cells
+    * grow with the corpus when k is fixed):
+    *
+    *  1. **Auto-sized quantizer.** When `nClusters = 0` (the default), k is
+    *     ⌈n / targetCellSize⌉ clamped to [2, maxClusters] — cell size tracks
+    *     `targetCellSize` instead of n/k growing with the corpus. The count
+    *     used for sizing is a metadata-cheap single-column pass.
+    *  2. **Centroid-distance rank banding.** Within each cell, rows are
+    *     ranked by (distance-to-own-centroid, id) and banded `targetCellSize`
+    *     ranks wide; pairs are generated within a band and across ADJACENT
+    *     bands only. Near-identical embeddings have near-identical centroid
+    *     distance, so true duplicates land in the same or neighboring band.
+    *     Cells up to 2× the band width are covered EXACTLY (every pair
+    *     generated); beyond that the comparison is rank-local. This caps
+    *     per-row work at 2·targetCellSize pairs — a skewed or
+    *     over-target cell (k is clamped at `maxClusters`; KMeans cells are
+    *     never uniform) degrades recall gracefully instead of going
+    *     quadratic, so total cost is O(n · targetCellSize) regardless of
+    *     corpus size or skew.
     *
     * Approximation contract: every emitted pair is a TRUE cosine≥threshold
-    * pair (the verify is exact); pairs split across clusters are missed —
-    * recall rises with fewer/larger clusters and with duplicate pairs'
-    * tendency to co-locate (near-identical embeddings land in the same
-    * cell except on a Voronoi boundary). Size `nClusters` ≈ n/⟨cluster⟩
-    * for the (n/k)² cell cost the cluster budget affords.
+    * pair (the verify is exact); pairs split across clusters or >1 band
+    * apart are missed — recall rises with larger `targetCellSize` and with
+    * duplicate pairs' tendency to co-locate (near-identical embeddings land
+    * in the same cell except on a Voronoi boundary). Pairs whose cosine
+    * clears `threshold` are semantic duplicates (keep-smallest-id policy
+    * composes downstream, as with the lexical dedup operators).
     */
   def semanticNearDups(docs: DataFrame, idCol: String, embCol: String,
-      threshold: Double = 0.9, nClusters: Int = 16, seed: Long = 42L,
-      maxFitRows: Int = 100000, roundScale: Int = 4): DataFrame = {
+      threshold: Double = 0.9, nClusters: Int = 0, seed: Long = 42L,
+      maxFitRows: Int = 100000, roundScale: Int = 4,
+      targetCellSize: Int = 256, maxClusters: Int = 1024): DataFrame = {
     val vec = docs.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
       .withColumn("__features", array_to_vector(col("e")))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    val k =
+      if (nClusters > 0) nClusters
+      else {
+        val n = vec.count()
+        // beyond maxClusters·targetCellSize rows, cells exceed the target
+        // and banding (bound 2) carries the linear-cost guarantee alone;
+        // a bigger k would only slow the quantizer fit (O(sample·k·dim))
+        math.max(2L, math.min((n + targetCellSize - 1) / targetCellSize,
+          maxClusters.toLong)).toInt
+      }
+    val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__features")
       .fit(vec.orderBy(col("id")).limit(maxFitRows))
+    // distance to OWN centroid via a cell-indexed literal (≤ maxClusters ×
+    // dim doubles ≈ 0.5 MB) — no join, so the operator's only join stays
+    // the banded pair join below
+    val centLit = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val wRank = Window.partitionBy(col("cell"))
+      .orderBy(col("cdist"), col("id"))
     val assigned = model.transform(vec)
       .select(col("id"), col("e"), norm2(col("e")).as("nrm"),
         col(model.getPredictionCol).as("cell"))
-    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      .withColumn("cdist", l2Distance(col("e"), element_at(centLit, col("cell") + 1)))
+      .withColumn("band",
+        ((row_number().over(wRank) - 1) / targetCellSize).cast("int"))
+      .select(col("cell"), col("band"), col("id"), col("e"), col("nrm"))
+    val a = assigned.select(col("cell"), col("band"), col("id").as("id_a"),
       col("e").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cell"), col("id").as("id_b"),
-      col("e").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // the b side carries each row twice: once for its home band (paired
+    // against same-band rows, id-ordered so each pair appears once) and
+    // once for band+1 (paired against the next band's rows — exactly one
+    // orientation exists, so no id constraint and no duplicates)
+    val b = assigned
+      .withColumn("__probe", explode(array(
+        struct(col("band").as("band"), lit(true).as("home")),
+        struct((col("band") + 1).as("band"), lit(false).as("home")))))
+      .select(col("cell"), col("__probe.band").as("band"),
+        col("__probe.home").as("home"), col("id").as("id_b"),
+        col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell", "band"))
+      .where(!col("home") || col("id_a") < col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), roundScale).as("cos"))
       .where(col("cos") >= threshold)
   }

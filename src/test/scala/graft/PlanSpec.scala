@@ -160,20 +160,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("q84 semantic dedup pairs only within KMeans cells — no all-pairs join") {
+  test("q84 semantic dedup pairs only within KMeans cell bands — no all-pairs join") {
     import org.apache.spark.sql.functions.col
     val emb = Registry.tbl(spark, sfDir, "embeddings")
     val df = graft.operators.Similarity.semanticNearDups(
       emb, "vec_id", "embedding", threshold = 0.9, nClusters = 4)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // the pair join is an equi-join on the cell id (shuffle or broadcast
-    // hash — either is cell-local); a BNLJ/cartesian would be the
-    // quadratic all-pairs shape the quantizer exists to avoid
+    // the pair join is an equi-join on (cell, band) — cell-local AND
+    // rank-band-local, so a skewed cell cannot go quadratic; a
+    // BNLJ/cartesian would be the all-pairs shape the quantizer avoids
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.size == 1, p)
     assert(joins.head.condition.get.references.exists(_.name == "cell"), p)
+    assert(joins.head.condition.get.references.exists(_.name == "band"), p)
   }
 
   test("q85 epoch shuffle is a distributed range sort — no global rank window") {
