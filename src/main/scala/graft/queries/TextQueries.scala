@@ -696,7 +696,10 @@ object TextQueries {
     // recomputes the identical deterministic LSH pipeline, then closes the
     // pair graph with a recursive CTE.
     Q("q70_dup_clusters", (s, d) => {
+      // pin shingle/minhash width (q47's measured trap: a small parquet
+      // corpus scans as 1-3 partitions and serializes the CPU-bound stages)
       val planted = withPlanted(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
       val candidates = Dedup.lshCandidates(
         Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
@@ -747,7 +750,9 @@ object TextQueries {
     // pipeline; the oracle adds a quality-argmax window over the recursive
     // components.
     Q("q96_cluster_representatives", (s, d) => {
+      // width pin: see q70
       val planted = withPlanted(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
       val candidates = Dedup.lshCandidates(
         Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
@@ -1057,6 +1062,7 @@ object TextQueries {
         docs.filter(col("doc_id") < 40)
           .select((col("doc_id") + 300000).as("doc_id"),
             substring(col("text"), 1, 150).as("text")))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // width pin: see q70
       val arrays = graft.operators.Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
       val cands = graft.operators.Dedup.lshCandidates(
         graft.operators.Dedup.minhashBandsNarrow(arrays, 16, 2))

@@ -112,12 +112,12 @@ class PlanSpec extends SparkSuite {
 
   test("q47 pipeline near-dup stage routes through the banded LSH join") {
     // pair generation must be the (band, band_sig) bucket join, and the
-    // exact-Jaccard verify must be an array_intersect over candidate pairs
+    // exact-Jaccard verify must be a native intersect_size over candidate pairs
     // — the plan must contain NO shingle-level self-join (which goes
     // near-quadratic on common shingles at corpus scale)
     val p = plan("q47_corpus_pipeline")
     assert(p.contains("band_sig"), s"q47 must generate pairs via LSH bands:\n$p")
-    assert(p.contains("array_intersect"), s"q47's verify must be candidate-bounded:\n$p")
+    assert(p.contains("intersect_size"), s"q47's verify must be candidate-bounded:\n$p")
     assert(!p.matches("(?s).*\\[shingle#\\d+\\], \\[shingle#\\d+\\], Inner.*"),
       s"q47 must not join shingle tables on the shingle alone:\n$p")
   }
@@ -125,7 +125,7 @@ class PlanSpec extends SparkSuite {
   test("q63 incremental dedup stays index-shaped: banded candidates, no shingle self-join") {
     val p = plan("q63_incremental_dedup")
     assert(p.contains("band_sig"), s"q63 candidates must come from the LSH band index:\n$p")
-    assert(p.contains("array_intersect"), s"q63 verify must be candidate-bounded:\n$p")
+    assert(p.contains("intersect_size"), s"q63 verify must be candidate-bounded:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.matches("(?s).*\\[shingle#\\d+\\], \\[shingle#\\d+\\], Inner.*"),
       s"q63 must not join shingle tables on the shingle alone:\n$p")
@@ -134,7 +134,7 @@ class PlanSpec extends SparkSuite {
   test("q70 cluster pair generation is the banded LSH join, no shingle self-join") {
     // q70's returned plan is lineage-truncated by the clustering loop's
     // localCheckpoints, so pin the pair STAGE it feeds from: same banded
-    // candidates + array_intersect verify contract as q47/q63
+    // candidates + intersect_size verify contract as q47/q63
     import graft.operators.Dedup
     val docs = Registry.tbl(spark, sfDir, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id"),
@@ -147,7 +147,7 @@ class PlanSpec extends SparkSuite {
       Dedup.lshCandidates(Dedup.minhashBands(shingled, k = 16, rowsPerBand = 2)), arrays)
     val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("band_sig"), s"cluster pairs must come from LSH bands:\n$p")
-    assert(p.contains("array_intersect"), s"cluster verify must be candidate-bounded:\n$p")
+    assert(p.contains("intersect_size"), s"cluster verify must be candidate-bounded:\n$p")
     assert(!p.matches("(?s).*\\[shingle#\\d+\\], \\[shingle#\\d+\\], Inner.*"),
       s"cluster pair stage must not join shingle tables on the shingle alone:\n$p")
   }

@@ -13,6 +13,17 @@ for t in "region nation customer supplier part orders lineitem events documents 
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
     elif os.path.exists(p):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    else:
+        continue
+    if t == "events":
+        # ScaleData-written events keep ts as raw int64 nanos (the shape
+        # Registry.tbl expects); expose it to the oracle as a µs-truncated
+        # TIMESTAMP, matching tbl()'s ns→µs conversion on the Spark side.
+        (ty,) = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+        if ty == "BIGINT":
+            con.sql("CREATE OR REPLACE VIEW events AS "
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{p}{'/*.parquet' if os.path.isdir(p) else ''}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes = [], []
