@@ -26,7 +26,16 @@ object CoreQueries {
     * cents with the custom CentSum128 aggregate (exact at any group size,
     * long-speed hot path — see functions/CentSum128), while the oracle
     * computes the same exact value with decimal arithmetic. Both equal the
-    * exact mathematical sum, so they hash-match.
+    * exact mathematical sum, so they hash-match — PROVIDED the final
+    * decimal→double conversion rounds once on both sides. Java's
+    * BigDecimal.doubleValue() is correctly rounded at every magnitude, but
+    * DuckDB's CAST(DECIMAL AS DOUBLE) converts the int128 then divides by
+    * 10^scale (two roundings) — 1 ulp off once the unscaled sum passes
+    * 2^52 (first seen at sf1: q01 sum_charge, maxdiff 2^-18). The oracle
+    * therefore routes big decimal sums through VARCHAR
+    * (CAST(CAST(... AS VARCHAR) AS DOUBLE)): decimal→string is exact,
+    * string→double is one correctly-rounded parse, matching Java bit-for-
+    * bit at any scale factor.
     */
   import graft.functions.CentSum128.centSum128
   private def discPriceSum = centSum128(
@@ -58,8 +67,8 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus,
          | ${dsumSql("l_quantity")} AS sum_qty,
          | ${dsumSql("l_extendedprice")} AS sum_base_price,
-         | CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
-         | CAST(SUM($chargeSql) AS DOUBLE) AS sum_charge,
+         | CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         | CAST(CAST(SUM($chargeSql) AS VARCHAR) AS DOUBLE) AS sum_charge,
          | ROUND(AVG(l_quantity), 4) AS avg_qty,
          | ROUND(AVG(l_extendedprice), 4) AS avg_price,
          | ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -126,7 +135,7 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }, Some(
-      s"""SELECT n_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+      s"""SELECT n_name, CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE) AS revenue,
          | CAST(COUNT(*) AS BIGINT) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

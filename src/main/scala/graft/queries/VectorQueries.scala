@@ -65,7 +65,7 @@ object VectorQueries {
       """WITH ex AS (SELECT label, g.x AS pos, embedding[g.x] AS v
         |            FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(x)),
         |agg AS (SELECT label, pos,
-        |          CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS sv, COUNT(*) AS n
+        |          CAST(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sv, COUNT(*) AS n
         |        FROM ex GROUP BY label, pos)
         |SELECT label, ROUND(sqrt(SUM(power(sv / n, 2))), 4) AS centroid_norm,
         |  CAST(MAX(n) AS BIGINT) AS n_vectors
