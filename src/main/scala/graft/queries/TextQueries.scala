@@ -700,7 +700,10 @@ object TextQueries {
       // corpus scans as 1-3 partitions and serializes the CPU-bound stages)
       val planted = withPlanted(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // arrays feeds three plan branches (bands + both verify fetches);
+      // checkpoint it once, as Dedup.clusters does for its edge set
       val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+        .localCheckpoint()
       val candidates = Dedup.lshCandidates(
         Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
       val pairs = Dedup.jaccardOnArrays(candidates, arrays)
@@ -754,6 +757,7 @@ object TextQueries {
       val planted = withPlanted(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+        .localCheckpoint() // three consumers: see q70
       val candidates = Dedup.lshCandidates(
         Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
       val pairs = Dedup.jaccardOnArrays(candidates, arrays)
@@ -1064,6 +1068,7 @@ object TextQueries {
             substring(col("text"), 1, 150).as("text")))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // width pin: see q70
       val arrays = graft.operators.Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+        .localCheckpoint() // three consumers: see q70
       val cands = graft.operators.Dedup.lshCandidates(
         graft.operators.Dedup.minhashBandsNarrow(arrays, 16, 2))
       graft.operators.Dedup.containmentOnArrays(cands, arrays)
