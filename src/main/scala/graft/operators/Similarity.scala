@@ -254,7 +254,8 @@ object Similarity {
   def semanticNearDups(docs: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.9, nClusters: Int = 0, seed: Long = 42L,
       maxFitRows: Int = 100000, roundScale: Int = 4,
-      targetCellSize: Int = 256, maxClusters: Int = 1024): DataFrame = {
+      targetCellSize: Int = 256, maxClusters: Int = 1024,
+      quantizerIters: Int = 8): DataFrame = {
     val vec = docs.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
       .withColumn("__features", array_to_vector(col("e")))
     val k =
@@ -267,7 +268,11 @@ object Similarity {
         math.max(2L, math.min((n + targetCellSize - 1) / targetCellSize,
           maxClusters.toLong)).toInt
       }
-    val model = new KMeans().setK(k).setSeed(seed)
+    // coarse-quantizer discipline: cells only need to co-locate near-twins,
+    // not converge — few Lloyd iterations give the same recall at a
+    // fraction of the fit cost (which is O(sample·k·iters·dim) and k
+    // autoscales with the corpus until maxClusters)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(quantizerIters)
       .setFeaturesCol("__features")
       .fit(vec.orderBy(col("id")).limit(maxFitRows))
     // distance to OWN centroid via a cell-indexed literal (≤ maxClusters ×
