@@ -817,8 +817,11 @@ object TextQueries {
       val ann = graft.operators.CorpusPipeline.annotate(withPlanted(s, d),
         graft.operators.CorpusPipeline.Config(
           parallelism = Some(s.sparkContext.defaultParallelism)))
+      // clean feeds both the contamination probe and the decon anti-join;
+      // checkpoint so the whole annotate pipeline (LSH included) runs once
       val clean = ann.where(col("reject_reason").isNull)
         .select(col("doc_id"), col("text"), col("n_tokens"))
+        .localCheckpoint()
       val bench = tbl(s, d, "documents").where(col("doc_id").isin(3, 7))
         .select((col("doc_id") + 900000).as("doc_id"), col("text"))
       val contaminated = Dedup.contamination(clean, "doc_id", "text",
