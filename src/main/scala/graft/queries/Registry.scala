@@ -50,13 +50,29 @@ object Agg {
 }
 
 object Registry {
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  // Inferred events schema per (session, dir) — inference needs the legacy
+  // flag; execution does not (the vectorized reader maps INT64(NANOS) to the
+  // requested LongType without it), so the flag is scoped to this one call.
+  private val eventsSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) — Spark's reader rejects it.
-      // Read nanos as long and truncate to micros (integer div), matching
-      // DuckDB's truncating ns→us read of the same file.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // events.parquet carries TIMESTAMP(NANOS) — Spark's reader rejects it
+      // unless the legacy nanosAsLong flag maps it to LongType. The flag is
+      // only consulted during schema INFERENCE, so: infer once under a
+      // save/restore (no session-visible conf mutation escapes this call),
+      // then read with the explicit schema. ts is then truncated to micros
+      // (integer div), matching DuckDB's truncating ns→us read.
+      val path = s"$dir/$name.parquet"
+      val schema = eventsSchemas.computeIfAbsent(s"${System.identityHashCode(spark)}:$path", { _ =>
+        val prev = spark.conf.getOption(NanosKey)
+        spark.conf.set(NanosKey, "true")
+        try spark.read.parquet(path).schema
+        finally prev.fold(spark.conf.unset(NanosKey))(spark.conf.set(NanosKey, _))
+      })
+      spark.read.schema(schema).parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
