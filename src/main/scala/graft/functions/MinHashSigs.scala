@@ -77,31 +77,46 @@ object MinHashSigs {
     UTF8String.fromBytes(out)
   }
 
-  /** One MessageDigest reused across all k × |shingles| hashes of the row. */
+  /** One MessageDigest reused across all k × |shingles| hashes of the row.
+    * The shingle bytes are extracted ONCE per row (not once per (i, j) —
+    * `getBytes` copies), and digests land in a reusable candidate buffer
+    * swapped with `best` on improvement, so the k×m hot loop allocates
+    * nothing per hash.
+    */
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val m = arr.numElements()
     val md = MessageDigest.getInstance("MD5")
+    val shingle = new Array[Array[Byte]](m)
+    var any = false
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) { shingle(j) = arr.getUTF8String(j).getBytes; any = true }
+      j += 1
+    }
+    if (!any) return new GenericArrayData(Array.empty[Any])
     val mins = new Array[Array[Byte]](k)
-    // per-i prefix bytes ("i:") are tiny and loop-invariant
+    var cand = new Array[Byte](16)
     var i = 0
     while (i < k) {
+      // per-i prefix bytes ("i:") are tiny and loop-invariant
       val prefix = (i.toString + ":").getBytes("UTF-8")
-      var j = 0
       var best: Array[Byte] = null
+      j = 0
       while (j < m) {
-        if (!arr.isNullAt(j)) {
+        val s = shingle(j)
+        if (s != null) {
           md.reset()
           md.update(prefix)
-          md.update(arr.getUTF8String(j).getBytes)
-          val d = md.digest()
-          if (best == null || unsignedLess(d, best)) best = d
+          md.update(s)
+          md.digest(cand, 0, 16)
+          if (best == null) { best = cand; cand = new Array[Byte](16) }
+          else if (unsignedLess(cand, best)) { val t = best; best = cand; cand = t }
         }
         j += 1
       }
       mins(i) = best
       i += 1
     }
-    if (m == 0 || mins(0) == null) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](k)
     i = 0
     while (i < k) { out(i) = hex(mins(i)); i += 1 }

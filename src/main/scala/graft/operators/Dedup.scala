@@ -493,37 +493,65 @@ object Dedup {
     * is `localCheckpoint`ed to truncate lineage (iteration N's plan would
     * otherwise embed all N-1 predecessors; on a real cluster, swap in
     * `checkpoint` against a reliable dir). Convergence is detected by the
-    * label sum (labels only decrease, so an unchanged sum ⇒ fixpoint) —
-    * one scalar agg per round, no self-join diff.
+    * label sum (labels only decrease, so an unchanged sum across a round ⇒
+    * fixpoint) — one scalar agg, checked every SECOND round so the steady-
+    * state cost is one materializing action per round plus half a
+    * convergence job (the r6 profile showed the per-round fixed cost, not
+    * data volume, dominating at sf1).
+    *
+    * Shuffle profile: edges are hash-partitioned by `dst` and labels by
+    * `id` ONCE at setup (`localCheckpoint` preserves the physical
+    * partitioning in the checkpointed plan), so the per-round neighbor
+    * join needs no exchange; the only per-round shuffle is the
+    * `groupBy(src)` min — (id,label)-sized, never document-sized.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // Both orientations of each pair; orientations can't collide, and the
+    // min-propagation below is idempotent under duplicate edges, so no
+    // distinct — the co-partitioning repartition is the only setup shuffle.
+    // (Measured dead end, r7: running the loop with AQE disabled — static
+    // co-partitioned SMJs — was ~2× SLOWER than letting AQE broadcast the
+    // tiny label side per round; keep AQE on.)
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
+      .repartition(nPart, col("dst"))
       .localCheckpoint() // reused every round — never recompute the pair source
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .repartition(nPart, col("id"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
+    def propagate(lbl: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .join(lbl.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nbr_label")).as("nbr_label"))
-      val next = labels
+      lbl
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+    }
+    // No initial sum action: with any pairs at all, round 1 always changes
+    // labels, so the first useful comparison is round 1 vs round 2.
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // TWO hops per materialized round: the r6 profile showed driver-side
+      // per-action latency (not data volume) dominating, so halving the
+      // action count halves the fixed cost; near-dup clusters have diameter
+      // 1-2, so one fused round usually reaches the fixpoint outright.
+      val next = propagate(propagate(labels)).localCheckpoint()
       labels = next
-      iter += 1
+      iter += 2
+      // Labels only decrease, so an unchanged sum across a fused round ⇒
+      // fixpoint (a monotone pass that changes nothing at hop 2k changes
+      // nothing at 2k+1 either).
+      val s = labelSum(next)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
