@@ -42,34 +42,81 @@ object Compact {
 
   private[streaming] def ctl(lake: HPath, name: String) = new HPath(lake, s"_compact/$name")
 
-  /** Exclusive per-lake maintenance lock. The whole maintenance family
-    * (Compact/Backfill/Erase/Retention) shares `_compact/` control files
-    * and assumes ONE writer: two interleaved passes could each read the
-    * other's intent as their own crash to recover, promoting or retiring
-    * the wrong files. The lock turns that silent interleave into a
-    * fail-fast: `fs.create(…, overwrite=false)` is atomic on HDFS and
-    * local filesystems, so exactly one of two racing writers wins.
-    * (On S3 without a consistency layer create-if-absent is not atomic —
-    * front the lake with a real lock service there.)
+  /** Exclusive per-lake maintenance lock, with a heartbeat LEASE. The whole
+    * maintenance family (Compact/Backfill/Erase/Retention) shares
+    * `_compact/` control files and assumes ONE writer: two interleaved
+    * passes could each read the other's intent as their own crash to
+    * recover, promoting or retiring the wrong files. The lock turns that
+    * silent interleave into a fail-fast: `fs.create(…, overwrite=false)` is
+    * atomic on HDFS and local filesystems, so exactly one of two racing
+    * writers wins. (On S3 without a consistency layer neither
+    * create-if-absent nor rename is atomic — front the lake with a real
+    * lock service, or use S3 conditional PUTs, there.)
     *
-    * The lock is released on completion AND on failure (try/finally); only
-    * a hard JVM death leaves it behind. A stale lock never self-expires —
-    * clear it with [[forceUnlock]] once no writer is running, and the next
-    * pass's recovery completes whatever the dead writer left.
+    * The lock is released on completion AND on failure (try/finally). A
+    * hard JVM death no longer wedges the lake: while held, a daemon thread
+    * refreshes the lock file's mtime every `leaseMs/3`, and a later writer
+    * finding a lock whose mtime is older than `leaseMs` treats it as a
+    * dead writer's and RECLAIMS it — via an atomic rename to a unique
+    * tombstone, so two waiters racing to reclaim the same stale lock can't
+    * both win (exactly one rename succeeds; the loser fails fast as if the
+    * lock were live). A lock younger than the lease is always respected.
+    * [[forceUnlock]] remains for operator override; recovery of whatever
+    * the dead writer left behind happens at the next pass's `recover`.
     */
-  private[streaming] def withWriterLock[T](fs: FileSystem, lake: HPath)(body: => T): T = {
+  private[streaming] def withWriterLock[T](fs: FileSystem, lake: HPath,
+      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
     val lock = ctl(lake, "lock")
     fs.mkdirs(lock.getParent)
-    try fs.create(lock, false).close() catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"another maintenance writer holds $lock (Compact/Backfill/Erase/Retention " +
-            "are single-writer per lake): wait for it to finish, or — only if its JVM " +
-            "died — clear the lock with Compact.forceUnlock and the next pass will " +
-            "recover the interrupted work", e)
+    def acquireOnce(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    def reclaimStale(): Boolean = {
+      val st = try Some(fs.getFileStatus(lock)) catch {
+        case _: java.io.FileNotFoundException => None // holder just released
+      }
+      st match {
+        case Some(s) if System.currentTimeMillis() - s.getModificationTime > leaseMs =>
+          // Atomic rename: of N waiters seeing the same stale lock, exactly
+          // one wins the reclaim; the tombstone is deleted best-effort.
+          val tomb = ctl(lake, s"lock.reclaimed.${java.util.UUID.randomUUID()}")
+          val won = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+          if (won) { try fs.delete(tomb, false) catch { case _: java.io.IOException => () }; () }
+          won
+        case _ => false
+      }
     }
-    try body finally FsOps.deleteOrThrow(fs, lock, recursive = false)
+    val acquired = acquireOnce() || (reclaimStale() && acquireOnce())
+    if (!acquired)
+      throw new IllegalStateException(
+        s"another maintenance writer holds $lock (Compact/Backfill/Erase/Retention " +
+          s"are single-writer per lake): wait for it to finish or for its ${leaseMs} ms " +
+          "lease to lapse (a dead writer's lock self-expires), or clear it now with " +
+          "Compact.forceUnlock; the next pass will recover the interrupted work")
+    // Heartbeat: keep the lease alive for long passes. Failures are ignored
+    // (a missed beat only matters if it persists past the lease).
+    val beat = new Thread(() => {
+      val interval = math.max(500L, leaseMs / 3)
+      try while (!Thread.interrupted()) {
+        Thread.sleep(interval)
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$lake")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      FsOps.deleteOrThrow(fs, lock, recursive = false)
+    }
   }
+
+  /** Default maintenance-lock lease: long enough that a paused-but-alive
+    * writer (GC, brief FS outage) keeps its lock across several missed
+    * heartbeats, short enough that a dead writer doesn't block maintenance
+    * for long.
+    */
+  private[streaming] val DefaultLeaseMs: Long = 15L * 60 * 1000
 
   /** Remove a stale maintenance lock left by a crashed writer. Only call
     * when no maintenance pass is running against the lake.

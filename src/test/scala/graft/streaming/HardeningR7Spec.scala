@@ -33,4 +33,54 @@ class HardeningR7Spec extends SparkSuite {
     assert(spark.conf.get(key) == "false")
     spark.conf.unset(key)
   }
+
+  private def lockFs(lakeDir: String) = {
+    val lake = new org.apache.hadoop.fs.Path(lakeDir)
+    (lake.getFileSystem(spark.sessionState.newHadoopConf()), lake)
+  }
+
+  test("writer lock: a dead writer's lock older than the lease is reclaimed") {
+    val dir = tmpDir("graft-lease-dead-")
+    val (fs, lake) = lockFs(dir)
+    val lock = Compact.ctl(lake, "lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60000, -1) // died a minute ago
+    var ran = false
+    Compact.withWriterLock(fs, lake, leaseMs = 10000) { ran = true }
+    assert(ran, "stale lock must be reclaimed, not fail-fast")
+    assert(!fs.exists(lock), "lock released after the body")
+  }
+
+  test("writer lock: a live writer's lock within the lease is respected") {
+    val dir = tmpDir("graft-lease-live-")
+    val (fs, lake) = lockFs(dir)
+    val lock = Compact.ctl(lake, "lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close() // fresh mtime = a live holder
+    val e = intercept[IllegalStateException] {
+      Compact.withWriterLock(fs, lake, leaseMs = 60000) { fail("must not enter") }
+    }
+    assert(e.getMessage.contains("another maintenance writer"))
+    assert(fs.exists(lock), "the live holder's lock must survive the failed attempt")
+    fs.delete(lock, false)
+  }
+
+  test("writer lock: heartbeat refreshes the lease while the body runs") {
+    val dir = tmpDir("graft-lease-beat-")
+    val (fs, lake) = lockFs(dir)
+    val lock = Compact.ctl(lake, "lock")
+    Compact.withWriterLock(fs, lake, leaseMs = 1800) {
+      val t0 = fs.getFileStatus(lock).getModificationTime
+      Thread.sleep(1500) // > leaseMs/3 ⇒ at least one beat
+      val t1 = fs.getFileStatus(lock).getModificationTime
+      assert(t1 > t0, "heartbeat must advance the lock mtime")
+      // a concurrent writer still fails fast — the lease is being renewed
+      val e = intercept[IllegalStateException] {
+        Compact.withWriterLock(fs, lake, leaseMs = 1800) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("another maintenance writer"))
+    }
+    assert(!fs.exists(lock))
+  }
 }
