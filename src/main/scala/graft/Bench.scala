@@ -24,6 +24,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query shuffle/spill attribution (r6 verdict ask: wall-time noise
+    // has repeatedly masked plan questions — shuffle volume is the stable
+    // signal). A task-end listener accumulates bytes; the bus is drained
+    // after each run so deltas attribute to the right query.
+    val accWrite = new java.util.concurrent.atomic.AtomicLong
+    val accRead = new java.util.concurrent.atomic.AtomicLong
+    val accSpill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          accWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          accRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          accSpill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
+    final case class RunMetrics(shuffleWrite: Long, shuffleRead: Long, spill: Long)
+    def metricsSnapshot(): RunMetrics = {
+      org.apache.spark.graftbridge.ListenerBridge.flushListeners(spark.sparkContext)
+      RunMetrics(accWrite.get, accRead.get, accSpill.get)
+    }
+
     val headline = Registry.all.filter(_.bench)
     // JVM/codegen warm-up on the smallest SF so measured times reflect
     // steady-state execution, not first-query classloading.
@@ -39,27 +63,35 @@ object Bench {
     // recorded >5× swings minutes after the test suite; a quiet rerun is
     // flat) — take 2 more runs and report the median of all 5. All raw
     // runs ship in the JSON so noise stays visible, never silently folded.
-    def timed(run: () => Unit): Double = {
+    def timed(run: () => Unit): (Double, RunMetrics) = {
       System.gc() // quiesce: don't bill query N for query N-1's garbage
+      val before = metricsSnapshot()
       val t0 = System.nanoTime()
       try run() catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = metricsSnapshot()
+      (sec, RunMetrics(after.shuffleWrite - before.shuffleWrite,
+        after.shuffleRead - before.shuffleRead, after.spill - before.spill))
     }
-    def robust(run: () => Unit): (Double, Seq[Double]) = {
+    def robust(run: () => Unit): (Double, Seq[Double], RunMetrics) = {
       // one UNRECORDED warmup at the target SF: the sf0.001 pass above
       // warms codegen but not this SF's data/page-cache path — round 5's
       // q47 runs [7.5, 3.8, 3.2] show the first cold run inflating the
       // spread the outlier guard then has to reason about
       timed(run)
       val first = (1 to 3).map(_ => timed(run))
-      val all = if (first.max / first.min > 3.0) first ++ (1 to 2).map(_ => timed(run))
+      val all = if (first.map(_._1).max / first.map(_._1).min > 3.0)
+                  first ++ (1 to 2).map(_ => timed(run))
                 else first
-      (all.sorted.apply(all.size / 2), all)
+      def medL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      (all.map(_._1).sorted.apply(all.size / 2), all.map(_._1),
+        RunMetrics(medL(all.map(_._2.shuffleWrite)), medL(all.map(_._2.shuffleRead)),
+          medL(all.map(_._2.spill))))
     }
     val results = headline.map { q =>
-      val (med, times) = robust(() =>
+      val (med, times, metrics) = robust(() =>
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
-      (q.name, med, times)
+      (q.name, med, times, metrics)
     }
     // Streaming deliver segment at the reference's batch size: BASELINE.md
     // pins 2.1 s for transform+write of a 2.79 MB buffer (README.md:359);
@@ -102,7 +134,8 @@ object Bench {
       val runs = new scala.collection.mutable.ArrayBuffer[Double]
       // robust() drives the run count + outlier extension; report the
       // inner per-delivery times (identical modulo ns-call overhead)
-      robust(() => runs += deliverOnce(s"$base/log", s"$base/run${ctr.incrementAndGet()}"))
+      val (_, _, dlvMetrics) =
+        robust(() => runs += deliverOnce(s"$base/log", s"$base/run${ctr.incrementAndGet()}"))
       // timed() swallows per-run exceptions for the query benchmarks; a
       // FAILED delivery must not silently shrink the median's sample —
       // surface it as the segment's failure sentinel instead
@@ -111,18 +144,40 @@ object Bench {
       // robust()'s first call is its unrecorded warmup — the closure above
       // records every invocation, so drop it here
       val rec = runs.toSeq.drop(1)
-      (rec.sorted.apply(rec.size / 2), rec)
+      (rec.sorted.apply(rec.size / 2), rec, dlvMetrics)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] deliver segment failed: ${e.getMessage}")
-      (-1.0, Seq(-1.0))
+      (-1.0, Seq(-1.0), RunMetrics(0, 0, 0))
     }
 
-    val all = results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2))
-    val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val runs = all.map { case (k, _, ts) =>
+    val all = results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2, deliverSec._3))
+    val qs = all.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val runs = all.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    // Per-query shuffle/spill (bytes, median run) — the round-over-round
+    // regression signal: shuffle volume is deterministic where wall time is
+    // not. Compared against the committed SHUFFLE_BASELINE.json: >2× growth
+    // on a pinned query means a plan changed, not the machine.
+    val shuffleJson = all.map { case (k, _, _, m) =>
+      "\"" + k + s"""\":{"write":${m.shuffleWrite},"read":${m.shuffleRead},"spill":${m.spill}}"""
+    }.mkString("{", ",", "}")
+    val regressions: Seq[String] = {
+      val f = new java.io.File("SHUFFLE_BASELINE.json")
+      if (!f.exists()) Nil else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val entry = """"([^"]+)"\s*:\s*(\d+)""".r
+        val baseline = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong).toMap
+        all.flatMap { case (k, _, _, m) =>
+          baseline.get(k).collect {
+            case b if b > 0 && m.shuffleWrite > 2 * b =>
+              s""""$k: shuffle write ${m.shuffleWrite} vs baseline $b""""
+          }
+        }
+      }
+    }
+    regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"shuffle":$shuffleJson,"shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
