@@ -117,6 +117,19 @@ object Similarity {
       .select(col("qid"), col("qe"), col("qn"), col("cell"))
   }
 
+  /** Bounded, deterministic, corpus-spread quantizer fit sample: global
+    * top-`maxFitRows` by `xxhash64(id)` (id tie-break) — a uniform draw
+    * over the corpus regardless of id locality, computed as one
+    * TakeOrdered pass (per-partition heaps + merge, same cost shape as an
+    * id-prefix sort). An id-PREFIX sample (the r6 form) mirrors ingest
+    * order: once the corpus outgrows the sample (sf10: ≤20% coverage), a
+    * time- or shard-clustered id space would feed the quantizer a biased
+    * region of embedding space; the hash draw stays representative at any
+    * scale.
+    */
+  private def fitSample(vec: DataFrame, maxFitRows: Int): DataFrame =
+    vec.orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+
   /** Per-query top-k on a (qid, nid, sim) table — rounded-sim ranking with
     * nid tie-break, the engine-stable ordering every ANN path shares.
     */
@@ -136,11 +149,13 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxFitRows: Int = 100000): DataFrame = {
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
-    // Fit the coarse quantizer on a bounded, deterministic sample (first
-    // maxFitRows by id): KMeans over the FULL corpus is a multi-pass
+    // Fit the coarse quantizer on a bounded, deterministic, corpus-SPREAD
+    // sample (top maxFitRows by id-hash — a uniform draw, where an id-prefix
+    // would mirror ingest order and skew the centroids once the corpus
+    // outgrows the sample): KMeans over the FULL corpus is a multi-pass
     // scale-killer at 100 TB, and centroid quality saturates long before
     // 100k rows. The full corpus is still assigned to cells exactly once.
-    val fitSet = cVec.orderBy(col("id")).limit(maxFitRows)
+    val fitSet = fitSample(cVec, maxFitRows)
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSet)
     val assigned = model.transform(cVec)
@@ -174,7 +189,7 @@ object Similarity {
       seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-      .fit(cVec.orderBy(col("id")).limit(maxFitRows))
+      .fit(fitSample(cVec, maxFitRows))
     model.transform(cVec)
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
         norm2(toDouble(col("embedding"))).as("nn"),
@@ -274,7 +289,7 @@ object Similarity {
     // autoscales with the corpus until maxClusters)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(quantizerIters)
       .setFeaturesCol("__features")
-      .fit(vec.orderBy(col("id")).limit(maxFitRows))
+      .fit(fitSample(vec, maxFitRows))
     // distance to OWN centroid via a cell-indexed literal (≤ maxClusters ×
     // dim doubles ≈ 0.5 MB) — no join, so the operator's only join stays
     // the banded pair join below

@@ -36,13 +36,17 @@ import org.apache.spark.sql.functions._
   * Everything is a pure function of (source bytes, K): no RNG, no clock — two
   * runs produce identical lakes, so benchmarks across rounds are comparable.
   *
-  * Usage: runMain graft.tools.ScaleData <srcDir> <dstDir> <K>
+  * Usage: runMain graft.tools.ScaleData <srcDir> <dstDir> <K> [tables]
+  * `tables` (comma list, default all): restrict output to a table subset —
+  * e.g. `documents,embeddings` for a corpus-only sf10 instance that skips
+  * replicating the TPC-H fact tables nobody will query at that SF.
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "data/sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    val tables = if (args.length > 3) Some(args(3).split(',').map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,49 +56,54 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, k)
+    scale(spark, src, dst, k, tables)
     spark.stop()
   }
 
-  def scale(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  def scale(spark: SparkSession, src: String, dst: String, k: Int,
+      tables: Option[Set[String]] = None): Unit = {
     require(k >= 1, s"replication factor must be >= 1, got $k")
-    copy(spark, src, dst, "region")
-    copy(spark, src, dst, "nation")
+    def want(name: String): Boolean = tables.forall(_.contains(name))
+    if (want("region")) copy(spark, src, dst, "region")
+    if (want("nation")) copy(spark, src, dst, "nation")
 
-    val custStride = stride(spark, src, "customer", "c_custkey")
-    val suppStride = stride(spark, src, "supplier", "s_suppkey")
-    val partStride = stride(spark, src, "part", "p_partkey")
-    val orderStride = stride(spark, src, "orders", "o_orderkey")
+    lazy val custStride = stride(spark, src, "customer", "c_custkey")
+    lazy val suppStride = stride(spark, src, "supplier", "s_suppkey")
+    lazy val partStride = stride(spark, src, "part", "p_partkey")
+    lazy val orderStride = stride(spark, src, "orders", "o_orderkey")
 
-    write(dst, "customer", replicate(read(spark, src, "customer"), k)
+    if (want("customer")) write(dst, "customer", replicate(read(spark, src, "customer"), k)
       .withColumn("c_custkey", offset(col("c_custkey"), custStride))
       .withColumn("c_name", salt(col("c_name")))
       .drop("rep"))
-    write(dst, "supplier", replicate(read(spark, src, "supplier"), k)
+    if (want("supplier")) write(dst, "supplier", replicate(read(spark, src, "supplier"), k)
       .withColumn("s_suppkey", offset(col("s_suppkey"), suppStride))
       .withColumn("s_name", salt(col("s_name")))
       .drop("rep"))
-    write(dst, "part", replicate(read(spark, src, "part"), k)
+    if (want("part")) write(dst, "part", replicate(read(spark, src, "part"), k)
       .withColumn("p_partkey", offset(col("p_partkey"), partStride))
       .withColumn("p_name", salt(col("p_name")))
       .drop("rep"))
-    write(dst, "orders", replicate(read(spark, src, "orders"), k)
+    if (want("orders")) write(dst, "orders", replicate(read(spark, src, "orders"), k)
       .withColumn("o_orderkey", offset(col("o_orderkey"), orderStride))
       .withColumn("o_custkey", offset(col("o_custkey"), custStride))
       .drop("rep"))
-    write(dst, "lineitem", replicate(read(spark, src, "lineitem"), k)
+    if (want("lineitem")) write(dst, "lineitem", replicate(read(spark, src, "lineitem"), k)
       .withColumn("l_orderkey", offset(col("l_orderkey"), orderStride))
       .withColumn("l_partkey", offset(col("l_partkey"), partStride))
       .withColumn("l_suppkey", offset(col("l_suppkey"), suppStride))
       .drop("rep"))
 
-    val eventStride = stride(spark, src, "events", "event_id")
-    val userStride = stride(spark, src, "events", "user_id")
-    write(dst, "events", replicate(read(spark, src, "events"), k)
-      .withColumn("event_id", offset(col("event_id"), eventStride))
-      .withColumn("user_id", offset(col("user_id"), userStride))
-      .drop("rep"))
+    if (want("events")) {
+      val eventStride = stride(spark, src, "events", "event_id")
+      val userStride = stride(spark, src, "events", "user_id")
+      write(dst, "events", replicate(read(spark, src, "events"), k)
+        .withColumn("event_id", offset(col("event_id"), eventStride))
+        .withColumn("user_id", offset(col("user_id"), userStride))
+        .drop("rep"))
+    }
 
+    if (want("documents")) {
     val docStride = stride(spark, src, "documents", "doc_id")
     val salted = replicate(read(spark, src, "documents"), k)
       .withColumn("doc_id", offset(col("doc_id"), docStride))
@@ -114,7 +123,9 @@ object ScaleData {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("rep")
     write(dst, "documents", salted)
+    }
 
+    if (want("embeddings")) {
     val vecStride = stride(spark, src, "embeddings", "vec_id")
     write(dst, "embeddings", replicate(read(spark, src, "embeddings"), k)
       .withColumn("vec_id", offset(col("vec_id"), vecStride))
@@ -128,6 +139,7 @@ object ScaleData {
             (v + (pmod(hash(col("vec_id"), col("rep"), d), lit(1000)) - 500)
               .cast("float") * lit(0.0001f)).cast("float"))))
       .drop("rep"))
+    }
   }
 
   private def read(spark: SparkSession, src: String, name: String): DataFrame = {
