@@ -50,30 +50,23 @@ object Agg {
 }
 
 object Registry {
-  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-  // Inferred events schema per (session, dir) — inference needs the legacy
-  // flag; execution does not (the vectorized reader maps INT64(NANOS) to the
-  // requested LongType without it), so the flag is scoped to this one call.
-  private val eventsSchemas =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) — Spark's reader rejects it
-      // unless the legacy nanosAsLong flag maps it to LongType. The flag is
-      // only consulted during schema INFERENCE, so: infer once under a
-      // save/restore (no session-visible conf mutation escapes this call),
-      // then read with the explicit schema. ts is then truncated to micros
-      // (integer div), matching DuckDB's truncating ns→us read.
-      val path = s"$dir/$name.parquet"
-      val schema = eventsSchemas.computeIfAbsent(s"${System.identityHashCode(spark)}:$path", { _ =>
-        val prev = spark.conf.getOption(NanosKey)
-        spark.conf.set(NanosKey, "true")
-        try spark.read.parquet(path).schema
-        finally prev.fold(spark.conf.unset(NanosKey))(spark.conf.set(NanosKey, _))
-      })
-      spark.read.schema(schema).parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // events.ts arrives in one of three shapes depending on the writer:
+      // the driver's testdata carries TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      // (reads as TimestampNTZ), ScaleData-written copies mirror that, and
+      // pre-r7 scaled instances carried raw int64 nanos (reads as Long).
+      // Normalize all of them to session-zone TimestampType micros — sessions
+      // run UTC, so the NTZ cast is value-preserving — the one type every
+      // downstream query and oracle assumes. No session conf is touched.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _                => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Stage a deterministic projection of a source table to parquet ONCE per

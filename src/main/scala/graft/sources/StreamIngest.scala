@@ -44,30 +44,48 @@ object StreamIngest {
         .option("startingPosition", k.startingPosition)
       val r2 = k.consumerArn.fold(r)(arn => r.option("consumerArn", arn))
       val r3 = k.maxFetchRate.fold(r2)(n => r2.option("maxFetchRate", n.toString))
-      // connector columns → envelope columns
-      import org.apache.spark.sql.functions._
-      r3.load().select(
-        col("streamName").as("stream_name"),
-        col("shardId").as("shard_id"),
-        col("partitionKey").as("partition_key"),
-        col("sequenceNumber").as("sequence_number"),
-        col("approximateArrivalTimestamp").as("approx_arrival_ts"),
-        base64(col("data")).as("data"))
+      kinesisEnvelope(r3.load())
     case kf: Kafka =>
-      import org.apache.spark.sql.functions._
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", kf.bootstrap)
-        .option("subscribe", kf.topic)
-        .option("startingOffsets", kf.startingOffsets)
-        .load().select(
-          lit(kf.topic).as("stream_name"),
-          concat(lit("shardId-"), lpad(col("partition").cast("string"), 12, "0")).as("shard_id"),
-          col("key").cast("string").as("partition_key"),
-          lpad(col("offset").cast("string"), 30, "0").as("sequence_number"),
-          col("timestamp").as("approx_arrival_ts"),
-          // envelope contract: `data` is base64 wire text. Kafka values are
-          // raw bytes — encode them like the Kinesis branch does, so a topic
-          // carrying non-base64 payloads can't silently DLQ the whole stream
-          base64(col("value")).as("data"))
+      kafkaEnvelope(
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", kf.bootstrap)
+          .option("subscribe", kf.topic)
+          .option("startingOffsets", kf.startingOffsets)
+          .load(),
+        kf.topic)
+  }
+
+  /** spark-sql-kinesis connector columns → envelope columns. Factored off
+    * `load()` so the mapping is testable offline on a connector-shaped
+    * DataFrame (the connector itself needs a live stream).
+    */
+  def kinesisEnvelope(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.select(
+      col("streamName").as("stream_name"),
+      col("shardId").as("shard_id"),
+      col("partitionKey").as("partition_key"),
+      col("sequenceNumber").as("sequence_number"),
+      col("approximateArrivalTimestamp").as("approx_arrival_ts"),
+      base64(col("data")).as("data"))
+  }
+
+  /** Kafka source columns → envelope columns. Offset zero-padding keeps the
+    * string ordering of `sequence_number` consistent with its numeric order
+    * (the per-key ordering audits compare lexicographically, matching the
+    * reference's zero-padded sequence numbers).
+    */
+  def kafkaEnvelope(raw: DataFrame, topic: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.select(
+      lit(topic).as("stream_name"),
+      concat(lit("shardId-"), lpad(col("partition").cast("string"), 12, "0")).as("shard_id"),
+      col("key").cast("string").as("partition_key"),
+      lpad(col("offset").cast("string"), 30, "0").as("sequence_number"),
+      col("timestamp").as("approx_arrival_ts"),
+      // envelope contract: `data` is base64 wire text. Kafka values are
+      // raw bytes — encode them like the Kinesis branch does, so a topic
+      // carrying non-base64 payloads can't silently DLQ the whole stream
+      base64(col("value")).as("data"))
   }
 }

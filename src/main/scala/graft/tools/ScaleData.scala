@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   *     noise (hash-derived, ±0.05) — cluster/label structure survives, but
   *     replicas are not exact twins, so ANN recall contracts are stressed
   *     honestly rather than trivially satisfied by duplicate vectors.
-  *   - `events.ts` is kept as raw nanos longs (read with
-  *     `nanosAsLong`, written as plain int64) so [[graft.queries.Registry.tbl]]'s
-  *     ns→us truncation path applies to scaled directories unchanged.
+  *   - `events.ts` is read and written in the source's own shape
+  *     (TIMESTAMP_NTZ micros in the driver's testdata), so scaled
+  *     directories go through exactly the same
+  *     [[graft.queries.Registry.tbl]] normalization as the originals.
   *
   * Everything is a pure function of (source bytes, K): no RNG, no clock — two
   * runs produce identical lakes, so benchmarks across rounds are comparable.
@@ -142,13 +143,10 @@ object ScaleData {
     }
   }
 
-  private def read(spark: SparkSession, src: String, name: String): DataFrame = {
-    if (name == "events")
-      // keep ts as raw nanos longs (Registry.tbl converts to timestamp);
-      // the scaled file must preserve the long shape for tbl()'s ns→us path
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def read(spark: SparkSession, src: String, name: String): DataFrame =
+    // events.ts passes through untouched in its source shape (NTZ micros in
+    // testdata) — Registry.tbl normalizes it identically for source and copy.
     spark.read.parquet(s"$src/$name.parquet")
-  }
 
   /** K copies of df, each tagged with its replica ordinal. The replica side is
     * a K-row local range — Spark broadcasts it, so this is a narrow fan-out of

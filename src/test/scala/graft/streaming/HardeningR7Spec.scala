@@ -6,32 +6,40 @@ import graft.queries.Registry
 /** Round-7 hardening pins (VERDICT r6 asks). */
 class HardeningR7Spec extends SparkSuite {
 
-  test("Registry.tbl(events) leaves session conf untouched and still reads nanos correctly") {
+  test("Registry.tbl(events) normalizes every ts shape to TimestampType, no conf mutation") {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    // Start from a clean session state for the key (getOption then reports
-    // the SQLConf default, "false").
     spark.conf.unset(key)
     val before = spark.conf.get(key)
-    assert(before == "false")
 
+    // Driver testdata shape: TIMESTAMP_NTZ micros → session-zone timestamp.
     val df = Registry.tbl(spark, sfDir, "events")
-    assert(spark.conf.get(key) == before,
-      "tbl must not leak nanosAsLong into the session conf")
-
-    // Execution happens AFTER the conf was restored — the explicit-schema
-    // read must still map INT64(TIMESTAMP NANOS) to long and truncate to µs.
-    val n = df.count()
-    assert(n > 0)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.count() > 0)
     val ts = df.selectExpr("min(ts)", "max(ts)").collect()(0)
     assert(!ts.isNullAt(0) && !ts.isNullAt(1))
-    assert(spark.conf.get(key) == before, "conf must stay clean after execution")
+    assert(spark.conf.get(key) == before, "tbl must not touch session conf")
 
-    // A pre-existing user value must be restored, not clobbered (fresh dir
-    // so the schema cache doesn't short-circuit the inference path).
-    spark.conf.set(key, "false")
-    Registry.tbl(spark, "/root/testdata/sf0.01", "events").count()
-    assert(spark.conf.get(key) == "false")
-    spark.conf.unset(key)
+    // The UTC session makes the NTZ→timestamp cast value-preserving: the
+    // rendered instant must equal the file's naive value read as NTZ.
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("min(cast(ts as string))").collect()(0).getString(0)
+    val normalized = df.selectExpr("min(cast(ts as string))").collect()(0).getString(0)
+    assert(normalized == raw, s"NTZ cast must not shift values: $normalized vs $raw")
+
+    // Legacy pre-r7 scaled shape: raw int64 nanos → µs-truncated timestamp.
+    val legacyDir = tmpDir("graft-legacy-events-")
+    spark.range(3).selectExpr(
+      "id as event_id",
+      "1704067200000000000 + id * 1000000000 + 123456789 as ts", // ns past epoch
+      "id as user_id", "'click' as event_type", "1.0 as value", "'{}' as props")
+      .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+    val legacy = Registry.tbl(spark, legacyDir, "events")
+    assert(legacy.schema("ts").dataType == TimestampType)
+    val first = legacy.orderBy("event_id")
+      .selectExpr("cast(ts as string)").collect()(0).getString(0)
+    assert(first == "2024-01-01 00:00:00.123456", s"ns must truncate to µs, got $first")
+    assert(spark.conf.get(key) == before)
   }
 
   private def lockFs(lakeDir: String) = {
