@@ -1137,6 +1137,87 @@ object TextQueries {
          |t AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY avg_q) AS thr
          |      FROM per_src)
          |SELECT source, n_docs, ROUND(avg_q, 4) AS avg_q, avg_q >= thr AS kept
-         |FROM per_src, t ORDER BY source""".stripMargin))
+         |FROM per_src, t ORDER BY source""".stripMargin)),
+
+    // ---- token-level repeated-span detection (exact-substring dedup, the
+    // suffix-array "ExactSubstr" pass of Lee et al. 2022 re-expressed as
+    // two keyed aggregations): every 10-token window occurring ≥2 times
+    // corpus-wide is flagged and overlapping flags merge into maximal
+    // spans. The planted corpus guarantees real work: exact copies (docs
+    // <20) duplicate every gram, near-dup copies (docs <50) share all but
+    // the trailing-mutation grams — so spans cover whole docs on one side
+    // and stop short of the tail on the other, exercising the merge.
+    Q("q103_repeated_spans", (s, d) =>
+      Dedup.repeatedSpans(withPlanted(s, d), "doc_id", "text", k = 10)
+        .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"))
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(
+        s"""WITH docs AS ($plantedSql),
+           |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 10),
+           |grams AS (SELECT doc_id, CAST(x AS BIGINT) AS p,
+           |          md5(array_to_string(t[x:x+9], ' ')) AS fp
+           |          FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(x)),
+           |dupfp AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2),
+           |isl AS (SELECT doc_id, p,
+           |          CASE WHEN p > LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + 10
+           |               THEN 1 ELSE 0 END AS ns
+           |        FROM grams WHERE fp IN (SELECT fp FROM dupfp)),
+           |spans AS (SELECT doc_id, MIN(p) AS span_start, MAX(p) + 9 AS span_end
+           |          FROM (SELECT doc_id, p,
+           |                  SUM(ns) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           |                FROM isl) t
+           |          GROUP BY doc_id, island)
+           |SELECT doc_id, span_start, span_end,
+           |  span_end - span_start + 1 AS span_tokens
+           |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+      bench = true),
+
+    // ---- repeated-span REMOVAL, keep-first: each duplicated 10-gram keeps
+    // its (id, pos)-first occurrence, every other occurrence's window is
+    // cut, documents reassemble from surviving tokens. clean_text is
+    // md5-compared (q69/q75 pattern) so reassembly — not just counts — is
+    // oracle-exact. Exact copies (docs <20) strip to empty on the copy
+    // side and stay whole on the keeper side; within-doc template repeats
+    // strip all but the first occurrence.
+    Q("q104_strip_repeated_spans", (s, d) =>
+      Dedup.stripRepeatedSpans(withPlanted(s, d), "doc_id", "text", k = 10)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH docs AS ($plantedSql),
+           |toksAll AS (SELECT doc_id, $toksSql AS t FROM docs),
+           |toks AS (SELECT doc_id, t FROM toksAll WHERE len(t) >= 10),
+           |grams AS (SELECT doc_id, CAST(x AS BIGINT) AS p,
+           |          md5(array_to_string(t[x:x+9], ' ')) AS fp
+           |          FROM toks, UNNEST(generate_series(1, len(t) - 9)) AS g(x)),
+           |dupfp AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2),
+           |losers AS (SELECT doc_id, p FROM (
+           |    SELECT doc_id, p,
+           |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
+           |    FROM grams WHERE fp IN (SELECT fp FROM dupfp)) t WHERE rn > 1),
+           |isl AS (SELECT doc_id, p,
+           |          CASE WHEN p > LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + 10
+           |               THEN 1 ELSE 0 END AS ns
+           |        FROM losers),
+           |spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 9 AS e
+           |          FROM (SELECT doc_id, p,
+           |                  SUM(ns) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           |                FROM isl) t
+           |          GROUP BY doc_id, island),
+           |pos AS (SELECT doc_id, CAST(x AS BIGINT) AS i, t[x] AS tok
+           |        FROM toksAll, UNNEST(generate_series(1, len(t))) AS g(x)),
+           |keptpos AS (SELECT p.doc_id, p.i, p.tok FROM pos p
+           |            WHERE NOT EXISTS (SELECT 1 FROM spans s
+           |              WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e)),
+           |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct,
+           |          CAST(COUNT(*) AS BIGINT) AS n_kept
+           |          FROM keptpos GROUP BY doc_id)
+           |SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_tokens,
+           |  CAST(len(a.t) AS BIGINT) - COALESCE(clean.n_kept, 0) AS n_removed,
+           |  md5(COALESCE(clean.ct, '')) AS clean_fp
+           |FROM toksAll a LEFT JOIN clean USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -94,11 +94,23 @@ object VectorQueries {
       val approx = Dedup.embeddingNearDups(aug, "vec_id", "embedding",
         dim = 64, threshold = 0.9)
       val e = toDouble(col("embedding"))
+      // verifier width pin: the probe side otherwise inherits the 1-2
+      // partition parquet scan, so at sf≥1 the all-pairs BNLJ baseline runs
+      // its billions of pairs on 2 threads (observed: the r7 sf3 gate spent
+      // ~1 h here). The verifier is oracle-check-only by design — but it
+      // still has to FINISH at gate scale.
       val a = aug.select(col("vec_id").as("id_a"), e.as("ea"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = aug.select(col("vec_id").as("id_b"), e.as("eb"))
       val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+          cosineSimilarity(col("ea"), col("eb")).as("raw"))
+        // cull before the 4-dp round: round(x,4) ≥ 0.9 ⟺ x ≥ 0.89995, so
+        // raw ≥ 0.8999 keeps a strict superset — survivors get the
+        // identical round+filter, and the per-pair BigDecimal rounding
+        // runs on a sliver of the pair stream instead of all of it
+        .where(col("raw") >= 0.8999)
+        .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos"))
         .where(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"))
       val found = approx.select(col("id_a"), col("id_b"))
@@ -145,11 +157,23 @@ object VectorQueries {
       val approx = Similarity.semanticNearDups(aug, "vec_id", "embedding",
         threshold = 0.9)
       val e = toDouble(col("embedding"))
+      // verifier width pin: the probe side otherwise inherits the 1-2
+      // partition parquet scan, so at sf≥1 the all-pairs BNLJ baseline runs
+      // its billions of pairs on 2 threads (observed: the r7 sf3 gate spent
+      // ~1 h here). The verifier is oracle-check-only by design — but it
+      // still has to FINISH at gate scale.
       val a = aug.select(col("vec_id").as("id_a"), e.as("ea"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = aug.select(col("vec_id").as("id_b"), e.as("eb"))
       val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+          cosineSimilarity(col("ea"), col("eb")).as("raw"))
+        // cull before the 4-dp round: round(x,4) ≥ 0.9 ⟺ x ≥ 0.89995, so
+        // raw ≥ 0.8999 keeps a strict superset — survivors get the
+        // identical round+filter, and the per-pair BigDecimal rounding
+        // runs on a sliver of the pair stream instead of all of it
+        .where(col("raw") >= 0.8999)
+        .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos"))
         .where(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"))
       val found = approx.select(col("id_a"), col("id_b"))
@@ -297,7 +321,13 @@ object VectorQueries {
       val exact = a.join(broadcast(b),
           col("id_a") < col("id_b") && col("id_b") >= 200)
         .select(col("id_a"), col("id_b"),
-          round(cosineSimilarity(col("ea"), col("eb")), 4).as("cos"))
+          cosineSimilarity(col("ea"), col("eb")).as("raw"))
+        // cull before the 4-dp round: round(x,4) ≥ 0.9 ⟺ x ≥ 0.89995, so
+        // raw ≥ 0.8999 keeps a strict superset — survivors get the
+        // identical round+filter, and the per-pair BigDecimal rounding
+        // runs on a sliver of the pair stream instead of all of it
+        .where(col("raw") >= 0.8999)
+        .select(col("id_a"), col("id_b"), round(col("raw"), 4).as("cos"))
         .where(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"))
       val hits = found.join(exact, Seq("id_a", "id_b"), "left_semi")
