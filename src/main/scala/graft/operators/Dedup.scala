@@ -418,6 +418,52 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** NEAR-duplicate decontamination: flag training documents that are
+    * near-copies of benchmark documents even when no verbatim 8-gram survives
+    * (light paraphrase, token-level noise, re-wrapped text) — the fuzzy
+    * tier above [[contamination]]'s exact-gram screen. Cross-corpus
+    * MinHash/LSH: band signatures on BOTH corpora, candidates where any
+    * band collides, exact Jaccard verify on the candidate sliver.
+    *
+    * Scale shape: the benchmark side is eval suites — its band index AND
+    * its shingle arrays broadcast, so the 100 TB training side computes
+    * map-side signatures ([[minhashBandsNarrow]]'s zero-shuffle form) and
+    * probes two broadcast maps: the training corpus never shuffles, same
+    * as the exact tier. Output: (train_id, bench_id, jaccard) for verified
+    * pairs ≥ `threshold` — distinct train_ids are the contamination set;
+    * keeping the bench attribution makes the screen auditable.
+    *
+    * `rowsPerBand` trades candidate volume for recall at LOW Jaccard: a
+    * mutated copy at J≈0.65 collides per band with prob J^rows — 0.42 at
+    * 2 rows vs 0.18 at 4 — and decontamination wants recall (a missed
+    * contaminated doc poisons an eval; a false candidate costs one exact
+    * verify), so the default is 2, not the dedup family's 4.
+    */
+  def nearContamination(train: DataFrame, trainId: String, trainText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 3, k: Int = 16, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val trainArr = shingleArrays(train, trainId, trainText, n)
+    val benchArr = shingleArrays(bench, benchId, benchText, n)
+    val tb = minhashBandsNarrow(trainArr, k, rowsPerBand)
+      .select(col("id").as("train_id"), col("band"), col("band_sig"))
+    val bb = broadcast(minhashBandsNarrow(benchArr, k, rowsPerBand)
+      .select(col("id").as("bench_id"), col("band"), col("band_sig")))
+    val cands = tb.join(bb, Seq("band", "band_sig"))
+      .select(col("train_id"), col("bench_id")).distinct()
+    cands
+      .join(trainArr.select(col("id").as("train_id"), col("sh").as("sh_a")), Seq("train_id"))
+      .join(broadcast(benchArr.select(col("id").as("bench_id"), col("sh").as("sh_b"))),
+        Seq("bench_id"))
+      .select(col("train_id"), col("bench_id"),
+        graft.functions.IntersectSize.intersect_size(col("sh_a"), col("sh_b")).as("common"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .select(col("train_id"), col("bench_id"),
+        (col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** One representative per duplicate cluster by QUALITY policy: the
     * highest-scoring member survives (smallest id on ties) instead of the
     * smallest id — dedup should keep the best copy, not the oldest.

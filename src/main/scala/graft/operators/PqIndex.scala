@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PqFunctions._
+import graft.functions.VectorFunctions._
+
+/** Product-quantized ANN (Jégou et al. 2011) — the memory-bound tier of
+  * the similarity-search family ([[Similarity]] holds the flat/LSH/IVF
+  * tiers).
+  *
+  * Why a fourth tier: at 100 TB the IVF index ([[Similarity.buildIvfIndex]])
+  * still stores FULL vectors in every cell — a probe reads nprobe cells of
+  * 256-byte rows. PQ compresses each vector to `m` bytes (32× at the
+  * defaults for 64-dim float), so the ADC candidate scan touches only the
+  * codes column; exact reranking then fetches full vectors for the
+  * top-(k·refine) sliver only. The scan tier is CODES-ONLY and the
+  * full-vector tier is CANDIDATES-ONLY — the pattern every production ANN
+  * service (FAISS IVFPQ serving, ScaNN) uses to keep the index resident.
+  *
+  * Cosine similarity is served by normalizing both sides once up front
+  * (‖x‖=1 ⇒ inner product = cosine): corpus vectors are normalized before
+  * encoding, queries before table building, so ADC approximates cosine
+  * directly and the exact rerank reproduces [[Similarity.bruteForceKnn]]'s
+  * rounded-rank ordering on the surviving candidates.
+  *
+  * Approximation contract: ADC error comes only from quantization (vector →
+  * nearest sub-centroids); reranking is an exact cosine on raw vectors, so
+  * emitted neighbors carry TRUE similarities — only the candidate CHOICE is
+  * approximate. Recall rises with m, ksub, and refine.
+  */
+object PqIndex {
+
+  /** Deterministic, bounded, corpus-spread fit sample — same discipline as
+    * the IVF quantizer ([[Similarity]] fitSample): global top-maxFitRows by
+    * id-hash, a uniform draw at any corpus scale.
+    */
+  private def fitSample(vec: DataFrame, maxFitRows: Int): DataFrame =
+    vec.orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
+
+  /** Fit per-subspace codebooks on a bounded sample: m independent KMeans
+    * fits (ksub centroids each) over the sample's subvector slices. Few
+    * Lloyd iterations — sub-quantizers need to TILE the subspace, not
+    * converge (the [[Similarity.semanticNearDups]] coarse-quantizer
+    * discipline). Returns the flattened [m][ksub][dsub] codebook array the
+    * [[graft.functions.PqFunctions]] expressions consume.
+    *
+    * `dim` must divide by m. ksub is clamped to the sample size (KMeans
+    * requires k ≤ n; a corpus smaller than ksub quantizes losslessly
+    * anyway). Vectors are normalized BEFORE slicing, so codebooks live in
+    * the same space the ADC inner products assume.
+    */
+  def fitCodebooks(corpus: DataFrame, embCol: String, dim: Int, m: Int,
+      ksub: Int, seed: Long = 42L, maxFitRows: Int = 100000,
+      iters: Int = 8): (Int, Array[Double]) = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val vec = corpus.select(col("id"), l2_normalize(col(embCol)).as("en"))
+    val sample = fitSample(vec, maxFitRows).cache()
+    val n = sample.count()
+    val k = math.min(ksub.toLong, n).toInt
+    require(k >= 1, "empty corpus: nothing to fit PQ codebooks on")
+    val books = new Array[Double](m * k * dsub)
+    (0 until m).foreach { j =>
+      val sliced = sample.select(
+        array_to_vector(slice(col("en"), j * dsub + 1, dsub)).as("__features"))
+      val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(iters)
+        .setFeaturesCol("__features").fit(sliced)
+      model.clusterCenters.zipWithIndex.foreach { case (ctr, c) =>
+        val a = ctr.toArray
+        System.arraycopy(a, 0, books, (j * k + c) * dsub, dsub)
+      }
+    }
+    sample.unpersist()
+    (k, books)
+  }
+
+  /** Attach the m-byte PQ code of the NORMALIZED embedding as `code`.
+    * Map-side, codegen'd, once per corpus version.
+    */
+  def withCode(df: DataFrame, embCol: String, books: Array[Double], m: Int,
+      ksub: Int): DataFrame =
+    df.withColumn("code", withCodeCol(col(embCol), books, m, ksub))
+
+  /** Flat PQ + exact rerank: ADC-scan the whole codes table (m bytes/row),
+    * keep each query's top k·refine by approximate similarity, rerank that
+    * sliver with exact cosine. One corpus pass, no corpus shuffle (queries
+    * broadcast), rerank joins fetch only candidates.
+    */
+  def pqAnn(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      m: Int = 8, ksub: Int = 64, refine: Int = 8, seed: Long = 42L,
+      maxFitRows: Int = 100000): DataFrame = {
+    val c0 = corpus.select(col("id"), col("embedding"))
+    val (kEff, books) = fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
+    val cb = typedLit(books.toSeq)
+    val codes = withCode(c0, "embedding", books, m, kEff)
+      .select(col("id").as("nid"), col("code"))
+    val qTab = broadcast(queries.select(col("qid"),
+      pq_table(l2_normalize(col("embedding")), cb, m, kEff).as("tbl")))
+    val adc = codes.join(qTab)
+      .select(col("qid"), col("nid"), pq_adc(col("code"), col("tbl")).as("adc"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("nid"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= k * refine).select(col("qid"), col("nid"))
+    rerank(cand, queries, corpus, k)
+  }
+
+  /** Exact-cosine rerank of (qid, nid) candidates: fetch full vectors for
+    * the candidate sliver only, reproduce the engine-stable rounded-rank
+    * top-k every ANN path shares.
+    */
+  private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
+      norm2(col("embedding")).as("qn")))
+    val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"),
+      norm2(col("embedding")).as("nn"))
+    // the candidate set is |Q|·k·refine rows — broadcast it so the corpus
+    // side prunes via a broadcast join instead of shuffling
+    val fetched = c.join(broadcast(cand), Seq("nid"))
+    val sims = fetched.join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  /** Build and persist an IVF-PQ index: coarse KMeans cells (the
+    * [[Similarity.buildIvfIndex]] layout) + per-cell PQ codes. Three
+    * artifacts under `indexDir`:
+    *
+    *  - `centroids/` — coarse cell centroids (tiny);
+    *  - `codebooks/` — one row: (m, ksub, flattened PQ codebooks);
+    *  - `codes/` — (nid, code) partitioned by cell: the m-bytes/row scan
+    *    tier;
+    *  - `vectors/` — (nid, ne, nn) partitioned by cell: the rerank tier,
+    *    read only for ADC survivors.
+    *
+    * A serving probe reads nprobe cell directories of CODES (partition
+    * pruning reaches the file listing), then the same cells' vectors
+    * filtered to candidates.
+    */
+  def buildPqIvfIndex(corpus: DataFrame, indexDir: String, dim: Int,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      maxFitRows: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col("id"), col("embedding"))
+    val (kEff, books) = fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
+    val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
+    val coarse = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .fit(fitSample(cVec, maxFitRows))
+    val assigned = coarse.transform(cVec)
+      .withColumn("code", withCodeCol(col("embedding"), books, m, kEff))
+      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
+        norm2(toDouble(col("embedding"))).as("nn"),
+        col("code"), col(coarse.getPredictionCol).as("cell"))
+      .cache()
+    assigned.select(col("nid"), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    assigned.select(col("nid"), col("ne"), col("nn"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    assigned.unpersist()
+    val centroids = coarse.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      (i, ctr.toArray.toSeq)
+    }.toSeq
+    spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    spark.createDataFrame(Seq((m, kEff, books.toSeq)))
+      .toDF("m", "ksub", "books")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  private def withCodeCol(emb: org.apache.spark.sql.Column, books: Array[Double],
+      m: Int, ksub: Int): org.apache.spark.sql.Column =
+    pq_encode(l2_normalize(emb), typedLit(books.toSeq), m, ksub)
+
+  /** Serve a query batch from a [[buildPqIvfIndex]] index: rank centroids,
+    * partition-pruned read of the probed cells' CODES, ADC top-(k·refine),
+    * then a partition-pruned read of the same cells' vectors for the exact
+    * rerank. The serving contract mirrors [[Similarity.ivfIndexQuery]]:
+    * the probe plan's |Q|·nprobe rows are collected once to drive pruning.
+    */
+  def pqIvfQuery(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4, refine: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val meta = spark.read.parquet(s"$indexDir/codebooks").head()
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val books = meta.getAs[scala.collection.Seq[Double]]("books").toArray
+    val cb = typedLit(books.toSeq)
+    val qe0 = toDouble(col("embedding"))
+    val qe = queries.select(col("qid"), qe0.as("qe"), norm2(qe0).as("qn"),
+      pq_table(l2_normalize(col("embedding")), cb, m, ksub).as("tbl"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+    val probePlan = qe.crossJoin(centDf)
+      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("tbl"), col("cell"))
+    val probeRows = probePlan.collect().toSeq
+    val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows), probePlan.schema)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .where(col("cell").isin(cells: _*))
+    val adc = codes.join(broadcast(probes.select(col("qid"), col("tbl"), col("cell"))),
+        Seq("cell"))
+      .select(col("qid"), col("nid"), pq_adc(col("code"), col("tbl")).as("adc"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= k * refine).select(col("qid"), col("nid"))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+      .where(col("cell").isin(cells: _*))
+      .join(broadcast(cand), Seq("nid"))
+    val q = broadcast(probes.select(col("qid"), col("qe"), col("qn")).distinct())
+    val sims = vectors.join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+}

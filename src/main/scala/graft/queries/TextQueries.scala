@@ -602,6 +602,38 @@ object TextQueries {
          |FROM tsh a JOIN bsh b USING (shingle)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- NEAR-duplicate decontamination: the fuzzy tier above q68's
+    // exact-gram screen — a paraphrased/mutated copy of an eval doc shares
+    // few verbatim 8-grams but keeps high 3-gram Jaccard. Contract (the
+    // q102 pattern): 20 bench docs are planted back into training with a
+    // deterministic token mutation (every 20th token replaced ⇒ ~85% of
+    // 3-gram windows survive ⇒ J ≈ 0.74, far above the 0.5 verify
+    // threshold yet with ZERO shared 8-grams around each mutation site);
+    // the oracle needs only the planted count — recall ≥80% of planted
+    // copies flagged, containment by construction (the verify is an exact
+    // Jaccard, so min over emitted pairs clears the threshold).
+    Q("q107_near_decontamination", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 20)
+      val planted = bench.select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          (w, i) => when(i % 20 === 7, lit("zq")).otherwise(w)), " ").as("text"))
+      val train = docs.filter(col("doc_id") >= 20).unionByName(planted)
+      val flagged = Dedup.nearContamination(train, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, k = 16, rowsPerBand = 2, threshold = 0.5)
+      val hits = flagged.select(col("train_id")).distinct()
+        .where(col("train_id") >= 20000000L)
+      bench.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(flagged.agg(coalesce(min(col("jaccard")), lit(1.0)).as("min_j")))
+        .select(col("n_planted"),
+          (col("n_hit") >= lit(0.8) * col("n_planted")).as("recall_ok"),
+          (col("min_j") >= 0.5).as("containment_ok"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |  TRUE AS recall_ok, TRUE AS containment_ok
+        |FROM documents WHERE doc_id < 20""".stripMargin)),
+
     // ---- bloom-tier decontamination: same planted scenario and the SAME
     // oracle as q68 — the bloom prefilter (distributed sketch build,
     // map-side zero-shuffle probe over the corpus) may only change which

@@ -284,6 +284,46 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle), bench = true),
 
+    // ---- product-quantized ANN (flat): the memory-bound tier — the
+    // candidate scan reads m-byte PQ codes (32× smaller than the raw
+    // vectors at these defaults), ADC ranks via m table lookups per pair,
+    // and only the top-(k·refine) sliver is reranked with exact cosine.
+    // Same machine-checked recall contract as the other ANN tiers.
+    Q("q105_pq_ann", (s, d) => {
+      import graft.operators.PqIndex
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val approx = PqIndex.pqAnn(queries, corpus, k = 5, dim = 64,
+        m = 8, ksub = 64, refine = 8)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
+    // ---- PERSISTED IVF-PQ index (q100's layout + q105's compression):
+    // codes and vectors land partitioned by coarse cell; a serving probe
+    // reads nprobe cells of CODES (partition-pruned), ADC-ranks, and
+    // fetches full vectors only for ADC survivors. The 100 TB serving
+    // pattern: the scan tier is m bytes/row and cache-resident, the
+    // full-vector tier is touched O(|Q|·k·refine) rows per batch.
+    Q("q106_pq_ivf_index", (s, d) => {
+      import graft.operators.PqIndex
+      val base = Registry.tmpDir("graft-q106-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      PqIndex.buildPqIvfIndex(corpus, s"$base/index", dim = 64, nlist = 8,
+        m = 8, ksub = 64)
+      val approx = PqIndex.pqIvfQuery(queries, s"$base/index", k = 5,
+        nprobe = 3, refine = 8)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
     // ---- streaming embedding near-dup against an ACCUMULATING sign-LSH
     // index (q79's vector counterpart): batches are bucketed map-side with
     // the deterministic hyperplanes (no model state), probed against every

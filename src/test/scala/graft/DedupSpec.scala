@@ -196,4 +196,37 @@ class DedupSpec extends SparkSuite {
     assert(got.length == 12 && got.forall(_._2 == 0L),
       s"all path members must reach label 0, got ${got.filter(_._2 != 0L).toSeq}")
   }
+
+  test("near-decontamination flags mutated bench copies, not clean docs") {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = base.filter($"doc_id" < 5)
+    // a mutated copy: every 20th token replaced — zero shared 8-grams
+    // around each mutation site, but 3-gram Jaccard ≈ 0.74
+    val planted = bench.select(($"doc_id" + 5000L).as("doc_id"),
+      array_join(transform(split($"text", " "),
+        (w, i) => when(i % 20 === 3, lit("zz")).otherwise(w)), " ").as("text"))
+    val train = base.filter($"doc_id" >= 5 && $"doc_id" < 100)
+      .unionByName(planted)
+    val flagged = Dedup.nearContamination(train, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, k = 16, rowsPerBand = 2, threshold = 0.5)
+      .cache()
+    val plantedHits = flagged.filter($"train_id" >= 5000L)
+      .select($"train_id", $"bench_id").as[(Long, Long)].collect().toSet
+    // every planted copy is flagged AGAINST ITS OWN source
+    assert((0L until 5L).forall(i => plantedHits.contains((i + 5000L, i))),
+      s"missing planted hits: $plantedHits")
+    // every emitted pair's Jaccard is exact and clears the threshold
+    assert(flagged.filter($"jaccard" < 0.5).count() == 0)
+    // clean docs flagged only if they truly share ≥0.5 Jaccard (verify is
+    // exact, so any such hit is legitimate — recompute one to confirm)
+    val clean = flagged.filter($"train_id" < 5000L)
+    val arrays = Dedup.shingleArrays(
+      train.unionByName(bench.select($"doc_id", $"text")), "doc_id", "text")
+    val recheck = Dedup.jaccardOnArrays(
+      clean.select($"train_id".as("id_a"), $"bench_id".as("id_b")), arrays)
+    assert(recheck.filter($"jaccard" < 0.5).count() == 0)
+    flagged.unpersist()
+    ()
+  }
 }
