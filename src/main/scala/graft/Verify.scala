@@ -19,10 +19,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // one retry: transient task failures (a spurious TASK_WRITE_FAILED
+      // under load) must not zero a query's correctness entry — a retry
+      // rebuilds the plan from scratch, so only deterministic failures
+      // survive to the report
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed (retrying): ${e1.getMessage}")
+        try attempt()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -39,7 +39,30 @@ object CorpusPipeline {
       // fold: per-document shingling + minhash are CPU-per-row bound, so
       // at small data volumes (or after a highly-selective quality gate)
       // coalescing-to-bytes serializes exactly the expensive stage.
-      parallelism: Option[Int] = None)
+      parallelism: Option[Int] = None,
+      // Production guard for template-spam floods: a family of documents
+      // with MODERATE mutual similarity (boilerplate pages, mirrored
+      // templates — or, in the scaled synthetic instances, cross-replica
+      // siblings at J≈0.25) collapses into shared LSH buckets, and the
+      // within-bucket pair join goes quadratic in family size while the
+      // verify stage fetches shingle arrays for every pair (measured at
+      // 100× replication: 39× shuffle per data decade, 20 GB spill).
+      // Some(cap) skips buckets larger than cap ([[Dedup.lshCandidates]]
+      // semantics: flooded docs keep k-band chances in their smaller
+      // buckets, and truly-near pairs share most bands). None = exact
+      // candidate recall, the oracle-checked default.
+      maxBucketSize: Option[Int] = None,
+      // Production guard for verify-stage VOLUME: the Jaccard verify
+      // fetches both docs' shingle arrays per candidate pair, so a doc in
+      // p pairs ships its array p times — with raw 3-gram STRINGS (~40 B
+      // each) that is the dominant shuffle at scale (measured at 100×
+      // replication: 7.4 GB shuffle / 20 GB spill for the verify alone).
+      // true hashes each shingle to a 64-bit fingerprint first: 8 B per
+      // element, and the intersect runs on Spark's primitive hash-set
+      // fast path. Jaccard over distinct fingerprint sets equals Jaccard
+      // over the shingle sets up to 2^-64 collisions — immaterial, but
+      // not BIT-exact, so the oracle-checked default stays on strings.
+      fingerprintVerify: Boolean = false)
 
   /** Annotate each doc with pipeline verdicts. Output columns:
     * doc_id, text, quality, lang_pred, n_tokens, reject_reason (null = kept).
@@ -84,8 +107,12 @@ object CorpusPipeline {
       .map(p => sur0.repartition(p, col("doc_id"))).getOrElse(sur0)
     val arrays = Dedup.shingleArrays(survivors, "doc_id", "text", n = 3)
     val candidates = Dedup.lshCandidates(
-      Dedup.minhashBandsNarrow(arrays, cfg.minhashK, cfg.rowsPerBand))
-    val nearPairs = Dedup.jaccardOnArrays(candidates, arrays)
+      Dedup.minhashBandsNarrow(arrays, cfg.minhashK, cfg.rowsPerBand),
+      cfg.maxBucketSize)
+    val verifyArrays = if (cfg.fingerprintVerify)
+      arrays.select(col("id"), transform(col("sh"), x => xxhash64(x)).as("sh"))
+    else arrays
+    val nearPairs = Dedup.jaccardOnArrays(candidates, verifyArrays)
       .where(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("__near_dup", lit(true))

@@ -183,15 +183,28 @@ object Dedup {
     * same number but Spark's string-array intersect is a nested O(|a|·|b|)
     * scan — measured ~20× slower on the sf1 verify stage.)
     */
-  def jaccardOnArrays(pairs: DataFrame, arrays: DataFrame): DataFrame =
+  def jaccardOnArrays(pairs: DataFrame, arrays: DataFrame): DataFrame = {
+    // string arrays → the native IntersectSize (Spark's string
+    // array_intersect is a nested scan); primitive arrays (the
+    // fingerprint-verify tier) → builtin array_intersect, which has the
+    // hash-set fast path for primitives
+    val isString = arrays.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    def common(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (isString) graft.functions.IntersectSize.intersect_size(a, b)
+      else size(array_intersect(a, b))
     pairs
       .join(arrays.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(arrays.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.IntersectSize.intersect_size(col("sh_a"), col("sh_b")).as("common"),
+        common(col("sh_a"), col("sh_b")).as("common"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+  }
 
   /** Embedding-cosine near-duplicate pairs — the vector-space twin of
     * MinHash dedup, routed through sign-hyperplane LSH buckets so the pair

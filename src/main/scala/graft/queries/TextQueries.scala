@@ -63,6 +63,47 @@ object TextQueries {
        |   WHEN len(list_filter($toksSql, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], t))) >= len(list_filter($toksSql, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) THEN 'de'
        |   ELSE 'fr' END)""".stripMargin
 
+  /** Oracle for the corpus pipeline (q47 exact mode and q108 capped
+    * mode share it: at oracle SFs no LSH bucket approaches the cap, so
+    * both modes produce identical verdict summaries). */
+  private[queries] lazy val corpusPipelineOracle =
+    s"""WITH docs AS ($plantedSql),
+       |base AS (SELECT doc_id, text, ROUND($qualitySql, 4) AS quality,
+       |  $langIdSql AS lang_pred, len($toksSql) AS n_tokens,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs),
+       |we AS (SELECT base.*, doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS exact_dup FROM base),
+       |survivors AS (SELECT doc_id, text FROM we WHERE NOT exact_dup),
+       |toks AS (SELECT doc_id, $toksSql AS t FROM survivors WHERE len($toksSql) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
+       |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
+       |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
+       |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+       |        GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
+       |          FROM sig GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+       |         WHERE a.doc_id < b.doc_id),
+       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+       |           GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT id_b AS doc_id FROM common
+       |         JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+       |         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
+       |verdicts AS (SELECT we.quality,
+       |  CASE WHEN quality < 0.5 THEN 'low_quality'
+       |       WHEN n_tokens < 5 THEN 'too_short'
+       |       WHEN lang_pred <> 'en' THEN 'wrong_lang'
+       |       WHEN exact_dup THEN 'exact_dup'
+       |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |  FROM we LEFT JOIN near ON we.doc_id = near.doc_id)
+       |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(AVG(quality), 4) AS avg_quality
+       |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- per-document stats: chars, tokens, bpe-ish tokens, punct ratio
@@ -338,44 +379,24 @@ object TextQueries {
           // and serializes the CPU-bound md5/ngram stages (measured 2×)
           graft.operators.CorpusPipeline.Config(
             parallelism = Some(s.sparkContext.defaultParallelism)))),
-      Some(
-        s"""WITH docs AS ($plantedSql),
-           |base AS (SELECT doc_id, text, ROUND($qualitySql, 4) AS quality,
-           |  $langIdSql AS lang_pred, len($toksSql) AS n_tokens,
-           |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs),
-           |we AS (SELECT base.*, doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS exact_dup FROM base),
-           |survivors AS (SELECT doc_id, text FROM we WHERE NOT exact_dup),
-           |toks AS (SELECT doc_id, $toksSql AS t FROM survivors WHERE len($toksSql) >= 3),
-           |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle
-           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(x)),
-           |sig AS (SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS minhash
-           |        FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
-           |        GROUP BY doc_id, i),
-           |bands AS (SELECT doc_id, i // 2 AS band, md5(string_agg(minhash, ',' ORDER BY i)) AS band_sig
-           |          FROM sig GROUP BY doc_id, band),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-           |         WHERE a.doc_id < b.doc_id),
-           |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-           |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-           |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           |           JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
-           |           GROUP BY 1, 2),
-           |near AS (SELECT DISTINCT id_b AS doc_id FROM common
-           |         JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
-           |         WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5),
-           |verdicts AS (SELECT we.quality,
-           |  CASE WHEN quality < 0.5 THEN 'low_quality'
-           |       WHEN n_tokens < 5 THEN 'too_short'
-           |       WHEN lang_pred <> 'en' THEN 'wrong_lang'
-           |       WHEN exact_dup THEN 'exact_dup'
-           |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
-           |       ELSE 'kept' END AS verdict
-           |  FROM we LEFT JOIN near ON we.doc_id = near.doc_id)
-           |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
-           |  ROUND(AVG(quality), 4) AS avg_quality
-           |FROM verdicts GROUP BY verdict ORDER BY verdict""".stripMargin),
-      bench = true),
+      Some(corpusPipelineOracle), bench = true),
+
+    // ---- the SAME pipeline in its production shape: LSH buckets larger
+    // than 64 docs are skipped before the pair join (template-spam guard —
+    // a family of moderately-similar boilerplate collapses into shared
+    // buckets and the within-bucket join goes quadratic in family size;
+    // the scaled instances reproduce this with cross-replica siblings at
+    // J≈0.25, measured 39× shuffle per data decade uncapped). At oracle
+    // SFs no bucket approaches the cap, so the answer — and the oracle —
+    // is IDENTICAL to q47's exact mode; at sf10 the cap restores linear
+    // cost. Benched so the two modes' divergence is visible per round.
+    Q("q108_corpus_pipeline_capped", (s, d) =>
+      graft.operators.CorpusPipeline.auditSummary(
+        graft.operators.CorpusPipeline.annotate(withPlanted(s, d),
+          graft.operators.CorpusPipeline.Config(
+            parallelism = Some(s.sparkContext.defaultParallelism),
+            maxBucketSize = Some(64), fingerprintVerify = true))),
+      Some(corpusPipelineOracle), bench = true),
 
     // ---- deterministic train/val/test split assignment: membership is a
     // pure function of the doc id (md5 bucket vs hex threshold), so the
