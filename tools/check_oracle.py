@@ -26,12 +26,19 @@ for t in "region nation customer supplier part orders lineitem events documents 
                     f"FROM '{p}{'/*.parquet' if os.path.isdir(p) else ''}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Optional third arg: comma-separated name prefixes — triage mode for big
+# scale instances where a full DuckDB pass is hours (the O(N^2) verifier
+# oracles dominate); e.g. `check_oracle.py data/sf3 out q47,q70,q99`.
+only = sys.argv[3].split(',') if len(sys.argv) > 3 else None
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
+    if only is not None and not any(name.startswith(p) for p in only):
+        continue
     spark_dir = f"{outdir}/{name}"
     files = glob.glob(f"{spark_dir}/*.parquet")
     if not files:
         fails.append((name, "no spark output")); continue
+    print(f"[check] {name} ...", file=sys.stderr, flush=True)
     try:
         got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
         want = con.sql(sql).df()
