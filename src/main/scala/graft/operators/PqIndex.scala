@@ -45,17 +45,28 @@ object PqIndex {
     * fits (ksub centroids each) over the sample's subvector slices. Few
     * Lloyd iterations — sub-quantizers need to TILE the subspace, not
     * converge (the [[Similarity.semanticNearDups]] coarse-quantizer
-    * discipline). Returns the flattened [m][ksub][dsub] codebook array the
-    * [[graft.functions.PqFunctions]] expressions consume.
+    * discipline). Returns the effective ksub, the flattened [m][ksub][dsub]
+    * codebook array the [[graft.functions.PqFunctions]] expressions
+    * consume, and the measured DISTORTION BAND (below).
     *
     * `dim` must divide by m. ksub is clamped to the sample size (KMeans
     * requires k ≤ n; a corpus smaller than ksub quantizes losslessly
     * anyway). Vectors are normalized BEFORE slicing, so codebooks live in
     * the same space the ADC inner products assume.
+    *
+    * The band is the p95 of √max(0, 1 − ⟨y, ŷ⟩) over the fit sample
+    * (ŷ = decode(encode(y))): with y normalized and the residual r = y − ŷ
+    * near-orthogonal to ŷ (Lloyd centroids), 1 − ⟨y, ŷ⟩ ≈ ‖r‖², so the
+    * band estimates ‖r‖ — and the ADC error on ANY (query, candidate) pair
+    * is |⟨q, r⟩| ≤ ‖r‖. Candidate cuts use it as the score resolution
+    * limit: two candidates whose ADC scores differ by less than the band
+    * are indistinguishable to the scan tier and BOTH belong in the exact
+    * rerank. Computed in the same bounded-sample pass as the fit (one
+    * extra aggregation, ≤ maxFitRows rows).
     */
   def fitCodebooks(corpus: DataFrame, embCol: String, dim: Int, m: Int,
       ksub: Int, seed: Long = 42L, maxFitRows: Int = 100000,
-      iters: Int = 8): (Int, Array[Double]) = {
+      iters: Int = 8): (Int, Array[Double], Double) = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val dsub = dim / m
     val vec = corpus.select(col("id"), l2_normalize(col(embCol)).as("en"))
@@ -74,8 +85,40 @@ object PqIndex {
         System.arraycopy(a, 0, books, (j * k + c) * dsub, dsub)
       }
     }
+    val cb = typedLit(books.toSeq)
+    val band = sample
+      .select(pq_adc(pq_encode(col("en"), cb, m, k),
+        pq_table(col("en"), cb, m, k)).as("selfAdc"))
+      .select(percentile_approx(
+        sqrt(greatest(lit(0.0), lit(1.0) - col("selfAdc"))),
+        lit(0.95), lit(10000)).as("band"))
+      .head().getDouble(0)
     sample.unpersist()
-    (k, books)
+    (k, books, band)
+  }
+
+  /** Band-adaptive candidate cut shared by the flat and IVF-PQ serve
+    * paths: rank by ADC, find each query's boundary score at rank
+    * k·refine, then keep EVERY candidate within `band` of that boundary
+    * (they are inside the scan tier's score resolution — the exact rerank
+    * must see them or recall silently decays as confusable-cluster sizes
+    * outgrow a fixed cut; a 100-replica near-dup cluster vs a 40-row cut
+    * is exactly the sf10 failure this prevents). `bandCap` bounds the
+    * worst case — a degenerate quantizer (band ≈ corpus score spread)
+    * degrades to a bigger-but-bounded rerank, never an all-pairs one.
+    * Single sort: the boundary min reuses the rank window's partitioning.
+    */
+  private def bandCut(adc: DataFrame, k: Int, refine: Int, band: Double,
+      bandCap: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("nid"))
+    val wQ = Window.partitionBy(col("qid"))
+    adc.withColumn("rn", row_number().over(wAdc))
+      .withColumn("badc",
+        min(when(col("rn") <= k * refine, col("adc"))).over(wQ))
+      .where(col("rn") <= k * refine * bandCap &&
+        col("adc") >= col("badc") - band)
+      .select(col("qid"), col("nid"))
   }
 
   /** Attach the m-byte PQ code of the NORMALIZED embedding as `code`.
@@ -92,9 +135,10 @@ object PqIndex {
     */
   def pqAnn(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       m: Int = 8, ksub: Int = 64, refine: Int = 8, seed: Long = 42L,
-      maxFitRows: Int = 100000): DataFrame = {
+      maxFitRows: Int = 100000, bandCap: Int = 32): DataFrame = {
     val c0 = corpus.select(col("id"), col("embedding"))
-    val (kEff, books) = fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
+    val (kEff, books, band) =
+      fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
     val cb = typedLit(books.toSeq)
     val codes = withCode(c0, "embedding", books, m, kEff)
       .select(col("id").as("nid"), col("code"))
@@ -102,11 +146,7 @@ object PqIndex {
       pq_table(l2_normalize(col("embedding")), cb, m, kEff).as("tbl")))
     val adc = codes.join(qTab)
       .select(col("qid"), col("nid"), pq_adc(col("code"), col("tbl")).as("adc"))
-    val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("nid"))
-    val cand = adc.withColumn("rn", row_number().over(wAdc))
-      .where(col("rn") <= k * refine).select(col("qid"), col("nid"))
-    rerank(cand, queries, corpus, k)
+    rerank(bandCut(adc, k, refine, band, bandCap), queries, corpus, k)
   }
 
   /** Exact-cosine rerank of (qid, nid) candidates: fetch full vectors for
@@ -150,7 +190,8 @@ object PqIndex {
       maxFitRows: Int = 100000): Unit = {
     val spark = corpus.sparkSession
     val c0 = corpus.select(col("id"), col("embedding"))
-    val (kEff, books) = fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
+    val (kEff, books, band) =
+      fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
     val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
     val coarse = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSample(cVec, maxFitRows))
@@ -170,8 +211,12 @@ object PqIndex {
     }.toSeq
     spark.createDataFrame(centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    spark.createDataFrame(Seq((m, kEff, books.toSeq)))
-      .toDF("m", "ksub", "books")
+    // the distortion band is an index-build-time property (a function of
+    // the codebooks and the corpus they were fit on) — persist it with the
+    // codebooks so every serve call applies the same resolution limit
+    // without touching the corpus
+    spark.createDataFrame(Seq((m, kEff, books.toSeq, band)))
+      .toDF("m", "ksub", "books", "band")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
@@ -186,12 +231,13 @@ object PqIndex {
     * the probe plan's |Q|·nprobe rows are collected once to drive pruning.
     */
   def pqIvfQuery(queries: DataFrame, indexDir: String, k: Int,
-      nprobe: Int = 4, refine: Int = 8): DataFrame = {
+      nprobe: Int = 4, refine: Int = 8, bandCap: Int = 32): DataFrame = {
     val spark = queries.sparkSession
     val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val meta = spark.read.parquet(s"$indexDir/codebooks").head()
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
+    val band = meta.getAs[Double]("band")
     val books = meta.getAs[scala.collection.Seq[Double]]("books").toArray
     val cb = typedLit(books.toSeq)
     val qe0 = toDouble(col("embedding"))
@@ -212,9 +258,7 @@ object PqIndex {
     val adc = codes.join(broadcast(probes.select(col("qid"), col("tbl"), col("cell"))),
         Seq("cell"))
       .select(col("qid"), col("nid"), pq_adc(col("code"), col("tbl")).as("adc"))
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
-    val cand = adc.withColumn("rn", row_number().over(wAdc))
-      .where(col("rn") <= k * refine).select(col("qid"), col("nid"))
+    val cand = bandCut(adc, k, refine, band, bandCap)
     val vectors = spark.read.parquet(s"$indexDir/vectors")
       .where(col("cell").isin(cells: _*))
       .join(broadcast(cand), Seq("nid"))

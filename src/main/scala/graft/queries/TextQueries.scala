@@ -9,9 +9,16 @@ import graft.queries.Registry.tbl
 /** Training-data text operators over `documents`: stats/quality/language-ID/
   * token counting, exact dedup, n-gram Jaccard, MinHash+LSH, SimHash.
   *
-  * Near-dup queries plant mutated copies of the first docs (id+100000,
+  * Near-dup queries plant mutated copies of the first docs (id + 10⁹,
   * text ‖ " extra words...") so the pair-finding path is exercised with a
   * known non-empty answer — the same planting is mirrored in the oracle SQL.
+  * The offset sits far above any test corpus's id range: the first sf3 gate
+  * caught planted ids at +100000 COLLIDING with real documents once the
+  * corpus passed 100k rows — DuckDB's GROUP BY doc_id then merged a planted
+  * doc's shingles with an unrelated real doc's, while the map-side
+  * per-document signatures kept them separate, so q34 jaccard values and
+  * q35/q36 row counts silently diverged at 30× even though both engines
+  * were internally consistent.
   */
 object TextQueries {
 
@@ -22,20 +29,20 @@ object TextQueries {
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" graft extra trailing words")).as("text")))
       .unionByName(
         docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
   }
 
   private[queries] val plantedSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 100000 AS doc_id, text || ' graft extra trailing words' AS text
+      |SELECT doc_id + 1000000000 AS doc_id, text || ' graft extra trailing words' AS text
       |FROM documents WHERE doc_id < 50
       |UNION ALL
-      |SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 20""".stripMargin
+      |SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id < 20""".stripMargin
 
   /** Token list SQL (mirror of TextFunctions.tokens). */
   private[queries] val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -242,7 +249,7 @@ object TextQueries {
       val fps = SimHash.fingerprints(planted, "doc_id", "text")
       val bits = SimHash.fingerprintBits(planted, "doc_id", "text")
       val pairs = tbl(s, d, "documents").filter(col("doc_id") < 50)
-        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000000L).as("id_b"))
       SimHash.hammingOnPairs(pairs, bits)
         .join(fps.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "simhash_a"), Seq("id_a"))
         .select(col("id_a"), col("id_b"), col("simhash_a"), col("hamming"))
@@ -260,11 +267,11 @@ object TextQueries {
          |fp AS (SELECT doc_id, bitpos, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS simbit FROM votes),
          |hashes AS (SELECT doc_id, CAST(SUM(CAST(simbit AS DOUBLE) * power(2.0, bitpos)) AS BIGINT) AS simhash
          |           FROM fp GROUP BY doc_id)
-         |SELECT a.doc_id AS id_a, a.doc_id + 100000 AS id_b, ha.simhash AS simhash_a,
+         |SELECT a.doc_id AS id_a, a.doc_id + 1000000000 AS id_b, ha.simhash AS simhash_a,
          |  CAST(SUM(CASE WHEN fa.simbit <> fb.simbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a
          |JOIN fp fa ON fa.doc_id = a.doc_id
-         |JOIN fp fb ON fb.doc_id = a.doc_id + 100000 AND fb.bitpos = fa.bitpos
+         |JOIN fp fb ON fb.doc_id = a.doc_id + 1000000000 AND fb.bitpos = fa.bitpos
          |JOIN hashes ha ON ha.doc_id = a.doc_id
          |GROUP BY a.doc_id, ha.simhash ORDER BY id_a""".stripMargin)),
 
@@ -316,7 +323,7 @@ object TextQueries {
     Q("q48_repetition_ratio", (s, d) => {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val repeaty = docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 300000).as("doc_id"),
+        .select((col("doc_id") + 3000000000L).as("doc_id"),
           concat_ws(" ", flatten(array_repeat(
             slice(graft.functions.TextFunctions.tokens(col("text")), 1, 10), 10))).as("text"))
       docs.unionByName(repeaty)
@@ -328,7 +335,7 @@ object TextQueries {
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 300000 AS doc_id,
+         |  SELECT doc_id + 3000000000 AS doc_id,
          |    array_to_string(flatten([list_slice($toksSql, 1, 10) FOR i IN generate_series(1, 10)]), ' ') AS text
          |  FROM documents WHERE doc_id < 10),
          |grams AS (SELECT doc_id, len($toksSql) AS n,
@@ -492,12 +499,12 @@ object TextQueries {
       val corpus = docs.where(col("doc_id") < 300)
       val incoming = docs.where(col("doc_id") >= 300 && col("doc_id") < 450)
         .unionByName(docs.where(col("doc_id") < 10) // exact copies → known_dup
-          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 5000000000L).as("doc_id"), col("text")))
         .unionByName(docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
-          .select((col("doc_id") + 600000).as("doc_id"), // near variants → near pairs
+          .select((col("doc_id") + 6000000000L).as("doc_id"), // near variants → near pairs
             concat(col("text"), lit(" incremental near variant")).as("text")))
         .unionByName(docs.where(col("doc_id") === 300) // in-batch duplicate → batch_dup
-          .select((col("doc_id") + 700000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 7000000000L).as("doc_id"), col("text")))
       val exact = Dedup.incrementalExact(incoming, "doc_id", "text",
         corpus.select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
       val near = Dedup.incrementalNearDups(
@@ -513,10 +520,10 @@ object TextQueries {
       s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
          |incoming AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 450
-         |  UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 10
-         |  UNION ALL SELECT doc_id + 600000 AS doc_id, text || ' incremental near variant' AS text
+         |  UNION ALL SELECT doc_id + 5000000000 AS doc_id, text FROM documents WHERE doc_id < 10
+         |  UNION ALL SELECT doc_id + 6000000000 AS doc_id, text || ' incremental near variant' AS text
          |    FROM documents WHERE doc_id >= 10 AND doc_id < 20
-         |  UNION ALL SELECT doc_id + 700000 AS doc_id, text FROM documents WHERE doc_id = 300),
+         |  UNION ALL SELECT doc_id + 7000000000 AS doc_id, text FROM documents WHERE doc_id = 300),
          |fps AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM incoming),
          |cfps AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM corpus),
          |exact AS (SELECT fps.doc_id,
@@ -1120,7 +1127,7 @@ object TextQueries {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.unionByName(
         docs.filter(col("doc_id") < 40)
-          .select((col("doc_id") + 300000).as("doc_id"),
+          .select((col("doc_id") + 3000000000L).as("doc_id"),
             substring(col("text"), 1, 150).as("text")))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // width pin: see q70
       val arrays = graft.operators.Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
@@ -1137,7 +1144,7 @@ object TextQueries {
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 300000 AS doc_id, substr(text, 1, 150) AS text
+         |  SELECT doc_id + 3000000000 AS doc_id, substr(text, 1, 150) AS text
          |  FROM documents WHERE doc_id < 40),
          |toks AS (SELECT doc_id, $toksSql AS t FROM docs WHERE len($toksSql) >= 3),
          |sh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] AS shingle

@@ -123,5 +123,36 @@ class PqSpec extends SparkSuite {
     // must be unprobed for 10 spread queries to actually prune — weaker
     // but deterministic: result count is exactly |Q|·k when corpus ≫ k
     assert(approx.groupBy($"qid").count().select(max($"count")).head().getLong(0) <= 5)
+    // the distortion band is an index-build artifact: persisted with the
+    // codebooks, strictly positive on a lossy quantizer
+    val meta = spark.read.parquet(s"$base/index/codebooks").head()
+    assert(meta.getAs[Double]("band") > 0.0)
+  }
+
+  test("band-adaptive rerank: recall survives a confusable cluster larger than k·refine") {
+    // The sf10 scale failure mode, reproduced small: one source vector with
+    // 150 near-identical replicas (mutual cosine ≥ 0.99) in a corpus whose
+    // other vectors are far away. The true top-5 are 5 of the 150; ADC
+    // quantization error swamps the within-cluster score differences, so a
+    // FIXED cut at k·refine = 40 candidates keeps an arbitrary 40 of the
+    // 150 and recall collapses toward 40/150. The band cut must widen the
+    // rerank to cover the whole ADC-confusable cluster.
+    val rnd = new scala.util.Random(7)
+    def randVec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val baseVec = randVec()
+    val replicas = (0 until 150).map { i =>
+      (1000L + i, baseVec.map(v => v + rnd.nextGaussian().toFloat * 0.02f).toSeq)
+    }
+    val background = (0 until 2000).map(i => (2000L + i, randVec().toSeq))
+    val corpus = (replicas ++ background).toDF("id", "embedding")
+    val queries = Seq((0L, baseVec.toSeq)).toDF("qid", "embedding")
+    val approx = PqIndex.pqAnn(queries, corpus, k = 5, dim = 64,
+      m = 8, ksub = 64, refine = 8)
+    val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+    val hits = approx.select($"qid", $"nid")
+      .join(exact.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi").count()
+    assert(hits >= 4, s"banded recall ${hits / 5.0} < 0.8 on the confusable cluster")
+    // and the cut stays BOUNDED: exactly k rows come back per query
+    assert(approx.count() == 5)
   }
 }
