@@ -157,8 +157,38 @@ object Bench {
       (-1.0, Seq(-1.0), RunMetrics(0, 0, 0))
     }
 
-    val all = if (deliverSec._1 == -2.0) results
+    // PQ serving latency as an INDEX, not a pipeline (r7 verdict ask #7):
+    // q105/q106 time build+fit+serve together; the serving claim (codes
+    // scan memory-resident, m table lookups per pair, partition-pruned
+    // cell reads) deserves its own number. Build the IVF-PQ index once
+    // (setup, untimed), then apply the same robust-median policy to
+    // repeated query batches against it.
+    val pqServe = if (only.exists(!_.exists("pq_ivf_serve".startsWith(_))))
+      (-2.0, Seq.empty[Double], RunMetrics(0, 0, 0))
+    else try {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.where(col("vec_id") >= 100)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-pq-")
+        .toString + "/index"
+      graft.operators.PqIndex.buildPqIvfIndex(corpus, idxDir, dim = 64,
+        nlist = 16, m = 8, ksub = 64)
+      val (med, times, m) = robust(() =>
+        graft.operators.PqIndex.pqIvfQuery(queries, idxDir, k = 10, nprobe = 4)
+          .write.format("noop").mode("overwrite").save())
+      (med, times, m)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pq serve segment failed: ${e.getMessage}")
+      (-1.0, Seq(-1.0), RunMetrics(0, 0, 0))
+    }
+
+    val withDeliver = if (deliverSec._1 == -2.0) results
       else results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2, deliverSec._3))
+    val all = if (pqServe._1 == -2.0) withDeliver
+      else withDeliver :+ (("pq_ivf_serve", pqServe._1, pqServe._2, pqServe._3))
     val qs = all.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val runs = all.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")

@@ -103,9 +103,14 @@ object PqIndex {
     * (they are inside the scan tier's score resolution — the exact rerank
     * must see them or recall silently decays as confusable-cluster sizes
     * outgrow a fixed cut; a 100-replica near-dup cluster vs a 40-row cut
-    * is exactly the sf10 failure this prevents). `bandCap` bounds the
-    * worst case — a degenerate quantizer (band ≈ corpus score spread)
-    * degrades to a bigger-but-bounded rerank, never an all-pairs one.
+    * is exactly the sf10 failure this prevents). The cut is 2·band wide:
+    * BOTH the boundary candidate's and a dropped candidate's ADC scores
+    * carry up to ~band of quantization error each, so two candidates up
+    * to 2·band apart are indistinguishable at scan-tier resolution — a
+    * single-band cut could still drop a confusable candidate sitting just
+    * below badc − band. `bandCap` bounds the worst case — a degenerate
+    * quantizer (band ≈ corpus score spread) degrades to a
+    * bigger-but-bounded rerank, never an all-pairs one.
     * Single sort: the boundary min reuses the rank window's partitioning.
     */
   private def bandCut(adc: DataFrame, k: Int, refine: Int, band: Double,
@@ -117,7 +122,7 @@ object PqIndex {
       .withColumn("badc",
         min(when(col("rn") <= k * refine, col("adc"))).over(wQ))
       .where(col("rn") <= k * refine * bandCap &&
-        col("adc") >= col("badc") - band)
+        col("adc") >= col("badc") - 2 * band)
       .select(col("qid"), col("nid"))
   }
 
@@ -159,8 +164,12 @@ object PqIndex {
       norm2(col("embedding")).as("qn")))
     val c = corpus.select(col("id").as("nid"), col("embedding").as("ne"),
       norm2(col("embedding")).as("nn"))
-    // the candidate set is |Q|·k·refine rows — broadcast it so the corpus
-    // side prunes via a broadcast join instead of shuffling
+    // the candidate set is |Q|·k·refine rows in the common case and at
+    // most |Q|·k·refine·bandCap after the band cut (32× with defaults —
+    // e.g. |Q|=1k, k=10, refine=8, bandCap=32 → ≤2.56M 16-byte rows,
+    // ~40 MB, still a safe broadcast); a corpus whose quantizer is so
+    // degenerate that every query hits the cap should lower bandCap or
+    // refit with larger m before broadcasting billions of candidates
     val fetched = c.join(broadcast(cand), Seq("nid"))
     val sims = fetched.join(q, Seq("qid"))
       .select(col("qid"), col("nid"),
@@ -175,7 +184,10 @@ object PqIndex {
     * artifacts under `indexDir`:
     *
     *  - `centroids/` — coarse cell centroids (tiny);
-    *  - `codebooks/` — one row: (m, ksub, flattened PQ codebooks);
+    *  - `codebooks/` — one row: (m, ksub, flattened PQ codebooks, and the
+    *    quantizer's p95 distortion `band` driving the serve-side rerank
+    *    cut; indexes persisted before the band column existed are read
+    *    with band = 0.0, degrading to the fixed k·refine cut);
     *  - `codes/` — (nid, code) partitioned by cell: the m-bytes/row scan
     *    tier;
     *  - `vectors/` — (nid, ne, nn) partitioned by cell: the rerank tier,
@@ -237,7 +249,11 @@ object PqIndex {
     val meta = spark.read.parquet(s"$indexDir/codebooks").head()
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
-    val band = meta.getAs[Double]("band")
+    // pre-band indexes (persisted before the distortion band was added to
+    // the codebooks row) serve with band = 0.0 — the old fixed k·refine cut
+    val band =
+      if (meta.schema.fieldNames.contains("band")) meta.getAs[Double]("band")
+      else 0.0
     val books = meta.getAs[scala.collection.Seq[Double]]("books").toArray
     val cb = typedLit(books.toSeq)
     val qe0 = toDouble(col("embedding"))

@@ -52,20 +52,25 @@ object Agg {
 object Registry {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts arrives in one of three shapes depending on the writer:
-      // the driver's testdata carries TIMESTAMP(MICROS, isAdjustedToUTC=false)
-      // (reads as TimestampNTZ), ScaleData-written copies mirror that, and
-      // pre-r7 scaled instances carried raw int64 nanos (reads as Long).
-      // Normalize all of them to session-zone TimestampType micros — sessions
-      // run UTC, so the NTZ cast is value-preserving — the one type every
+      // events.ts has ONE writer shape since the r8 regeneration: the
+      // driver's testdata carries TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      // (reads as TimestampNTZ) and ScaleData-written copies mirror it.
+      // Normalize to session-zone TimestampType micros — sessions run UTC,
+      // so the NTZ cast is value-preserving — the one type every
       // downstream query and oracle assumes. No session conf is touched.
-      import org.apache.spark.sql.functions.{col, expr}
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      // Pre-r7 instances carried raw int64 nanos; that reader branch is
+      // gone — fail fast with the regeneration recipe instead of silently
+      // flowing a Long ts into every timestamp query.
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _                => df
+        case TimestampType    => df
+        case other => throw new IllegalArgumentException(
+          s"events.ts in $dir has unsupported type ${other.simpleString}: " +
+            "pre-r7 int64-nanos instances must be regenerated " +
+            "(runMain graft.tools.ScaleData <srcDir> <dstDir> <K>)")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 

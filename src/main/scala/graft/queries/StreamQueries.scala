@@ -502,16 +502,16 @@ object StreamQueries {
       val t0 = System.currentTimeMillis() - 600000
       stage(docs.where(col("doc_id") >= 300 && col("doc_id") < 360)
         .unionByName(docs.where(col("doc_id") < 10) // copies of seed → known_dup
-          .select((col("doc_id") + 800000).as("doc_id"), col("text"))), "b0", t0)
+          .select((col("doc_id") + 8000800000L).as("doc_id"), col("text"))), "b0", t0)
       stage(docs.where(col("doc_id") >= 360 && col("doc_id") < 420)
         .unionByName(docs.where(col("doc_id") >= 300 && col("doc_id") < 310)
-          .select((col("doc_id") + 810000).as("doc_id"), col("text"))), // dup of b0 → known_dup
+          .select((col("doc_id") + 8000810000L).as("doc_id"), col("text"))), // dup of b0 → known_dup
         "b1", t0 + 2000)
       stage(docs.where(col("doc_id") >= 420 && col("doc_id") < 480)
         .unionByName(docs.where(col("doc_id") === 420) // in-batch dups → batch_dup
-          .select((col("doc_id") + 820000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 8000820000L).as("doc_id"), col("text")))
         .unionByName(docs.where(col("doc_id") === 420)
-          .select((col("doc_id") + 820001).as("doc_id"), col("text"))), "b2", t0 + 4000)
+          .select((col("doc_id") + 8000820001L).as("doc_id"), col("text"))), "b2", t0 + 4000)
       val stream = s.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
       CorpusIndex.start(stream, "doc_id", "text", s"$base/index",
@@ -528,18 +528,18 @@ object StreamQueries {
         |  SELECT CAST(0 AS BIGINT) AS batch, doc_id, text FROM documents
         |    WHERE doc_id >= 300 AND doc_id < 360
         |  UNION ALL
-        |  SELECT 0, doc_id + 800000, text FROM documents WHERE doc_id < 10
+        |  SELECT 0, doc_id + 8000800000, text FROM documents WHERE doc_id < 10
         |  UNION ALL
         |  SELECT 1, doc_id, text FROM documents WHERE doc_id >= 360 AND doc_id < 420
         |  UNION ALL
-        |  SELECT 1, doc_id + 810000, text FROM documents
+        |  SELECT 1, doc_id + 8000810000, text FROM documents
         |    WHERE doc_id >= 300 AND doc_id < 310
         |  UNION ALL
         |  SELECT 2, doc_id, text FROM documents WHERE doc_id >= 420 AND doc_id < 480
         |  UNION ALL
-        |  SELECT 2, doc_id + 820000, text FROM documents WHERE doc_id = 420
+        |  SELECT 2, doc_id + 8000820000, text FROM documents WHERE doc_id = 420
         |  UNION ALL
-        |  SELECT 2, doc_id + 820001, text FROM documents WHERE doc_id = 420),
+        |  SELECT 2, doc_id + 8000820001, text FROM documents WHERE doc_id = 420),
         |fps AS (SELECT batch, doc_id,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM stream),
@@ -575,12 +575,12 @@ object StreamQueries {
           concat(col("text"), lit(" streaming near variant")).as("text"))
       val t0 = System.currentTimeMillis() - 600000
       stage(docs.where(col("doc_id") >= 60 && col("doc_id") < 90)
-        .unionByName(variant(830000L)(docs.where(col("doc_id") < 5))), "b0", t0)
+        .unionByName(variant(8000830000L)(docs.where(col("doc_id") < 5))), "b0", t0)
       stage(docs.where(col("doc_id") >= 90 && col("doc_id") < 120)
-        .unionByName(variant(840000L)(
+        .unionByName(variant(8000840000L)(
           docs.where(col("doc_id") >= 60 && col("doc_id") < 65))), "b1", t0 + 2000)
       stage(docs.where(col("doc_id") >= 120 && col("doc_id") < 150)
-        .unionByName(variant(850000L)(docs.where(col("doc_id") === 120))),
+        .unionByName(variant(8000850000L)(docs.where(col("doc_id") === 120))),
         "b2", t0 + 4000)
       val stream = s.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
@@ -595,17 +595,17 @@ object StreamQueries {
          |  SELECT CAST(0 AS BIGINT) AS batch, doc_id, text FROM documents
          |    WHERE doc_id >= 60 AND doc_id < 90
          |  UNION ALL
-         |  SELECT 0, doc_id + 830000, text || ' streaming near variant'
+         |  SELECT 0, doc_id + 8000830000, text || ' streaming near variant'
          |    FROM documents WHERE doc_id < 5
          |  UNION ALL
          |  SELECT 1, doc_id, text FROM documents WHERE doc_id >= 90 AND doc_id < 120
          |  UNION ALL
-         |  SELECT 1, doc_id + 840000, text || ' streaming near variant'
+         |  SELECT 1, doc_id + 8000840000, text || ' streaming near variant'
          |    FROM documents WHERE doc_id >= 60 AND doc_id < 65
          |  UNION ALL
          |  SELECT 2, doc_id, text FROM documents WHERE doc_id >= 120 AND doc_id < 150
          |  UNION ALL
-         |  SELECT 2, doc_id + 850000, text || ' streaming near variant'
+         |  SELECT 2, doc_id + 8000850000, text || ' streaming near variant'
          |    FROM documents WHERE doc_id = 120),
          |allsides AS (
          |  SELECT CAST(-1 AS BIGINT) AS batch, doc_id, text FROM documents

@@ -608,15 +608,15 @@ object TextQueries {
     Q("q68_decontamination", (s, d) => {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val bench = docs.where(col("doc_id").isin(3, 7))
-        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
-        .unionByName(s.range(1).select(lit(999999L).as("doc_id"),
+        .select((col("doc_id") + 8000900000L).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(8000999999L).as("doc_id"),
           lit("entirely synthetic benchmark question with no overlap whatsoever").as("text")))
       Dedup.contamination(docs, "doc_id", "text", bench, "doc_id", "text", n = 8)
         .orderBy(col("train_id"), col("bench_id"))
     }, Some(
       s"""WITH bench AS (
-         |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id IN (3, 7)
-         |  UNION ALL SELECT 999999 AS doc_id,
+         |  SELECT doc_id + 8000900000 AS doc_id, text FROM documents WHERE doc_id IN (3, 7)
+         |  UNION ALL SELECT 8000999999 AS doc_id,
          |    'entirely synthetic benchmark question with no overlap whatsoever' AS text),
          |ttoks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE len($toksSql) >= 8),
          |tsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
@@ -643,14 +643,14 @@ object TextQueries {
     Q("q107_near_decontamination", (s, d) => {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") < 20)
-      val planted = bench.select((col("doc_id") + 20000000L).as("doc_id"),
+      val planted = bench.select((col("doc_id") + 8020000000L).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           (w, i) => when(i % 20 === 7, lit("zq")).otherwise(w)), " ").as("text"))
       val train = docs.filter(col("doc_id") >= 20).unionByName(planted)
       val flagged = Dedup.nearContamination(train, "doc_id", "text",
         bench, "doc_id", "text", n = 3, k = 16, rowsPerBand = 2, threshold = 0.5)
       val hits = flagged.select(col("train_id")).distinct()
-        .where(col("train_id") >= 20000000L)
+        .where(col("train_id") >= 8020000000L)
       bench.agg(count(lit(1)).as("n_planted"))
         .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
         .crossJoin(flagged.agg(coalesce(min(col("jaccard")), lit(1.0)).as("min_j")))
@@ -671,16 +671,16 @@ object TextQueries {
     Q("q83_bloom_decontamination", (s, d) => {
       val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
       val bench = docs.where(col("doc_id").isin(3, 7))
-        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
-        .unionByName(s.range(1).select(lit(999999L).as("doc_id"),
+        .select((col("doc_id") + 8000900000L).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(8000999999L).as("doc_id"),
           lit("entirely synthetic benchmark question with no overlap whatsoever").as("text")))
       Dedup.contaminationBloom(docs, "doc_id", "text", bench, "doc_id", "text",
         n = 8, expectedBenchGrams = 4096)
         .orderBy(col("train_id"), col("bench_id"))
     }, Some(
       s"""WITH bench AS (
-         |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id IN (3, 7)
-         |  UNION ALL SELECT 999999 AS doc_id,
+         |  SELECT doc_id + 8000900000 AS doc_id, text FROM documents WHERE doc_id IN (3, 7)
+         |  UNION ALL SELECT 8000999999 AS doc_id,
          |    'entirely synthetic benchmark question with no overlap whatsoever' AS text),
          |ttoks AS (SELECT doc_id, $toksSql AS t FROM documents WHERE len($toksSql) >= 8),
          |tsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
@@ -807,6 +807,58 @@ object TextQueries {
          |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
       bench = true),
 
+    // ---- duplicate clustering at SCALE: q70's exact operator chain,
+    // verified by a contract whose oracle is O(planted) — no corpus-wide
+    // recursive CTE (closing the pair graph in DuckDB exhausted the r7
+    // sf3 gate's temp disk, so the heaviest graph operator had no 30×
+    // correctness point). 60 clusters with known ids/sizes are synthesized
+    // from cluster-private vocabulary (every token is `qzjxc<c>…`; the
+    // corpus word-soup has no qzjx* tokens, so EVERY 3-gram of a planted
+    // doc is cluster-private): planted members can pair only within their
+    // own cluster at ANY scale factor, and because the planted texts
+    // don't depend on the corpus, their signatures/bands/verified pairs
+    // are byte-identical from sf0.001 to sf20. The operator still runs
+    // over corpus ∪ plants — its COST scales with the corpus (natural
+    // replica clusters at sf≥1 are computed, then filtered) while the
+    // planted answer stays closed-form: cluster c has 2+(c%4) members
+    // (41 for c=59, the hot-cluster stand-in), cluster_id = min id,
+    // max_id = min + size - 1. Members share 18 of 20 3-grams (J = 0.9);
+    // with 8 bands of 2 rows the per-pair candidate-miss probability is
+    // (1-0.81)^8 ≈ 2e-6 and the within-cluster candidate graph is
+    // near-complete, so the components are exact in practice and
+    // deterministic per text (md5 minhash).
+    Q("q109_dup_clusters_contract", (s, d) => {
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val sizeOf = when(col("c") === 59, lit(41L)).otherwise(lit(2L) + col("c") % 4)
+      val cs = col("c").cast("string")
+      val core = concat_ws(" ",
+        (0 until 20).map(k => concat(lit("qzjxc"), cs, lit(s"w$k"))): _*)
+      val plants = s.range(60).select(col("id").as("c"))
+        .select(col("c"), explode(sequence(lit(0L), sizeOf - 1L)).as("j"))
+        .select((lit(8100000000L) + col("c") * 100L + col("j")).as("doc_id"),
+          concat(core, lit(" qzjxs"), cs, lit("m"), col("j").cast("string")).as("text"))
+      val planted = docs.unionByName(plants)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val arrays = Dedup.shingleArrays(planted, "doc_id", "text", n = 3)
+        .localCheckpoint()
+      val candidates = Dedup.lshCandidates(
+        Dedup.minhashBandsNarrow(arrays, k = 16, rowsPerBand = 2))
+      val pairs = Dedup.jaccardOnArrays(candidates, arrays)
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(pairs)
+        .where(col("cluster_id") >= 8100000000L)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("cluster_id"))
+    }, Some(
+      """SELECT CAST(8100000000 + c * 100 AS BIGINT) AS cluster_id,
+        |  CAST(CASE WHEN c = 59 THEN 41 ELSE 2 + c % 4 END AS BIGINT) AS n_members,
+        |  CAST(8100000000 + c * 100
+        |    + (CASE WHEN c = 59 THEN 41 ELSE 2 + c % 4 END) - 1 AS BIGINT) AS max_id
+        |FROM generate_series(0, 59) AS g(c)
+        |ORDER BY cluster_id""".stripMargin)),
+
     // ---- duplicate-cluster representatives by QUALITY policy (q70's
     // clusters, but the BEST copy survives, not the smallest id — dedup
     // should keep the highest-quality member). Same deterministic banded
@@ -883,7 +935,7 @@ object TextQueries {
         .select(col("doc_id"), col("text"), col("n_tokens"))
         .localCheckpoint()
       val bench = tbl(s, d, "documents").where(col("doc_id").isin(3, 7))
-        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 8000900000L).as("doc_id"), col("text"))
       val contaminated = Dedup.contamination(clean, "doc_id", "text",
           bench, "doc_id", "text", n = 8)
         .select(col("train_id").as("doc_id")).distinct()
@@ -928,7 +980,7 @@ object TextQueries {
          |  LEFT JOIN near ON we.doc_id = near.doc_id
          |  WHERE we.quality >= 0.5 AND we.n_tokens >= 5 AND we.lang_pred = 'en'
          |    AND NOT we.exact_dup AND near.doc_id IS NULL),
-         |bench AS (SELECT doc_id + 900000 AS doc_id, text FROM docs_src
+         |bench AS (SELECT doc_id + 8000900000 AS doc_id, text FROM docs_src
          |  WHERE doc_id IN (3, 7)),
          |ttoks AS (SELECT doc_id, $toksSql AS t FROM clean WHERE len($toksSql) >= 8),
          |tsh AS (SELECT DISTINCT doc_id, t[x] || ' ' || t[x+1] || ' ' || t[x+2] || ' ' || t[x+3]
@@ -1003,7 +1055,7 @@ object TextQueries {
       val toks = TextFunctions.tokens(col("text"))
       val truncated = docs
         .where(col("doc_id") < 200 && size(toks) >= 40)
-        .select((col("doc_id") + 800000).as("doc_id"),
+        .select((col("doc_id") + 8000800000L).as("doc_id"),
           concat_ws(" ", slice(toks, 1, 30)).as("text"))
       val planted = docs.unionByName(truncated)
       val pToks = TextFunctions.tokens(col("text"))
@@ -1018,7 +1070,7 @@ object TextQueries {
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 800000 AS doc_id,
+         |  SELECT doc_id + 8000800000 AS doc_id,
          |    array_to_string(list_slice($toksSql, 1, 30), ' ') AS text
          |  FROM documents WHERE doc_id < 200 AND len($toksSql) >= 40),
          |fps AS (SELECT doc_id,

@@ -80,7 +80,7 @@ object VectorQueries {
     // threshold) + recall ≥ 95% — so a parameter tweak or data regen that
     // degrades the bucketing fails loudly, while the ~0.2%-per-pair
     // theoretical LSH miss cannot flip correctness by luck.
-    // The corpus is AUGMENTED with 100 exact-copy twins (vec_id + 10M —
+    // The corpus is AUGMENTED with 100 exact-copy twins (vec_id + 8.01e9 —
     // reproduced verbatim in the oracle SQL): the source embeddings have NO
     // cosine≥0.9 pairs at any SF (max natural cosine 0.60, measured round
     // 6), so without planting, n_exact = 0 and the recall clause is
@@ -90,7 +90,7 @@ object VectorQueries {
       val emb = tbl(s, d, "embeddings")
       val aug = emb.select(col("vec_id"), col("embedding"))
         .unionByName(emb.filter(col("vec_id") < 100)
-          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 8010000000L).as("vec_id"), col("embedding")))
       val approx = Dedup.embeddingNearDups(aug, "vec_id", "embedding",
         dim = 64, threshold = 0.9)
       val e = toDouble(col("embedding"))
@@ -126,7 +126,7 @@ object VectorQueries {
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |  SELECT vec_id + 8010000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
         |exact AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
@@ -153,7 +153,7 @@ object VectorQueries {
       val emb = tbl(s, d, "embeddings")
       val aug = emb.select(col("vec_id"), col("embedding"))
         .unionByName(emb.filter(col("vec_id") < 100)
-          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 8010000000L).as("vec_id"), col("embedding")))
       val approx = Similarity.semanticNearDups(aug, "vec_id", "embedding",
         threshold = 0.9)
       val e = toDouble(col("embedding"))
@@ -189,7 +189,7 @@ object VectorQueries {
       """WITH aug AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |  SELECT vec_id + 8010000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
         |exact AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
@@ -201,7 +201,7 @@ object VectorQueries {
     // ---- Semantic dedup at scale: the SAME operator as q84, verified by a
     // contract whose cost is LINEAR in corpus size so the bench measures
     // the operator, not an all-pairs baseline. 100 noisy twins are planted
-    // (vec_id + 10M, hash-noise ±0.02/dim on unit-norm vectors ⇒ cosine ≥
+    // (vec_id + 8.01e9, hash-noise ±0.02/dim on unit-norm vectors ⇒ cosine ≥
     // 0.987 to the source BY CONSTRUCTION — worst-case all-dims-max noise
     // has norm 0.16, cos ≥ 1/√1.0256); the source corpus has no ≥0.9 pairs
     // (max natural cosine 0.60), so the planted set IS the known answer and
@@ -213,7 +213,7 @@ object VectorQueries {
     Q("q102_semantic_dedup_scale", (s, d) => {
       val emb = tbl(s, d, "embeddings")
       val twins = emb.filter(col("vec_id") < 100)
-        .select((col("vec_id") + 10000000L).as("vec_id"),
+        .select((col("vec_id") + 8010000000L).as("vec_id"),
           transform(col("embedding"), (v, dim) =>
             (v + (pmod(hash(col("vec_id"), dim), lit(1000)) - 500)
               .cast("float") * lit(0.00004f)).cast("float")).as("embedding"))
@@ -221,7 +221,7 @@ object VectorQueries {
       val approx = Similarity.semanticNearDups(aug, "vec_id", "embedding",
         threshold = 0.9)
       val planted = emb.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("id_a"), (col("vec_id") + 10000000L).as("id_b"))
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 8010000000L).as("id_b"))
       val hits = approx.select(col("id_a"), col("id_b"))
         .join(planted, Seq("id_a", "id_b"), "left_semi")
       planted.agg(count(lit(1)).as("n_planted"))

@@ -18,11 +18,13 @@ import org.apache.spark.sql.SparkSession
   *  3. intent: durably record {olds, news} before any lake mutation.
   *  4. promote news into the partition dirs.
   *  5. promoted marker — the commit point.
-  *  6. delete olds.
-  *  7. fold the manifest chain into a snapshot naming news instead of olds
-  *     (manifest readers flip atomically; directory readers see the
-  *     old∪new window between 4 and 6 — the inherent cost of rename-based
-  *     compaction, same as Hive/Spark `INSERT OVERWRITE` maintenance).
+  *  6. fold the manifest chain into a snapshot naming news instead of olds
+  *     (manifest readers flip atomically, and the fold lands BEFORE any
+  *     physical delete so a racing manifest reader never resolves a chain
+  *     naming retired files).
+  *  7. delete olds (directory readers see the old∪new window between 4
+  *     and 7 — the inherent cost of rename-based compaction, same as
+  *     Hive/Spark `INSERT OVERWRITE` maintenance; manifest readers don't).
   *  8. clear markers.
   *
   * [[recover]] (always run first) rolls an interrupted pass BACK before the
@@ -241,12 +243,24 @@ object Compact {
   private[streaming] def finish(spark: SparkSession, fs: FileSystem, lake: HPath,
       olds: Seq[String], news: Seq[String], manifestDir: Option[String]): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
-    olds.foreach(o => FsOps.deleteOrThrow(fs, new HPath(o), recursive = false))
+    // Fold the manifest BEFORE physically retiring olds: a manifest reader
+    // racing this pass then resolves either the pre-fold chain (olds still
+    // on disk) or the folded snapshot (news promoted at step 4) — never a
+    // chain naming deleted files. Crash between fold and delete rolls
+    // forward idempotently (re-fold overwrites the same snapshot id,
+    // deleteOrThrow tolerates already-gone olds).
     manifestDir.foreach { mdir =>
       val dir = new HPath(mdir)
       val mfs = dir.getFileSystem(hconf)
       val ids = ManifestChain.list(mfs, dir).map(_._1)
-      val nextId = if (ids.isEmpty) 0L else ids.max + 1
+      // Snapshot id = the max id actually folded, NOT max+1: a LIVE
+      // delivery stream's next incremental is manifest-(max+1); a snapshot
+      // claiming that id would make chainFiles drop the incremental — a
+      // committed batch silently vanishing from the manifest view. At
+      // id = max the snapshot shadows only manifests it provably folded
+      // (chainUrls re-lists, so it reads a superset of `ids`), and every
+      // concurrently committed batch lands strictly after it.
+      val foldId = if (ids.isEmpty) 0L else ids.max
       // normalize through Path: "file:///x" and "file:/x" are the same file
       // but different strings — manifests from mixed producers may use either
       def norm(u: String) = new HPath(u).toString
@@ -255,9 +269,10 @@ object Compact {
         .map(norm).filterNot(oldSet) ++ news.map(norm)).distinct.sorted)
       // the folded snapshot keeps the lake root the delivery stream recorded
       val base = Some(fs.makeQualified(lake).toString)
-      FsOps.atomicWrite(hconf, mfs, new HPath(dir, f"manifest-$nextId%010d.snap.json"),
+      FsOps.atomicWrite(hconf, mfs, new HPath(dir, f"manifest-$foldId%010d.snap.json"),
         ManifestChain.render(urls, base).getBytes("UTF-8"))
     }
+    olds.foreach(o => FsOps.deleteOrThrow(fs, new HPath(o), recursive = false))
     FsOps.deleteOrThrow(fs, ctl(lake, "stage"), recursive = true)
     FsOps.deleteOrThrow(fs, ctl(lake, "promoted"), recursive = false)
     FsOps.deleteOrThrow(fs, ctl(lake, "intent"), recursive = false)

@@ -445,16 +445,46 @@ object Deliver {
     val fs = dir.getFileSystem(hconf)
     fs.mkdirs(dir)
     val snapshot = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
-    val urls =
-      if (!snapshot) added
-      else (ManifestChain.chainUrls(fs, dir, upToExclusive = batchId) ++ added).distinct.sorted
     val name = f"manifest-$batchId%010d" + (if (snapshot) ".snap.json" else ".json")
     val lakeRoot = new HPath(lakeDir)
     val base = lakeRoot.getFileSystem(hconf).makeQualified(lakeRoot).toString
-    // atomic replace: no delete-then-rename window where the manifest is
-    // absent mid-chain, and a failed rename throws instead of returning false
-    FsOps.atomicWrite(hconf, fs, new HPath(dir, name),
-      ManifestChain.render(urls, Some(base)).getBytes("UTF-8"))
+    def put(n: String, urls: Seq[String]): Unit =
+      // atomic replace: no delete-then-rename window where the manifest is
+      // absent mid-chain, and a failed rename throws instead of returning false
+      FsOps.atomicWrite(hconf, fs, new HPath(dir, n),
+        ManifestChain.render(urls, Some(base)).getBytes("UTF-8"))
+    if (!snapshot) put(name, added)
+    else {
+      // Snapshot folds are a read-fold-write of the chain, which can race
+      // a CONCURRENT maintenance fold (Compact/Retention under their
+      // writer lock — this stream doesn't hold it): if their fold lands
+      // between our chain read and our write, our snapshot would shadow
+      // it with stale URLs, resurrecting files maintenance just retired.
+      // Stabilize: after writing, re-resolve the chain below batchId; if
+      // the fold result changed, refold and rewrite (our batchId is ours
+      // alone, so overwriting manifest-<batchId>.snap.json is safe). The
+      // maintenance side is single-writer (lease lock), so this settles
+      // in one extra round; if it somehow doesn't, fall back to an
+      // INCREMENTAL manifest — always safe, never shadows, only costs
+      // readers a longer chain until the next snapshot batch.
+      def fold(): Seq[String] =
+        (ManifestChain.chainUrls(fs, dir, upToExclusive = batchId) ++ added)
+          .distinct.sorted
+      var urls = fold()
+      var stable = false
+      var attempts = 0
+      while (!stable && attempts < 3) {
+        put(name, urls)
+        val recheck = fold()
+        stable = recheck == urls
+        urls = recheck
+        attempts += 1
+      }
+      if (!stable) {
+        FsOps.deleteOrThrow(fs, new HPath(dir, name), recursive = false)
+        put(f"manifest-$batchId%010d.json", added)
+      }
+    }
   }
 }
 

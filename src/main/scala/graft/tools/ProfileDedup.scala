@@ -32,11 +32,11 @@ object ProfileDedup {
     val docs = Registry.tbl(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.unionByName(
       docs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 8000100000L).as("doc_id"),
           concat(col("text"), lit(" graft extra trailing words")).as("text")))
       .unionByName(
         docs.filter(col("doc_id") < 20)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 8000200000L).as("doc_id"), col("text")))
     t("planted_count")(planted.count())
     val arrays = t("arrays_materialize")(
       Dedup.shingleArrays(planted, "doc_id", "text", n = 3).localCheckpoint())

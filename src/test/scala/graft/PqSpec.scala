@@ -129,6 +129,27 @@ class PqSpec extends SparkSuite {
     assert(meta.getAs[Double]("band") > 0.0)
   }
 
+  test("pre-band index compatibility: codebooks without a band column still serve") {
+    val base = tmpDir("graft-pqivf-compat-")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    val corpus = emb.filter($"vec_id" >= 5)
+      .select($"vec_id".as("id"), $"embedding")
+    PqIndex.buildPqIvfIndex(corpus, s"$base/index", dim = 64, nlist = 4,
+      m = 8, ksub = 64)
+    // rewrite the codebooks row in the pre-r7 shape (no band column)
+    val old = spark.read.parquet(s"$base/index/codebooks")
+      .select($"m", $"ksub", $"books").collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(old, 1),
+        spark.read.parquet(s"$base/index/codebooks").select($"m", $"ksub", $"books").schema)
+      .write.mode("overwrite").parquet(s"$base/index/codebooks")
+    // serve must fall back to band = 0.0 (the fixed k·refine cut), not throw
+    val approx = PqIndex.pqIvfQuery(queries, s"$base/index", k = 5,
+      nprobe = 2, refine = 8)
+    assert(approx.count() > 0)
+    assert(approx.groupBy($"qid").count().select(max($"count")).head().getLong(0) <= 5)
+  }
+
   test("band-adaptive rerank: recall survives a confusable cluster larger than k·refine") {
     // The sf10 scale failure mode, reproduced small: one source vector with
     // 150 near-identical replicas (mutual cosine ≥ 0.99) in a corpus whose

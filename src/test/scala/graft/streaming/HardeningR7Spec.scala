@@ -27,18 +27,21 @@ class HardeningR7Spec extends SparkSuite {
     val normalized = df.selectExpr("min(cast(ts as string))").collect()(0).getString(0)
     assert(normalized == raw, s"NTZ cast must not shift values: $normalized vs $raw")
 
-    // Legacy pre-r7 scaled shape: raw int64 nanos → µs-truncated timestamp.
+    // Legacy pre-r7 scaled shape (raw int64 nanos): the reader branch was
+    // deleted after the r8 regeneration left no such instance — the shape
+    // must now FAIL FAST with the regeneration recipe, not silently flow
+    // a Long ts into timestamp queries.
     val legacyDir = tmpDir("graft-legacy-events-")
     spark.range(3).selectExpr(
       "id as event_id",
       "1704067200000000000 + id * 1000000000 + 123456789 as ts", // ns past epoch
       "id as user_id", "'click' as event_type", "1.0 as value", "'{}' as props")
       .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
-    val legacy = Registry.tbl(spark, legacyDir, "events")
-    assert(legacy.schema("ts").dataType == TimestampType)
-    val first = legacy.orderBy("event_id")
-      .selectExpr("cast(ts as string)").collect()(0).getString(0)
-    assert(first == "2024-01-01 00:00:00.123456", s"ns must truncate to µs, got $first")
+    val err = intercept[IllegalArgumentException] {
+      Registry.tbl(spark, legacyDir, "events")
+    }
+    assert(err.getMessage.contains("ScaleData"),
+      s"fail-fast must carry the regeneration recipe, got: ${err.getMessage}")
     assert(spark.conf.get(key) == before)
   }
 

@@ -16,14 +16,12 @@ for t in "region nation customer supplier part orders lineitem events documents 
     else:
         continue
     if t == "events":
-        # ScaleData-written events keep ts as raw int64 nanos (the shape
-        # Registry.tbl expects); expose it to the oracle as a µs-truncated
-        # TIMESTAMP, matching tbl()'s ns→µs conversion on the Spark side.
+        # One writer shape since the r8 regeneration: events.ts is
+        # TIMESTAMP (NTZ micros) everywhere. Fail fast on a stale pre-r7
+        # int64-nanos instance, mirroring Registry.tbl's fail-fast.
         (ty,) = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
-        if ty == "BIGINT":
-            con.sql("CREATE OR REPLACE VIEW events AS "
-                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                    f"FROM '{p}{'/*.parquet' if os.path.isdir(p) else ''}'")
+        assert ty != "BIGINT", \
+            f"{p}: pre-r7 int64-nanos events — regenerate with graft.tools.ScaleData"
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # Optional third arg: comma-separated name prefixes — triage mode for big
