@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{PqIndex, Similarity}
+
+/** Scale-gate tool: measure PQ ANN recall@k against brute-force truth at a
+  * scaled instance, fixed-cut vs band-adaptive rerank.
+  *
+  * The round-7 sf10 gate found PQ recall collapsing when a confusable
+  * near-dup cluster (~100 replicas at cosine ≥ 0.98, ScaleData's natural
+  * output) outgrew the fixed k·refine candidate cut; the fix widens the
+  * rerank to every candidate within the codebook's distortion band of the
+  * boundary score. `bandCap = 1` reproduces the pre-fix fixed cut (the
+  * rank filter binds before the band filter can admit anyone), so one run
+  * reports the before/after pair SCALING.md cites.
+  *
+  * Usage: runMain graft.tools.PqRecall <sfDir> [nQueries] [k]
+  */
+object PqRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/repo/data/sf10"
+    val nQ = if (args.length > 1) args(1).toInt else 100
+    val k = if (args.length > 2) args(2).toInt else 5
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.where(col("vec_id") >= nQ)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val nCorpus = corpus.count()
+
+    val exact = Similarity.bruteForceKnn(queries, corpus, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+
+    def recall(bandCap: Int): Double = {
+      val approx = PqIndex.pqAnn(queries, corpus, k, dim = 64,
+        m = 8, ksub = 64, refine = 8, bandCap = bandCap)
+        .select(col("qid"), col("nid"))
+      val hits = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
+      hits.toDouble / (nQ.toLong * k)
+    }
+
+    val fixedCut = recall(bandCap = 1)
+    val bandAdaptive = recall(bandCap = 32)
+    println(s"""{"sf":"$sfDir","n_corpus":$nCorpus,"n_queries":$nQ,"k":$k,""" +
+      s""""recall_fixed_cut":$fixedCut,"recall_band_adaptive":$bandAdaptive}""")
+    spark.stop()
+  }
+}
