@@ -188,6 +188,37 @@ class UpsertSinkSpec extends SparkSuite {
     assert(tableState(s"$base/ok") == Map(1L -> "a1"))
   }
 
+  test("a batch rewrites only the buckets its keys touch") {
+    import org.apache.spark.sql.functions.{concat, hash, lit, pmod, col}
+    val base = tmpDir("graft-usink-local-")
+    val table = s"$base/table"
+    val nb = 8
+    def rows(ids: Seq[Long], tag: String, seq: Long) =
+      ids.toDF("id").withColumn("payload", concat(lit(tag), col("id")))
+        .withColumn("op", lit("U")).withColumn("seq", lit(seq))
+    // batch 0: 200 keys spread over all 8 buckets
+    UpsertSink.applyBatch(rows(0L until 200L, "p", 0L), 0L, table,
+      "id", "op", Seq("seq"), nBuckets = nb)
+    val key = 7L
+    val touched = Seq(key).toDF("id")
+      .select(pmod(hash(col("id")), lit(nb))).head.getInt(0)
+    // batch 1: a single-key update — exactly one bucket may gain a version
+    UpsertSink.applyBatch(rows(Seq(key), "q", 1L), 1L, table,
+      "id", "op", Seq("seq"), nBuckets = nb)
+    (0 until nb).foreach { b =>
+      val versions = new java.io.File(s"$table/buckets/b=$b")
+        .list().toSeq.filter(_.startsWith("v-")).sorted
+      if (b == touched)
+        assert(versions.contains("v-0000000001"),
+          s"touched bucket $b missing the batch-1 version")
+      else
+        assert(versions == Seq("v-0000000000"),
+          s"untouched bucket $b was rewritten: $versions")
+    }
+    val state = tableState(table)
+    assert(state(key) == s"q$key" && state(0L) == "p0" && state.size == 200)
+  }
+
   private def tableState(dir: String): Map[Long, String] =
     UpsertSink.readTable(spark, dir).map(
       _.select($"id", $"payload").as[(Long, String)].collect().toMap)
