@@ -189,9 +189,19 @@ object Bench {
       else results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2, deliverSec._3))
     val all = if (pqServe._1 == -2.0) withDeliver
       else withDeliver :+ (("pq_ivf_serve", pqServe._1, pqServe._2, pqServe._3))
-    val qs = all.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal fixed-point (Locale.ROOT: never a comma decimal separator) —
+    // the 9-decimal Double.toString form grew the line past the harness's
+    // 2000-char output-tail capture in round 8, truncating two queries out
+    // of the committed artifact
+    def d3(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = all.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    val mins = all.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + d3(if (ts.isEmpty) -1.0 else ts.min) }
+      .mkString("{", ",", "}")
     val runs = all.map { case (k, _, ts, _) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
+      "\"" + k + "\":" + ts.map(d3).mkString("[", ",", "]") }.mkString("{", ",", "}")
     // Per-query shuffle/spill (bytes, median run) — the round-over-round
     // regression signal: shuffle volume is deterministic where wall time is
     // not. Compared against the committed SHUFFLE_BASELINE.json: >2× growth
@@ -215,7 +225,36 @@ object Bench {
     }
     regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"shuffle":$shuffleJson,"shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}""")
+    // Provenance (r8 verdict #6): wall-time deltas across rounds are
+    // unadjudicable without knowing machine load — record the 1/5/15-min
+    // load averages and the kernel's running/total process counts sampled
+    // at report time, so "median of 3, uncontended" is checkable from the
+    // artifact itself.
+    val (loadavg, procs) = try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      (s"[${parts(0)},${parts(1)},${parts(2)}]", "\"" + parts(3) + "\"")
+    } catch { case _: Throwable => ("[]", "\"unknown\"") }
+    // Detail record (per-run times, per-query shuffle bytes, regression
+    // list): a separate FILE + stderr, never the stdout headline — the
+    // harness keeps only the tail of stdout, and round 8 proved the detail
+    // inline pushes headline entries out of the capture window.
+    val detail = s"""{"runs":$runs,"shuffle":$shuffleJson,""" +
+      s""""shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
+    System.err.println(s"[bench-detail] $detail")
+    val headlineLine = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"mins":$mins,"loadavg":$loadavg,"procs":$procs,""" +
+      s""""shuffle_regression_count":${regressions.size},""" +
+      s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    if (headlineLine.length > 1900)
+      System.err.println(s"[bench] WARNING headline line ${headlineLine.length} chars " +
+        "exceeds the 2000-char capture budget — trim it")
+    // the headline is the LAST stdout line, inside the harness's tail capture
+    println(headlineLine)
     spark.stop()
   }
 }

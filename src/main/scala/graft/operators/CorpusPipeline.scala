@@ -64,6 +64,37 @@ object CorpusPipeline {
       // not BIT-exact, so the oracle-checked default stays on strings.
       fingerprintVerify: Boolean = false)
 
+  object Config {
+    /** The at-scale profile — what a production corpus build should run
+      * (README quickstart uses it). The zero-arg `Config()` default is the
+      * ORACLE-EXACT contract form (exact candidate recall, string-shingle
+      * verify): right for cross-engine verification, but measured spilling
+      * 106.5 GB at sf20 when a template-spam family floods an LSH bucket.
+      * This profile turns on both production guards:
+      *
+      *  - `maxBucketSize = Some(64)`: flooded buckets are skipped; pair
+      *    recall measured 1.000 (and doc recall 1.000, +0 spurious) at
+      *    sf10 AND sf20 with shuffle 19.6→4.1 GB and spill 106.5 GB→0
+      *    (`tools/CapRecall`, SCALING.md) — truly-near pairs share most
+      *    bands, so they keep their chances in unflooded buckets;
+      *  - `fingerprintVerify = true`: the Jaccard verify intersects 8-byte
+      *    xxhash64 shingle fingerprints instead of ~40-byte raw strings
+      *    (identical up to 2^-64 collisions).
+      *
+      * On the oracle corpus the profile's output is EQUAL to the exact
+      * mode's (no bucket approaches the cap there) — pinned by
+      * CorpusPipelineSpec and by q108 sharing q47's oracle at every SF.
+      *
+      * `parallelism`: pass the cluster's effective width (e.g.
+      * `spark.sparkContext.defaultParallelism`) when the corpus arrives in
+      * few/large files or behind a highly-selective gate; None inherits
+      * upstream partitioning.
+      */
+    def production(parallelism: Option[Int] = None): Config =
+      Config(parallelism = parallelism, maxBucketSize = Some(64),
+        fingerprintVerify = true)
+  }
+
   /** Annotate each doc with pipeline verdicts. Output columns:
     * doc_id, text, quality, lang_pred, n_tokens, reject_reason (null = kept).
     * Rejection precedence: low_quality > too_short > wrong_lang >

@@ -242,18 +242,37 @@ object PqIndex {
     * rerank. The serving contract mirrors [[Similarity.ivfIndexQuery]]:
     * the probe plan's |Q|·nprobe rows are collected once to drive pruning.
     */
+  /** `allowPreBandIndex`: indexes persisted before the distortion band was
+    * added to the codebooks row can only serve the fixed k·refine cut —
+    * the exact configuration whose recall was MEASURED collapsing as
+    * confusable clusters outgrow the cut (0.456@sf10 / 0.268@sf20,
+    * SCALING.md `tools/PqRecall`). Serving one is therefore refused by
+    * default with a rebuild instruction; pass true to opt in (a loud
+    * warning still fires), e.g. for a read-only migration window.
+    */
   def pqIvfQuery(queries: DataFrame, indexDir: String, k: Int,
-      nprobe: Int = 4, refine: Int = 8, bandCap: Int = 32): DataFrame = {
+      nprobe: Int = 4, refine: Int = 8, bandCap: Int = 32,
+      allowPreBandIndex: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val meta = spark.read.parquet(s"$indexDir/codebooks").head()
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
-    // pre-band indexes (persisted before the distortion band was added to
-    // the codebooks row) serve with band = 0.0 — the old fixed k·refine cut
     val band =
       if (meta.schema.fieldNames.contains("band")) meta.getAs[Double]("band")
-      else 0.0
+      else if (allowPreBandIndex) {
+        System.err.println(s"[graft] WARNING: serving PRE-BAND PQ index " +
+          s"$indexDir with the fixed k*refine cut (band=0.0) — recall decays " +
+          "as confusable-cluster sizes outgrow the cut (measured 0.268 " +
+          "recall@sf20); rebuild with PqIndex.buildPqIvfIndex to restore the " +
+          "band-adaptive rerank")
+        0.0
+      } else throw new IllegalStateException(
+        s"PQ index at $indexDir predates the distortion-band codebooks row: " +
+          "serving it uses the fixed k*refine candidate cut, whose recall is " +
+          "measured collapsing at scale (0.456@sf10 / 0.268@sf20, SCALING.md). " +
+          "Rebuild the index with PqIndex.buildPqIvfIndex, or pass " +
+          "allowPreBandIndex = true to serve it anyway.")
     val books = meta.getAs[scala.collection.Seq[Double]]("books").toArray
     val cb = typedLit(books.toSeq)
     val qe0 = toDouble(col("embedding"))

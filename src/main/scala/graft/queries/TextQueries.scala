@@ -400,9 +400,8 @@ object TextQueries {
     Q("q108_corpus_pipeline_capped", (s, d) =>
       graft.operators.CorpusPipeline.auditSummary(
         graft.operators.CorpusPipeline.annotate(withPlanted(s, d),
-          graft.operators.CorpusPipeline.Config(
-            parallelism = Some(s.sparkContext.defaultParallelism),
-            maxBucketSize = Some(64), fingerprintVerify = true))),
+          graft.operators.CorpusPipeline.Config.production(
+            parallelism = Some(s.sparkContext.defaultParallelism)))),
       Some(corpusPipelineOracle), bench = true),
 
     // ---- deterministic train/val/test split assignment: membership is a

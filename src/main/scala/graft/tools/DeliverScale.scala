@@ -85,13 +85,20 @@ object DeliverScale {
     val out = sizes.map { case (label, bytes, shards) =>
       val (wire, n) = wireBatch(bytes, shards)
       graft.sources.ShardedLog.put(wire, s"$base/log_$label")
+      // throughput denominator = ACTUAL wire bytes as written to the log,
+      // not the nominal target: the record count derives from a 1000-row
+      // sample average, so the realized batch can drift from the target
+      // (and x1's limit() truncation is otherwise unaccounted) — round-8
+      // advice
+      val actualBytes = spark.read.parquet(s"$base/log_$label")
+        .agg(sum(length(col("data")))).head().getLong(0)
       val times = (1 to runs).map { i =>
         deliverOnce(s"$base/log_$label", s"$base/out_${label}_$i")
       }
       val med = times.sorted.apply(times.size / 2)
-      val mbps = bytes / 1048576.0 / med
-      println(f"DELIVER $label%-5s records=$n%8d shards=$shards%2d median=$med%7.2f s  ${mbps}%7.1f MB/s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
-      s""""$label":{"records":$n,"shards":$shards,"median_s":$med,"mb_per_s":$mbps}"""
+      val mbps = actualBytes / 1048576.0 / med
+      println(f"DELIVER $label%-5s records=$n%8d shards=$shards%2d bytes=$actualBytes%10d median=$med%7.2f s  ${mbps}%7.1f MB/s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      s""""$label":{"records":$n,"shards":$shards,"wire_bytes":$actualBytes,"median_s":$med,"mb_per_s":$mbps}"""
     }
     println(out.mkString("{", ",", "}"))
     spark.stop()

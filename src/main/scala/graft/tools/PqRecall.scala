@@ -22,9 +22,10 @@ object PqRecall {
     val sfDir = if (args.nonEmpty) args(0) else "/root/repo/data/sf10"
     val nQ = if (args.length > 1) args(1).toInt else 100
     val k = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,6 +34,9 @@ object PqRecall {
     spark.sparkContext.setLogLevel("ERROR")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // dim from the data, not a hardcoded 64: a non-64-dim embeddings
+    // instance would silently fit wrong codebooks (round-8 advice)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val queries = emb.where(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("embedding"))
     val corpus = emb.where(col("vec_id") >= nQ)
@@ -43,7 +47,7 @@ object PqRecall {
       .select(col("qid"), col("nid")).localCheckpoint()
 
     def recall(bandCap: Int): Double = {
-      val approx = PqIndex.pqAnn(queries, corpus, k, dim = 64,
+      val approx = PqIndex.pqAnn(queries, corpus, k, dim = dim,
         m = 8, ksub = 64, refine = 8, bandCap = bandCap)
         .select(col("qid"), col("nid"))
       val hits = approx.join(exact, Seq("qid", "nid"), "left_semi").count()

@@ -95,4 +95,27 @@ class CapRecallSpec extends SparkSuite {
       s"non-flood divergence: missing=${exact -- capped} extra=${capped -- exact}")
     assert(exact.size >= NearPairs) // the planted pairs are actually in play
   }
+
+  test("Config.production output equals the oracle-exact config on the oracle corpus") {
+    // The q108 contract spelled as API: on the oracle corpus (sf0.001
+    // documents + the registry's planted exact/near duplicates — no LSH
+    // bucket near the cap), the production profile (bucket cap +
+    // fingerprint verify) must produce the BYTE-IDENTICAL annotation the
+    // exact mode produces. Divergence is confined by design to flooded
+    // buckets, which this corpus has none of.
+    import graft.operators.CorpusPipeline
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" graft extra trailing words")).as("text")))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text")))
+    def rows(cfg: CorpusPipeline.Config): Seq[String] =
+      CorpusPipeline.annotate(planted, cfg)
+        .orderBy(col("doc_id"))
+        .collect().map(_.mkString("|")).toSeq
+    assert(rows(CorpusPipeline.Config.production()) == rows(CorpusPipeline.Config()))
+  }
 }

@@ -129,7 +129,7 @@ class PqSpec extends SparkSuite {
     assert(meta.getAs[Double]("band") > 0.0)
   }
 
-  test("pre-band index compatibility: codebooks without a band column still serve") {
+  test("pre-band index: refused by default, serves only with explicit opt-in") {
     val base = tmpDir("graft-pqivf-compat-")
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("qid"), $"embedding")
@@ -143,9 +143,16 @@ class PqSpec extends SparkSuite {
     spark.createDataFrame(spark.sparkContext.parallelize(old, 1),
         spark.read.parquet(s"$base/index/codebooks").select($"m", $"ksub", $"books").schema)
       .write.mode("overwrite").parquet(s"$base/index/codebooks")
-    // serve must fall back to band = 0.0 (the fixed k·refine cut), not throw
+    // default: REFUSE — a pre-band index can only serve the fixed k·refine
+    // cut, whose recall is measured collapsing at scale (0.268@sf20); the
+    // exception names the rebuild path
+    val ex = intercept[IllegalStateException] {
+      PqIndex.pqIvfQuery(queries, s"$base/index", k = 5, nprobe = 2, refine = 8)
+    }
+    assert(ex.getMessage.contains("buildPqIvfIndex"))
+    // explicit opt-in: serves with band = 0.0 (warning fires on stderr)
     val approx = PqIndex.pqIvfQuery(queries, s"$base/index", k = 5,
-      nprobe = 2, refine = 8)
+      nprobe = 2, refine = 8, allowPreBandIndex = true)
     assert(approx.count() > 0)
     assert(approx.groupBy($"qid").count().select(max($"count")).head().getLong(0) <= 5)
   }

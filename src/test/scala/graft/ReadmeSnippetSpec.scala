@@ -14,8 +14,8 @@ class ReadmeSnippetSpec extends SparkSuite {
     val docs = graft.queries.Registry.tbl(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
 
-    // 1. clean
-    val ann   = CorpusPipeline.annotate(docs, CorpusPipeline.Config())
+    // 1. clean (the README uses the at-scale production profile)
+    val ann   = CorpusPipeline.annotate(docs, CorpusPipeline.Config.production())
     val clean = ann.where(col("reject_reason").isNull)
       .select(col("doc_id"), col("text"), col("n_tokens"))
 
