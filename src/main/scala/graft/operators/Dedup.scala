@@ -244,6 +244,9 @@ object Dedup {
       nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
     import graft.operators.Similarity.hyperplanes
+    require(bitsPerTable > 0, "bitsPerTable must be explicit here; size it " +
+      "with bitsPerTableFor(corpusRows) (the 0 sentinel resolves in " +
+      "embeddingNearDups, which knows the corpus)")
     val planes = hyperplanes(nTables * bitsPerTable, dim)
     // bucket id per table t = sign bits of planes [t*b, t*b+b); each test is
     // a codegen'd dot of the raw embedding against a double-literal plane
@@ -261,11 +264,17 @@ object Dedup {
       norm2(toDouble(col(embCol))).as("nrm"), explode(array(bucketCols: _*)).as("tb"))
   }
 
+  /** `bitsPerTable = 0` auto-sizes buckets to the corpus via
+    * [[bitsPerTableFor]] (one count pass) — the at-scale mode: a fixed
+    * bit width leaves bucket sizes growing linearly with the corpus, and
+    * the within-bucket pair join quadratically.
+    */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
       roundScale: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
-    val bucketed = embeddingBuckets(emb, idCol, embCol, dim, nTables, bitsPerTable)
+    val bits = if (bitsPerTable > 0) bitsPerTable else bitsPerTableFor(emb.count())
+    val bucketed = embeddingBuckets(emb, idCol, embCol, dim, nTables, bits)
     val a = bucketed.select(col("tb"), col("id").as("id_a"),
       col("e").as("ea"), col("nrm").as("na"))
     val b = bucketed.select(col("tb"), col("id").as("id_b"),

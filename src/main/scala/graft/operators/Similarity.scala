@@ -69,6 +69,31 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** Hyperplane count sized to the corpus — the [[Dedup.bitsPerTableFor]]
+    * discipline applied to the ANN bucketing: buckets must GROW with n
+    * (2^nPlanes ≈ n / targetBucketRows) or per-bucket scan cost
+    * degenerates toward a full corpus scan as the corpus outgrows a fixed
+    * plane count. Clamped to [4, 24]. Recall decays slowly as planes grow
+    * (each extra bit costs ~(1 − θ/π) per bucket-match for a true
+    * neighbor at angle θ, compensated by multi-probe): measured at
+    * sf10/sf20 in SCALING.md (`tools/AnnRecall`), pinned small in
+    * AnnRecallSpec.
+    */
+  def nPlanesFor(corpusRows: Long, targetBucketRows: Int = 512): Int =
+    Dedup.bitsPerTableFor(corpusRows, targetBucketRows)
+
+  /** IVF cell count sized to the corpus: cells track `targetCellRows`
+    * (nlist ≈ n / targetCellRows, clamped to [8, 4096]) instead of n/nlist
+    * growing with the corpus — a fixed nlist makes every probe scan
+    * O(corpus/nlist) rows, which is a linear-in-n serve cost at 100 TB.
+    * 4096 cells × 4096 target rows covers ~16M rows per index shard;
+    * beyond that, shard the index (one coarse quantizer per shard) rather
+    * than inflating a single KMeans fit.
+    */
+  def nlistFor(corpusRows: Long, targetCellRows: Int = 4096): Int =
+    math.min(4096L, math.max(8L,
+      (corpusRows + targetCellRows - 1) / targetCellRows)).toInt
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets within `probeBits` sign flips (multi-probe LSH —
     * near neighbors that straddle a hyperplane land one bit away, so
@@ -76,25 +101,29 @@ object Similarity {
     * scanning the corpus).
     *
     * `nPlanes` trades recall for bucket size (16 planes ⇒ 65k buckets).
+    * `nPlanes = 0` auto-sizes to the corpus via [[nPlanesFor]] (one
+    * metadata-cheap count pass) — the at-scale mode: fixed planes are
+    * fine for a known corpus size, but recall/cost silently drifts when
+    * the corpus grows under them.
     * The corpus is hashed and shuffled by bucket once; only the (small)
     * query side fans out ×(1+nPlanes) for probing.
     */
   def lshAnn(queries: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 8, dim: Int = 64, probeBits: Int = 1): DataFrame = {
-    val q0 = withBucket(queries.select(col("qid"), col("embedding")), nPlanes, dim)
+    val np = if (nPlanes > 0) nPlanes else nPlanesFor(corpus.count())
+    val q0 = withBucket(queries.select(col("qid"), col("embedding")), np, dim)
       .select(col("qid"), col("embedding").as("qe"),
         norm2(col("embedding")).as("qn"), col("bucket"))
-    // all XOR masks with ≤ probeBits bits set over nPlanes planes —
-    // enumerated as bit-position combinations (C(nPlanes, ≤probeBits)
-    // masks), never 2^nPlanes
+    // all XOR masks with ≤ probeBits bits set over np planes — enumerated
+    // as bit-position combinations (C(np, ≤probeBits) masks), never 2^np
     val masks: Seq[Long] = (0 to probeBits).flatMap(sz =>
-      (0 until nPlanes).combinations(sz).map(_.foldLeft(0L)((m, p) => m | (1L << p))))
+      (0 until np).combinations(sz).map(_.foldLeft(0L)((m, p) => m | (1L << p))))
     val flips: Seq[org.apache.spark.sql.Column] = masks.map(lit(_))
     val q = broadcast(q0
       .withColumn("__flip", explode(array(flips: _*)))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("__flip")))
       .drop("__flip"))
-    val c = withBucket(corpus.select(col("id").as("nid"), col("embedding")), nPlanes, dim)
+    val c = withBucket(corpus.select(col("id").as("nid"), col("embedding")), np, dim)
       .select(col("nid"), col("embedding").as("ne"),
         norm2(col("embedding")).as("nn"), col("bucket"))
     val sims = c.join(q, Seq("bucket"))
@@ -144,10 +173,13 @@ object Similarity {
     * `nprobe` nearest cells. The classic ANN scale path: the corpus is
     * assigned once (and can be persisted bucketed by cell); per-query work
     * drops from O(n) to O(n·nprobe/nlist). Deterministic via fixed seed.
+    * `nlist = 0` auto-sizes cells to the corpus via [[nlistFor]] — at a
+    * fixed nlist, per-probe cost grows linearly with the corpus.
     */
   def ivfAnn(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxFitRows: Int = 100000): DataFrame = {
+    val nl = if (nlist > 0) nlist else nlistFor(corpus.count())
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
     // Fit the coarse quantizer on a bounded, deterministic, corpus-SPREAD
     // sample (top maxFitRows by id-hash — a uniform draw, where an id-prefix
@@ -156,7 +188,7 @@ object Similarity {
     // scale-killer at 100 TB, and centroid quality saturates long before
     // 100k rows. The full corpus is still assigned to cells exactly once.
     val fitSet = fitSample(cVec, maxFitRows)
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+    val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSet)
     val assigned = model.transform(cVec)
       .select(col("id").as("nid"), col("embedding").as("ne"),
@@ -187,8 +219,9 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
       seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
+    val nl = if (nlist > 0) nlist else nlistFor(corpus.count())
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
+    val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSample(cVec, maxFitRows))
     model.transform(cVec)
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),

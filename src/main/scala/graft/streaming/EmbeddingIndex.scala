@@ -31,11 +31,43 @@ object EmbeddingIndex {
     StructField("tb", StructType(Seq(
       StructField("t", IntegerType), StructField("b", IntegerType))))))
 
-  /** Seed the index from an existing corpus, as delta = -1. */
+  /** Seed the index from an existing corpus, as delta = -1.
+    *
+    * `bitsPerTable = 0` auto-sizes buckets to the SEED corpus via
+    * [[Dedup.bitsPerTableFor]]. Whatever geometry is chosen is persisted
+    * as a one-row `_geometry` parquet under the index (the underscore
+    * prefix keeps it invisible to the delta partition-discovery read):
+    * every row of every delta must be bucketed by the SAME hyperplanes,
+    * or probes silently miss — the geometry rides with the index so
+    * [[start]] can enforce that instead of trusting the caller to repeat
+    * the right parameters forever.
+    */
   def seed(emb: DataFrame, idCol: String, embCol: String, dim: Int,
-      indexDir: String, nTables: Int = 8, bitsPerTable: Int = 4): Unit =
-    Dedup.embeddingBuckets(emb, idCol, embCol, dim, nTables, bitsPerTable)
+      indexDir: String, nTables: Int = 8, bitsPerTable: Int = 4): Unit = {
+    val bits = if (bitsPerTable > 0) bitsPerTable
+      else Dedup.bitsPerTableFor(emb.count())
+    Dedup.embeddingBuckets(emb, idCol, embCol, dim, nTables, bits)
       .write.mode("overwrite").parquet(s"$indexDir/delta=-1")
+    emb.sparkSession.createDataFrame(Seq((nTables, bits, dim)))
+      .toDF("n_tables", "bits_per_table", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_geometry")
+  }
+
+  /** The index's persisted LSH geometry, if it carries one (indexes seeded
+    * before the `_geometry` row existed do not — their callers must keep
+    * passing the original parameters).
+    */
+  def readGeometry(spark: SparkSession,
+      indexDir: String): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$indexDir/_geometry").head()
+      Some((r.getAs[Int]("n_tables"), r.getAs[Int]("bits_per_table"),
+        r.getAs[Int]("dim")))
+    }
+  }
 
   /** Start the streaming near-dup detector. Output rows land in
     * `outDir/batch=<id>/` as (id_new, id_other, cos, with id_other from
@@ -45,7 +77,19 @@ object EmbeddingIndex {
       indexDir: String, outDir: String, checkpointDir: String,
       threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
       roundScale: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // a probe bucketed under DIFFERENT hyperplanes than the index's rows
+    // never collides with them — the stream would run green while finding
+    // nothing. Refuse a geometry mismatch up front (the PqIndex pre-band
+    // discipline: silent recall loss must be an error, not a log line).
+    readGeometry(emb.sparkSession, indexDir).foreach { case (t, b, d) =>
+      require(t == nTables && b == bitsPerTable && d == dim,
+        s"index at $indexDir was seeded with geometry (nTables=$t, " +
+          s"bitsPerTable=$b, dim=$d) but start() was given (nTables=$nTables, " +
+          s"bitsPerTable=$bitsPerTable, dim=$dim) — probes under a different " +
+          "geometry silently miss every indexed row; pass the seeded values " +
+          "or rebuild the index")
+    }
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -92,4 +136,5 @@ object EmbeddingIndex {
         } finally { bb.unpersist(); () }
       }
       .start()
+  }
 }

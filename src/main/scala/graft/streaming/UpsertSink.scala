@@ -47,6 +47,40 @@ import graft.operators.Upsert
   */
 object UpsertSink {
 
+  /** Provision `nBuckets` for an expected table size (the SCALING.md rule
+    * as API — r8 verdict ask #7): per-batch merge cost is touched-bucket
+    * BYTES, so bucket bytes must stay bounded as the table grows. This
+    * sizes buckets to ~`targetBucketBytes` (256 MB default — a comfortable
+    * single-task read+merge+write unit and a healthy parquet file size),
+    * floored at 16 and capped at the sink's 2^20 driver-state bound (at
+    * the cap and default target, one table generation covers ~256 TB).
+    *
+    * Cost model the number encodes: a CONCENTRATED change batch (the
+    * common CDC shape) merges in O(touched buckets × targetBucketBytes) —
+    * flat as the table grows (measured: UpsertSoak hot ~2 s across 5×
+    * growth). A UNIFORM batch of K keys touches min(K, nBuckets) buckets,
+    * so its bound is min(K × targetBucketBytes, tableBytes) — a genuinely
+    * table-wide update is an irreducible table-wide rewrite; raising
+    * nBuckets past the working-set size trades that down against file
+    * granularity.
+    *
+    * RESIZE PATH: the bucket count is pinned by the table's FIRST commit
+    * (a silent change would re-key the layout and orphan every existing
+    * row). To resize, build a NEW table generation: read the current table
+    * ([[readTable]]), write it through a fresh sink at the new nBuckets
+    * (one pass, I-ops), point readers at the new tableDir, retire the old
+    * one. The commit protocol's atomic-latest semantics make the cutover a
+    * reader-side path swap, not a data migration window.
+    */
+  def nBucketsFor(expectedTableBytes: Long,
+      targetBucketBytes: Long = 256L << 20): Int = {
+    require(expectedTableBytes >= 0 && targetBucketBytes > 0,
+      s"bad sizing inputs: tableBytes=$expectedTableBytes target=$targetBucketBytes")
+    val needed =
+      (expectedTableBytes + targetBucketBytes - 1) / targetBucketBytes
+    math.min(1L << 20, math.max(16L, needed)).toInt
+  }
+
   /** A published table state: the batch that committed it, the bucket count
     * it was written with, the live version dir per non-empty bucket, and
     * the table schema (JSON, `StructType.json`).

@@ -1,0 +1,199 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-gate tool: recall-at-scale for the NON-PQ ANN / embedding-near-dup
+  * tiers (q43 lshAnn, q46/q100 ivfAnn + persisted index, q44
+  * embeddingNearDups, q89 streaming embedding index) — the round-8 ask:
+  * `tools/PqRecall` proved fixed ANN parameters can decay silently with
+  * corpus growth, so every tier gets the same treatment.
+  *
+  * Two failure modes, measured separately:
+  *
+  *  - FIXED parameters (the registry queries' small-SF configs): for
+  *    sign-LSH and IVF the recall typically HOLDS as the corpus grows —
+  *    the bucket/cell count is fixed, so buckets grow and a probe scans an
+  *    ever-larger corpus fraction. The decay is in COST, reported here as
+  *    candidates-per-query (the per-probe scan volume).
+  *  - AUTO-SIZED parameters ([[Similarity.nPlanesFor]] /
+  *    [[Similarity.nlistFor]] / [[Dedup.bitsPerTableFor]], the 100 TB
+  *    mode): cost stays bounded by construction, so the question becomes
+  *    recall — more planes/cells mean a true neighbor is more likely to
+  *    land outside the probed buckets. That recall is what must be
+  *    measured at every scale step, and what AnnRecallSpec pins small.
+  *
+  * Methodology mirrors PqRecall: ground truth is [[Similarity
+  * .bruteForceKnn]] over the same query set (top-k tiers), or a
+  * deterministic sampled-endpoint exact-cosine pair set (pair tiers).
+  * For [[Dedup.embeddingNearDups]] the end-to-end recall EQUALS candidate
+  * recall on true pairs (the verify stage is exact and the threshold
+  * filter passes every true pair by construction), and a vector's bucket
+  * depends only on the vector — so the tool computes bucket collisions on
+  * the truth pairs directly instead of materializing the full corpus×corpus
+  * pair join. The streaming tier (q89) is measured END TO END: seed the
+  * index with the corpus, stream one batch of held-out queries, compare
+  * emitted pairs against the batch×corpus exact answer.
+  *
+  * Usage: runMain graft.tools.AnnRecall <sfDir> [nQueries] [k]
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/repo/data/sf10"
+    val nQ = if (args.length > 1) args(1).toInt else 100
+    val k = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val queries = emb.where(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.where(col("vec_id") >= nQ)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val nCorpus = corpus.count()
+
+    val exact = Similarity.bruteForceKnn(queries, corpus, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+
+    def timedRecall(label: String, mk: () => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val approx = mk().select(col("qid"), col("nid")).localCheckpoint()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val hits = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
+      val recall = hits.toDouble / (nQ.toLong * k)
+      println(f"""TOPK {"tier":"$label","recall":$recall%.3f,"wall_s":$sec%.1f}""")
+    }
+
+    // --- q43 tier: sign-LSH multi-probe top-k ---------------------------
+    // fixed = the registry config; auto = nPlanesFor(corpus)
+    timedRecall("lsh_fixed_p4",
+      () => Similarity.lshAnn(queries, corpus, k, nPlanes = 4, dim = dim, probeBits = 2))
+    val planesAuto = Similarity.nPlanesFor(nCorpus)
+    timedRecall(s"lsh_auto_p$planesAuto",
+      () => Similarity.lshAnn(queries, corpus, k, nPlanes = 0, dim = dim, probeBits = 2))
+
+    // --- q46/q100 tier: IVF top-k (in-job and persisted-index serve) ----
+    timedRecall("ivf_fixed_l8",
+      () => Similarity.ivfAnn(queries, corpus, k, nlist = 8, nprobe = 3))
+    val nlistAuto = Similarity.nlistFor(nCorpus)
+    timedRecall(s"ivf_auto_l$nlistAuto",
+      () => Similarity.ivfAnn(queries, corpus, k, nlist = 0, nprobe = 4))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-annrecall-")
+      .toString + "/ivf"
+    Similarity.buildIvfIndex(corpus, idxDir, nlist = 0)
+    timedRecall(s"ivf_index_auto_l$nlistAuto",
+      () => Similarity.ivfIndexQuery(queries, idxDir, k, nprobe = 4))
+
+    // --- q44 tier: embedding near-dup pair recall -----------------------
+    // Ground truth: every exact cos>=0.9 pair with a sampled endpoint
+    // (deterministic ~nQ-id hash sample over the FULL table). A pair is
+    // emitted by embeddingNearDups iff its two buckets collide in >=1
+    // table (the cosine verify is exact), and buckets are per-row
+    // functions, so collision checked on the truth pairs IS the
+    // full-corpus recall.
+    import graft.functions.VectorFunctions.{dot, norm2, toDouble}
+    val all = emb.select(col("vec_id").as("id"), col("embedding"))
+    val nAll = nCorpus + nQ
+    val sampleEvery = math.max(1L, nAll / nQ)
+    val sampled = all.where(pmod(xxhash64(col("id")), lit(sampleEvery)) === 0)
+    val sa = sampled.select(col("id").as("id_a"), toDouble(col("embedding")).as("ea"),
+      norm2(col("embedding")).as("na"))
+    val sb = all.select(col("id").as("id_b"), toDouble(col("embedding")).as("eb"),
+      norm2(col("embedding")).as("nb"))
+    val truth = sb.join(broadcast(sa), col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("raw"))
+      .where(col("raw") >= 0.8999)
+      .where(round(col("raw"), 4) >= 0.9)
+      .select(col("id_a"), col("id_b")).distinct().localCheckpoint()
+    val nTruth = truth.count()
+
+    def pairRecall(label: String, bits: Int, nTables: Int): Unit = {
+      val ids = truth.select(col("id_a").as("id"))
+        .unionByName(truth.select(col("id_b").as("id"))).distinct()
+      val bucketed = Dedup.embeddingBuckets(
+          all.join(ids, Seq("id"), "left_semi"), "id", "embedding", dim,
+          nTables = nTables, bitsPerTable = bits)
+        .groupBy(col("id")).agg(collect_set(col("tb")).as("tbs"))
+      val hit = truth
+        .join(bucketed.select(col("id").as("id_a"), col("tbs").as("tba")), Seq("id_a"))
+        .join(bucketed.select(col("id").as("id_b"), col("tbs").as("tbb")), Seq("id_b"))
+        .where(size(array_intersect(col("tba"), col("tbb"))) > 0)
+        .count()
+      // cost proxy: candidate pairs the within-bucket join would generate
+      // over the FULL corpus at this bit width = sum over buckets of
+      // C(size, 2) — computable from the bucket histogram without
+      // generating a single pair
+      val cand = Dedup.embeddingBuckets(all, "id", "embedding", dim,
+          nTables = nTables, bitsPerTable = bits)
+        .groupBy(col("tb")).count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      println(f"""PAIR {"tier":"$label","bits":$bits,"tables":$nTables,""" +
+        f""""pair_recall":${hit.toDouble / math.max(1L, nTruth)}%.3f,""" +
+        f""""true_pairs":$nTruth,"candidate_pairs":$cand}""")
+    }
+    pairRecall("neardup_fixed_b4", 4, 8)
+    val bitsAuto = Dedup.bitsPerTableFor(nAll)
+    pairRecall(s"neardup_auto_b$bitsAuto", bitsAuto, 8)
+    // the recall dial at bounded per-bucket cost: more tables, same bits —
+    // per-pair miss falls geometrically with tables while candidate volume
+    // grows only linearly (vs exponentially when bits shrink)
+    pairRecall(s"neardup_auto_b${bitsAuto}_t12", bitsAuto, 12)
+
+    // --- q89 tier: streaming embedding index, end to end ----------------
+    // Seed the full corpus at auto geometry, stream the nQ held-out
+    // queries as one batch, compare emitted pairs against the exact
+    // batch×corpus answer (cheap: |batch| × n dots).
+    val streamBase = java.nio.file.Files.createTempDirectory("graft-annrecall-s-")
+      .toString
+    graft.streaming.EmbeddingIndex.seed(corpus.select(col("id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", dim, s"$streamBase/index",
+      bitsPerTable = 0)
+    val (gT, gBits, gDim) = graft.streaming.EmbeddingIndex
+      .readGeometry(spark, s"$streamBase/index").get
+    val batchDf = queries.select(col("qid").as("vec_id"), col("embedding"))
+    batchDf.coalesce(1).write.mode("overwrite").parquet(s"$streamBase/src")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet(s"$streamBase/src")
+    graft.streaming.EmbeddingIndex.start(stream, "vec_id", "embedding", gDim,
+      s"$streamBase/index", s"$streamBase/pairs", s"$streamBase/ck",
+      threshold = 0.9, nTables = gT, bitsPerTable = gBits)
+      .awaitTermination()
+    val found = spark.read
+      .schema("id_new long, id_other long, cos double, batch long")
+      .parquet(s"$streamBase/pairs")
+      .select(col("id_new"), col("id_other"))
+    val qa = queries.select(col("qid").as("id_new"),
+      toDouble(col("embedding")).as("ea"), norm2(col("embedding")).as("na"))
+    val streamTruth = corpus
+      .select(col("id").as("id_other"), toDouble(col("embedding")).as("eb"),
+        norm2(col("embedding")).as("nb"))
+      .join(broadcast(qa))
+      .select(col("id_new"), col("id_other"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("raw"))
+      .where(col("raw") >= 0.8999)
+      .where(round(col("raw"), 4) >= 0.9)
+      .select(col("id_new"), col("id_other")).localCheckpoint()
+    val nStreamTruth = streamTruth.count()
+    val streamHits = found.join(streamTruth, Seq("id_new", "id_other"), "left_semi").count()
+    println(f"""STREAM {"tier":"stream_index_auto_b$gBits",""" +
+      f""""pair_recall":${streamHits.toDouble / math.max(1L, nStreamTruth)}%.3f,""" +
+      f""""true_pairs":$nStreamTruth}""")
+
+    println(s"""{"sf":"$sfDir","n_corpus":$nCorpus,"n_queries":$nQ,"k":$k,""" +
+      s""""planes_auto":$planesAuto,"nlist_auto":$nlistAuto,"bits_auto":$bitsAuto}""")
+    spark.stop()
+  }
+}

@@ -188,6 +188,38 @@ class UpsertSinkSpec extends SparkSuite {
     assert(tableState(s"$base/ok") == Map(1L -> "a1"))
   }
 
+  test("nBucketsFor provisions bucket bytes, floors, caps, and round-trips the resize path") {
+    import UpsertSink.nBucketsFor
+    // small tables floor at 16; growth tracks 256 MB buckets; the 2^20
+    // driver-state cap holds (256 TB at the default target)
+    assert(nBucketsFor(0L) == 16)
+    assert(nBucketsFor(200L << 20) == 16) // 200 MB table → floor
+    assert(nBucketsFor(100L << 30) == 400) // 100 GB / 256 MB
+    assert(nBucketsFor(100L * (1L << 40)) == 409600) // 100 TB
+    assert(nBucketsFor(1000L * (1L << 40)) == (1 << 20)) // capped
+    assert(nBucketsFor(1L << 30, targetBucketBytes = 1L << 20) == 1024)
+    intercept[IllegalArgumentException](nBucketsFor(-1L))
+    intercept[IllegalArgumentException](nBucketsFor(1L, targetBucketBytes = 0L))
+
+    // resize path: rebuild into a NEW generation at the derived count —
+    // the old table reads out, writes through a fresh sink, and the new
+    // commit is pinned at the new bucket count
+    val base = tmpDir("graft-usink-resize-")
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+    UpsertSink.applyBatch(batchDf((1L, "a", "I", 1L), (2L, "b", "I", 1L)),
+      0L, s"$base/gen1", "id", "op", Seq("seq"), nBuckets = 4)
+    import org.apache.spark.sql.functions.lit
+    val gen1 = UpsertSink.readTable(spark, s"$base/gen1").get
+    UpsertSink.applyBatch(gen1.withColumn("op", lit("I")).withColumn("seq", lit(0L)),
+      0L, s"$base/gen2", "id", "op", Seq("seq"), nBuckets = 32)
+    assert(tableState(s"$base/gen2") == Map(1L -> "a", 2L -> "b"))
+    // subsequent batches keep working against the new generation
+    UpsertSink.applyBatch(batchDf((2L, "b2", "U", 2L)),
+      1L, s"$base/gen2", "id", "op", Seq("seq"), nBuckets = 32)
+    assert(tableState(s"$base/gen2") == Map(1L -> "a", 2L -> "b2"))
+  }
+
   test("a batch rewrites only the buckets its keys touch") {
     import org.apache.spark.sql.functions.{concat, hash, lit, pmod, col}
     val base = tmpDir("graft-usink-local-")

@@ -120,4 +120,110 @@ class MaintenanceSoakSpec extends SparkSuite {
     all.unpersist()
     ()
   }
+
+  test("backfill and erase hold zero-lost/zero-dup through live ingest") {
+    // Round-9 extension (VERDICT r8 ask #4): Backfill's dynamic-partition
+    // overwrite and Erase's copy-on-write rewrite share Compact's
+    // two-phase protocol but have their own manifest-fold interactions —
+    // soak them against a live Deliver committing micro-batches.
+    //
+    // Race discipline: backfill targets a QUIESCED partition (hour
+    // 2024-01-06 02:00 = event_ids 166-170, all delivered in the static
+    // phase; live ids >= 300 land in later days — the sf events' ids are
+    // time-correlated). That mirrors the production runbook: "replace
+    // partition contents" is only well-defined for partitions no longer
+    // receiving data; a racing append into a repaired partition is
+    // overwritten BY DESIGN (dynamic-partition-overwrite semantics).
+    // Erase keys are likewise already-delivered ids the live stream never
+    // re-sends. The live stream's own commits race both operators' lake
+    // listing, lock, and manifest folds — that's the interaction under
+    // test.
+    val base = tmpDir("graft-soak2-")
+    val all = graft.queries.Registry.tbl(spark, sfDir, "events")
+      .where($"event_id" < 600)
+      .select($"event_id", $"ts").cache()
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+      manifestDir = Some(s"$base/manifest"),
+      trigger = Trigger.AvailableNow(), clock = clock)
+    def stage(lo: Long, hi: Long): Unit =
+      ShardedLog.put(ShardedLog.fromEvents(
+        graft.queries.Registry.tbl(spark, sfDir, "events")
+          .where($"event_id" >= lo && $"event_id" < hi)), s"$base/log")
+    def deliver(lo: Long, hi: Long): Unit = {
+      stage(lo, hi)
+      Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg)
+        .awaitTermination()
+    }
+    val erasedIds = Set(10L, 20L, 30L)
+    val droppedIds = Set(170L)
+    def manifestRows() = ManifestReader.read(spark, s"$base/manifest")
+    def assertState(hi: Long, gone: Set[Long], label: String): Unit = {
+      val got = manifestRows().select($"event_id").as[Long].collect().toSeq
+      assert(got.size == got.distinct.size, s"$label: duplicates via manifest")
+      val expected = all.where($"event_id" < hi).select($"event_id").as[Long]
+        .collect().filterNot(gone).sorted.toSeq
+      assert(got.sorted == expected,
+        s"$label: lost=${(expected.toSet -- got).size} extra=${(got.toSet -- expected).size}")
+    }
+
+    // static phase: land ids 0-300, then snapshot the repair input
+    deliver(0, 300)
+    assertState(300, Set.empty, "after static deliveries")
+    // the repair: hour 2024-01-06 02:00 rewritten with status REPAIRED and
+    // id 170 dropped — snapshot NOW (localCheckpoint) so mid-soak re-runs
+    // replay the same repair instead of re-reading a lake being repaired
+    val partFilter = $"year" === 2024 && $"month" === 1 && $"day" === 6 && $"hour" === 2
+    val repaired = spark.read.parquet(s"$base/lake").where(partFilter)
+      .where(!$"event_id".isin(droppedIds.toSeq: _*))
+      .withColumn("status", lit("REPAIRED"))
+      .localCheckpoint()
+    assert(repaired.count() == 4, "fixture drift: expected ids 166-169 in the hour")
+    val partCols = Seq("year", "month", "day", "hour")
+
+    // live phase: ids 300-600 commit one staged file per micro-batch while
+    // backfill and erase run against the same lake + manifest chain
+    (300L until 600L by 50L).foreach(lo => stage(lo, lo + 50))
+    val live = Deliver.start(
+      ShardedLog.readStream(spark, s"$base/log", maxFilesPerTrigger = Some(1)),
+      payloadSchema, cfg)
+    var backfills = 0
+    var erases = 0
+    var prev = Set.empty[Long]
+    while (live.isActive && (backfills < 3 || erases < 3)) {
+      val s = Backfill.overwritePartitions(repaired, s"$base/lake", partCols,
+        manifestDir = Some(s"$base/manifest"))
+      if (s.partitionsPacked > 0) backfills += 1
+      val e = Erase.eraseKeys(spark, s"$base/lake", "event_id",
+        erasedIds.toSeq.toDF("event_id"), Some(s"$base/manifest"))
+      if (e.filesBefore > 0) erases += 1
+      // mid-flight: never a duplicate, never a vanished record beyond the
+      // ones maintenance deliberately removed
+      val ids = manifestRows().select($"event_id").as[Long].collect().toSeq
+      assert(ids.size == ids.distinct.size, "mid-soak: duplicates via manifest")
+      val now = ids.toSet
+      assert(prev.subsetOf(now ++ erasedIds ++ droppedIds),
+        s"mid-soak: ${(prev -- now -- erasedIds -- droppedIds).size} committed records vanished")
+      prev = now
+    }
+    live.awaitTermination()
+    assert(backfills > 0, "the soak must land at least one backfill under live ingest")
+    assert(erases > 0, "the soak must land at least one erase under live ingest")
+    // converged end state: every delivered id exactly once, minus the
+    // erased keys and the backfill-dropped record; the repaired rows carry
+    // the repair
+    assertState(600, erasedIds ++ droppedIds, "after live overlap")
+    val repairedStatuses = manifestRows().where($"event_id".isin(166L, 167L, 168L, 169L))
+      .select($"status").as[String].collect().toSeq
+    assert(repairedStatuses.size == 4 && repairedStatuses.forall(_ == "REPAIRED"),
+      "backfilled rows must carry the repaired payload")
+    // idempotent convergence: re-running both maintenance ops on the quiet
+    // lake is a no-op
+    val s2 = Erase.eraseKeys(spark, s"$base/lake", "event_id",
+      erasedIds.toSeq.toDF("event_id"), Some(s"$base/manifest"))
+    assert(s2.filesBefore == 0, "erase must converge (no affected files on re-run)")
+    assertState(600, erasedIds ++ droppedIds, "after idempotent re-run")
+
+    all.unpersist()
+    ()
+  }
 }
