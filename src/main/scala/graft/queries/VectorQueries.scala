@@ -91,8 +91,11 @@ object VectorQueries {
       val aug = emb.select(col("vec_id"), col("embedding"))
         .unionByName(emb.filter(col("vec_id") < 100)
           .select((col("vec_id") + 8010000000L).as("vec_id"), col("embedding")))
+      // bitsPerTable = 0: the auto-sized at-scale form (r9) — resolves to
+      // the 4-bit floor at oracle SFs (identical output), grows with the
+      // corpus beyond ~8k rows so the contract keeps meaning at any SF
       val approx = Dedup.embeddingNearDups(aug, "vec_id", "embedding",
-        dim = 64, threshold = 0.9)
+        dim = 64, threshold = 0.9, bitsPerTable = 0)
       val e = toDouble(col("embedding"))
       // verifier width pin: the probe side otherwise inherits the 1-2
       // partition parquet scan, so at sf≥1 the all-pairs BNLJ baseline runs
@@ -335,8 +338,13 @@ object VectorQueries {
       import graft.streaming.EmbeddingIndex
       val base = Registry.tmpDir("graft-q89-")
       val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // seed at the auto-sized geometry (bits resolve from the seed corpus
+      // — the 4-bit floor at oracle SFs), then probe under the PERSISTED
+      // geometry: the r9 contract that probes can never silently run under
+      // different hyperplanes than the index
       EmbeddingIndex.seed(emb.where(col("vec_id") < 200), "vec_id", "embedding",
-        dim = 64, s"$base/index")
+        dim = 64, s"$base/index", bitsPerTable = 0)
+      val (gT, gBits, gDim) = EmbeddingIndex.readGeometry(s, s"$base/index").get
       def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit =
         Registry.stageOrderedFile(df, s"$base/src", name, mtime)
       val t0 = System.currentTimeMillis() - 600000
@@ -344,8 +352,9 @@ object VectorQueries {
       stage(emb.where(col("vec_id") >= 350 && col("vec_id") < 500), "b1", t0 + 2000)
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/src")
-      EmbeddingIndex.start(stream, "vec_id", "embedding", dim = 64,
-        s"$base/index", s"$base/pairs", s"$base/ck", threshold = 0.9)
+      EmbeddingIndex.start(stream, "vec_id", "embedding", gDim,
+        s"$base/index", s"$base/pairs", s"$base/ck", threshold = 0.9,
+        nTables = gT, bitsPerTable = gBits)
         .awaitTermination()
       val found = s.read
         .schema("id_new long, id_other long, cos double, batch long")
