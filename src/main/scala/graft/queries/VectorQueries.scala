@@ -249,7 +249,10 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      val approx = Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 4, dim = 64,
+      // nPlanes = 0: the auto-sized at-scale form (r9) — the 4-plane floor
+      // at oracle SFs (identical output), growing with the corpus beyond
+      // ~8k vectors (measured 0.99/0.986 recall at sf10/sf20, SCALING.md)
+      val approx = Similarity.lshAnn(queries, corpus, k = 5, nPlanes = 0, dim = 64,
         probeBits = 2)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
@@ -264,7 +267,10 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 8, nprobe = 3)
+      // nlist = 0: auto-sized cells (the 8-cell floor at oracle SFs —
+      // identical output; cells track ~4096 rows at scale, measured 1.000
+      // recall at sf10/sf20)
+      val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 0, nprobe = 3)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
@@ -281,7 +287,10 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      Similarity.buildIvfIndex(corpus, s"$base/index", nlist = 8)
+      // nlist = 0: auto-sized cells (8-cell floor here; ~4096-row cells at
+      // scale — the persisted-index serve path measured 1.000 recall and
+      // 2.8-3.8 s serve at sf10/sf20)
+      Similarity.buildIvfIndex(corpus, s"$base/index", nlist = 0)
       val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 3)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
