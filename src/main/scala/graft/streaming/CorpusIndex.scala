@@ -141,7 +141,11 @@ object CorpusIndex {
       compactDeltas(spark, s"$indexDir/arrays", ArraysSchema)
 
   /** Seed the NEAR-dup index (LSH bands + shingle arrays) from an existing
-    * corpus, as delta = -1.
+    * corpus, as delta = -1. The MinHash geometry (k, rowsPerBand) is
+    * persisted as a one-row `_geometry` parquet under the index: every
+    * delta's band signatures must come from the SAME k and banding or
+    * probes never collide with the index ([[startNear]] enforces it — the
+    * [[EmbeddingIndex]] / PqIndex silent-recall-loss discipline).
     */
   def seedNear(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
       k: Int = 16, rowsPerBand: Int = 2): Unit = {
@@ -149,6 +153,24 @@ object CorpusIndex {
     arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=-1")
     Dedup.minhashBandsNarrow(arrays, k, rowsPerBand)
       .write.mode("overwrite").parquet(s"$indexDir/bands/delta=-1")
+    docs.sparkSession.createDataFrame(Seq((k, rowsPerBand)))
+      .toDF("k", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_geometry")
+  }
+
+  /** The near-dup index's persisted MinHash geometry, if it carries one
+    * (indexes seeded before the `_geometry` row do not — their callers
+    * must keep passing the original parameters).
+    */
+  def readNearGeometry(spark: SparkSession,
+      indexDir: String): Option[(Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$indexDir/_geometry").head()
+      Some((r.getAs[Int]("k"), r.getAs[Int]("rows_per_band")))
+    }
   }
 
   /** Streaming NEAR-dup detection against an accumulating LSH index — the
@@ -172,7 +194,18 @@ object CorpusIndex {
   def startNear(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       k: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // band signatures from a different k/banding never match the index's —
+    // the stream would run green while detecting nothing. Refuse a
+    // geometry mismatch up front.
+    readNearGeometry(docs.sparkSession, indexDir).foreach { case (gk, gr) =>
+      require(gk == k && gr == rowsPerBand,
+        s"near-dup index at $indexDir was seeded with geometry (k=$gk, " +
+          s"rowsPerBand=$gr) but startNear() was given (k=$k, " +
+          s"rowsPerBand=$rowsPerBand) — probes under a different MinHash " +
+          "geometry silently miss every indexed doc; pass the seeded " +
+          "values or rebuild the index")
+    }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -193,6 +226,7 @@ object CorpusIndex {
         } finally { bands.unpersist(); arrays.unpersist(); () }
       }
       .start()
+  }
 
   /** Start the streaming dedup. `docs` is a streaming DataFrame with
     * (idCol: long, textCol: string). Verdicts land in

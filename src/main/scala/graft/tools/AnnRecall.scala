@@ -152,6 +152,25 @@ object AnnRecall {
     // grows only linearly (vs exponentially when bits shrink)
     pairRecall(s"neardup_auto_b${bitsAuto}_t12", bitsAuto, 12)
 
+    // --- q84/q102 tier: SemDeDup pair recall ----------------------------
+    // semanticNearDups' candidate stage is corpus-dependent (KMeans cells
+    // + rank bands), so unlike the sign-LSH tier it must run END TO END:
+    // one full pass at the auto-sized quantizer (linear cost by
+    // construction, measured sub-linear wall sf10→sf20 in SCALING.md),
+    // then recall against the same sampled-endpoint truth. Its documented
+    // approximation contract is cluster/band-local comparison — pairs
+    // split across cells or >1 band apart are the expected misses.
+    val semT0 = System.nanoTime()
+    val semPairs = Similarity.semanticNearDups(
+        all.select(col("id"), col("embedding")), "id", "embedding",
+        threshold = 0.9)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val semSec = (System.nanoTime() - semT0) / 1e9
+    val semHits = truth.join(semPairs, Seq("id_a", "id_b"), "left_semi").count()
+    println(f"""SEM {"tier":"semdedup_auto","pair_recall":${
+      semHits.toDouble / math.max(1L, nTruth)}%.3f,""" +
+      f""""true_pairs":$nTruth,"wall_s":$semSec%.1f}""")
+
     // --- q89 tier: streaming embedding index, end to end ----------------
     // Seed the full corpus at auto geometry, stream the nQ held-out
     // queries as one batch, compare emitted pairs against the exact

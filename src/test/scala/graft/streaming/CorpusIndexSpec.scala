@@ -108,6 +108,35 @@ class CorpusIndexSpec extends SparkSuite {
       (22L, 21L))) // within batch 1, smaller id is the "other"
   }
 
+  test("near-dup index persists its MinHash geometry; startNear refuses a mismatch") {
+    // band signatures from a different k/banding never match the index's —
+    // a mismatched stream would run green while detecting nothing (the
+    // EmbeddingIndex/PqIndex silent-recall-loss discipline, lexical form)
+    val base = tmpDir("graft-ci-geom-")
+    def words(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    CorpusIndex.seedNear(Seq((1L, words("alpha"))).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/index", k = 16, rowsPerBand = 2)
+    assert(CorpusIndex.readNearGeometry(spark, s"$base/index").contains((16, 2)))
+    // the _geometry row must not leak into the band/array delta reads
+    assert(spark.read.parquet(s"$base/index/bands").columns.contains("delta"))
+    val src = s"$base/src"
+    stageFile(Seq((10L, words("alpha") + " tail")), src, "b0",
+      System.currentTimeMillis() - 60000)
+    val docs = spark.readStream.schema("doc_id long, text string").parquet(src)
+    val ex = intercept[IllegalArgumentException] {
+      CorpusIndex.startNear(docs, "doc_id", "text",
+        s"$base/index", s"$base/pairs", s"$base/ck", k = 32, rowsPerBand = 4)
+    }
+    assert(ex.getMessage.contains("geometry"))
+    // matched geometry streams and finds the seed pair
+    CorpusIndex.startNear(docs, "doc_id", "text",
+      s"$base/index", s"$base/pairs", s"$base/ck").awaitTermination()
+    val got = spark.read.schema("id_new long, id_other long, jaccard double, batch long")
+      .parquet(s"$base/pairs").select($"id_new", $"id_other").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((10L, 1L)))
+  }
+
   test("delta compaction folds the index without changing what a probe sees") {
     val base = Files.createTempDirectory("graft-cic-").toString
     CorpusIndex.seed(Seq((1L, "alpha one"), (2L, "beta two")).toDF("doc_id", "text"),
