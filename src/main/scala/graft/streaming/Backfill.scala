@@ -41,14 +41,15 @@ object Backfill {
     */
   def overwritePartitions(repaired: DataFrame, lakeDir: String,
       partitionCols: Seq[String], manifestDir: Option[String] = None,
-      crashBeforePromote: Boolean = false): Compact.Stats = {
+      crashBeforePromote: Boolean = false,
+      lock: LockProvider = FsLeaseLock): Compact.Stats = {
     require(partitionCols.nonEmpty, "backfill needs at least one partition column")
     val spark = repaired.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
     fs.mkdirs(lake)
-    Compact.withWriterLock(fs, lake) {
+    Compact.withWriterLock(fs, lake, lock = lock) {
     Compact.recoverUnlocked(spark, lakeDir, manifestDir)
 
     // 1. stage the repaired partitions (underscore dir ⇒ invisible)

@@ -44,74 +44,26 @@ object Compact {
 
   private[streaming] def ctl(lake: HPath, name: String) = new HPath(lake, s"_compact/$name")
 
-  /** Exclusive per-lake maintenance lock, with a heartbeat LEASE. The whole
-    * maintenance family (Compact/Backfill/Erase/Retention) shares
-    * `_compact/` control files and assumes ONE writer: two interleaved
-    * passes could each read the other's intent as their own crash to
-    * recover, promoting or retiring the wrong files. The lock turns that
-    * silent interleave into a fail-fast: `fs.create(…, overwrite=false)` is
-    * atomic on HDFS and local filesystems, so exactly one of two racing
-    * writers wins. (On S3 without a consistency layer neither
-    * create-if-absent nor rename is atomic — front the lake with a real
-    * lock service, or use S3 conditional PUTs, there.)
+  /** Exclusive per-lake maintenance lock. The whole maintenance family
+    * (Compact/Backfill/Erase/Retention) shares `_compact/` control files
+    * and assumes ONE writer: two interleaved passes could each read the
+    * other's intent as their own crash to recover, promoting or retiring
+    * the wrong files. The lock turns that silent interleave into a
+    * fail-fast.
     *
-    * The lock is released on completion AND on failure (try/finally). A
-    * hard JVM death no longer wedges the lake: while held, a daemon thread
-    * refreshes the lock file's mtime every `leaseMs/3`, and a later writer
-    * finding a lock whose mtime is older than `leaseMs` treats it as a
-    * dead writer's and RECLAIMS it — via an atomic rename to a unique
-    * tombstone, so two waiters racing to reclaim the same stale lock can't
-    * both win (exactly one rename succeeds; the loser fails fast as if the
-    * lock were live). A lock younger than the lease is always respected.
-    * [[forceUnlock]] remains for operator override; recovery of whatever
-    * the dead writer left behind happens at the next pass's `recover`.
+    * The MECHANISM is a seam ([[LockProvider]], r9): the default
+    * [[FsLeaseLock]] is a lock file + mtime-heartbeat lease — exact on
+    * HDFS/local filesystems, NOT atomic on bare S3 — and every maintenance
+    * entry point takes a `lock` argument, so an object-store deployment
+    * swaps in an external lock service (DynamoDB/ZooKeeper/S3 conditional
+    * PUT) with one argument, the same one-line-swap shape as the ingest
+    * backend seam. Lease semantics, stale-reclaim, and [[forceUnlock]] are
+    * documented on [[FsLeaseLock]].
     */
   private[streaming] def withWriterLock[T](fs: FileSystem, lake: HPath,
-      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
-    val lock = ctl(lake, "lock")
-    fs.mkdirs(lock.getParent)
-    def acquireOnce(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    def reclaimStale(): Boolean = {
-      val st = try Some(fs.getFileStatus(lock)) catch {
-        case _: java.io.FileNotFoundException => None // holder just released
-      }
-      st match {
-        case Some(s) if System.currentTimeMillis() - s.getModificationTime > leaseMs =>
-          // Atomic rename: of N waiters seeing the same stale lock, exactly
-          // one wins the reclaim; the tombstone is deleted best-effort.
-          val tomb = ctl(lake, s"lock.reclaimed.${java.util.UUID.randomUUID()}")
-          val won = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
-          if (won) { try fs.delete(tomb, false) catch { case _: java.io.IOException => () }; () }
-          won
-        case _ => false
-      }
-    }
-    val acquired = acquireOnce() || (reclaimStale() && acquireOnce())
-    if (!acquired)
-      throw new IllegalStateException(
-        s"another maintenance writer holds $lock (Compact/Backfill/Erase/Retention " +
-          s"are single-writer per lake): wait for it to finish or for its ${leaseMs} ms " +
-          "lease to lapse (a dead writer's lock self-expires), or clear it now with " +
-          "Compact.forceUnlock; the next pass will recover the interrupted work")
-    // Heartbeat: keep the lease alive for long passes. Failures are ignored
-    // (a missed beat only matters if it persists past the lease).
-    val beat = new Thread(() => {
-      val interval = math.max(500L, leaseMs / 3)
-      try while (!Thread.interrupted()) {
-        Thread.sleep(interval)
-        try fs.setTimes(lock, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () }
-      } catch { case _: InterruptedException => () }
-    }, s"graft-lock-heartbeat-$lake")
-    beat.setDaemon(true)
-    beat.start()
-    try body finally {
-      beat.interrupt()
-      FsOps.deleteOrThrow(fs, lock, recursive = false)
-    }
-  }
+      leaseMs: Long = DefaultLeaseMs,
+      lock: LockProvider = FsLeaseLock)(body: => T): T =
+    lock.withLock(fs, lake, leaseMs)(body)
 
   /** Default maintenance-lock lease: long enough that a paused-but-alive
     * writer (GC, brief FS outage) keeps its lock across several missed
@@ -140,14 +92,15 @@ object Compact {
     * Z-order/cluster-by idea, one dimension at a time).
     */
   def run(spark: SparkSession, lakeDir: String, targetBytes: Long = 128L << 20,
-      manifestDir: Option[String] = None, sortBy: Seq[String] = Nil): Stats = {
+      manifestDir: Option[String] = None, sortBy: Seq[String] = Nil,
+      lock: LockProvider = FsLeaseLock): Stats = {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
     require(!fs.exists(new HPath(lake, "_spark_metadata")),
       "refusing to compact a FileStreamSink lake: its _spark_metadata log " +
         "names the original files; compact foreachBatch/manifest lakes only")
-    withWriterLock(fs, lake) {
+    withWriterLock(fs, lake, lock = lock) {
     recoverUnlocked(spark, lakeDir, manifestDir)
 
     // 1. plan — group visible data files by partition directory
@@ -206,10 +159,11 @@ object Compact {
     * ops call [[recoverUnlocked]] inside their own lock scope.
     */
   def recover(spark: SparkSession, lakeDir: String,
-      manifestDir: Option[String] = None): Unit = {
+      manifestDir: Option[String] = None,
+      lock: LockProvider = FsLeaseLock): Unit = {
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(spark.sessionState.newHadoopConf())
-    withWriterLock(fs, lake) { recoverUnlocked(spark, lakeDir, manifestDir) }
+    withWriterLock(fs, lake, lock = lock) { recoverUnlocked(spark, lakeDir, manifestDir) }
   }
 
   private[streaming] def recoverUnlocked(spark: SparkSession, lakeDir: String,

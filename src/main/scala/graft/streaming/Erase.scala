@@ -43,7 +43,8 @@ object Erase {
     */
   def eraseKeys(spark: SparkSession, lakeDir: String, keyCol: String,
       keys: DataFrame, manifestDir: Option[String] = None,
-      maxAffectedFiles: Int = 100000): Compact.Stats = {
+      maxAffectedFiles: Int = 100000,
+      lock: LockProvider = FsLeaseLock): Compact.Stats = {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
@@ -52,7 +53,7 @@ object Erase {
     // emptiness guard: a request against a not-yet-delivered or
     // already-emptied lake is a no-op, not a job failure (the scan below
     // would throw on schema inference)
-    Compact.withWriterLock(fs, lake) {
+    Compact.withWriterLock(fs, lake, lock = lock) {
     Compact.recoverUnlocked(spark, lakeDir, manifestDir)
     if (!FsOps.anyParquet(fs, lake, skipHidden = true))
       return Compact.Stats(0, 0, 0)

@@ -45,7 +45,8 @@ object Retention {
     * so the JVM default timezone cannot shift the horizon.
     */
   def sweep(spark: SparkSession, lakeDir: String, cutoff: java.time.LocalDateTime,
-      manifestDir: Option[String] = None): Compact.Stats = {
+      manifestDir: Option[String] = None,
+      lock: LockProvider = FsLeaseLock): Compact.Stats = {
     val cutLocal = cutoff
     require(cutLocal.getMinute == 0 && cutLocal.getSecond == 0 && cutLocal.getNano == 0,
       s"cutoff $cutoff must align to the hour-partition granularity")
@@ -53,7 +54,7 @@ object Retention {
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
     if (!fs.exists(lake)) return Compact.Stats(0, 0, 0)
-    Compact.withWriterLock(fs, lake) {
+    Compact.withWriterLock(fs, lake, lock = lock) {
     Compact.recoverUnlocked(spark, lakeDir, manifestDir)
 
     // partition dir → the [start, start+1h) wall-clock range it covers,

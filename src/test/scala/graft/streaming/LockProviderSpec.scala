@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import graft.SparkSuite
+
+/** The maintenance lock is a SEAM (r9, adopter-risk #3): the default
+  * FsLeaseLock's create-if-absent/rename atomicity holds on HDFS/local
+  * filesystems but not on bare S3, so every maintenance entry point
+  * (Compact/Backfill/Erase/Retention/recover) takes a LockProvider and an
+  * object-store deployment swaps in an external lock service with one
+  * argument. This spec pins the seam's contract:
+  *
+  *  - every entry point actually routes through the provided lock (no
+  *    hidden FsLeaseLock fallback on any path);
+  *  - a provider that refuses prevents the op from mutating the lake at
+  *    all — the lock is checked before any plan/stage/intent work.
+  */
+class LockProviderSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Counts acquisitions, then delegates to the default provider. */
+  private final class Counting extends LockProvider {
+    val acquired = new AtomicInteger(0)
+    def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T = {
+      acquired.incrementAndGet()
+      FsLeaseLock.withLock(fs, lake, leaseMs)(body)
+    }
+  }
+
+  /** Always refuses, as an external lock service under contention would. */
+  private object Refusing extends LockProvider {
+    def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T =
+      throw new IllegalStateException("lease held elsewhere (injected)")
+  }
+
+  private def writeLake(base: String): Unit =
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2))
+      .toDF("id", "v", "day")
+      .write.partitionBy("day").parquet(s"$base/lake")
+
+  private def lakeState(base: String): Set[(Long, String)] =
+    spark.read.parquet(s"$base/lake")
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+
+  test("every maintenance entry point routes through the provided lock") {
+    val base = tmpDir("graft-lockseam-")
+    writeLake(base)
+    val lock = new Counting
+    Compact.run(spark, s"$base/lake", lock = lock)
+    Backfill.overwritePartitions(Seq((3L, "C2", 2)).toDF("id", "v", "day"),
+      s"$base/lake", Seq("day"), lock = lock)
+    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(1L).toDF("id"), lock = lock)
+    Compact.recover(spark, s"$base/lake", lock = lock)
+    assert(lock.acquired.get == 4,
+      s"expected 4 locked passes, saw ${lock.acquired.get}")
+    assert(lakeState(base) == Set((2L, "b"), (3L, "C2")))
+    // Retention needs the hour layout; count its acquisition separately
+    val base2 = tmpDir("graft-lockseam-ret-")
+    Seq((1L, 2024, 1, 1, 0), (2L, 2024, 1, 2, 0))
+      .toDF("id", "year", "month", "day", "hour")
+      .write.partitionBy("year", "month", "day", "hour").parquet(s"$base2/lake")
+    val lock2 = new Counting
+    Retention.sweep(spark, s"$base2/lake",
+      java.time.LocalDateTime.of(2024, 1, 2, 0, 0), None, lock = lock2)
+    assert(lock2.acquired.get == 1)
+    assert(spark.read.parquet(s"$base2/lake").count() == 1)
+  }
+
+  test("a refusing provider blocks the op before any lake mutation") {
+    val base = tmpDir("graft-lockseam-ref-")
+    writeLake(base)
+    val before = lakeState(base)
+    intercept[IllegalStateException] {
+      Backfill.overwritePartitions(Seq((3L, "C2", 2)).toDF("id", "v", "day"),
+        s"$base/lake", Seq("day"), lock = Refusing)
+    }
+    intercept[IllegalStateException] {
+      Erase.eraseKeys(spark, s"$base/lake", "id", Seq(1L).toDF("id"),
+        lock = Refusing)
+    }
+    intercept[IllegalStateException] {
+      Compact.run(spark, s"$base/lake", lock = Refusing)
+    }
+    assert(lakeState(base) == before, "a refused op must not touch the lake")
+    // and no control files may have been left behind
+    assert(!new java.io.File(s"$base/lake/_compact/intent").exists())
+    assert(!new java.io.File(s"$base/lake/_compact/stage").exists())
+  }
+}
