@@ -241,10 +241,14 @@ object Bench {
     // inline pushes headline entries out of the capture window.
     val detail = s"""{"runs":$runs,"shuffle":$shuffleJson,""" +
       s""""shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes("UTF-8"))
+    // cwd-relative by the same convention as the SHUFFLE_BASELINE.json read
+    // above (the harness runs sbt from the repo root); the absolute path is
+    // logged so a wrapper invoking from elsewhere can see where it landed
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+    try { java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] detail written to $detailPath") }
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}") }
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}") }
     System.err.println(s"[bench-detail] $detail")
     val headlineLine = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""queries":$qs,"mins":$mins,"loadavg":$loadavg,"procs":$procs,""" +

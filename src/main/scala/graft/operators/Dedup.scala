@@ -245,8 +245,8 @@ object Dedup {
     import graft.functions.VectorFunctions._
     import graft.operators.Similarity.hyperplanes
     require(bitsPerTable > 0, "bitsPerTable must be explicit here; size it " +
-      "with bitsPerTableFor(corpusRows) (the 0 sentinel resolves in " +
-      "embeddingNearDups, which knows the corpus)")
+      "with bitsPerTableFor(corpusRows) — the 0 sentinel resolves only in " +
+      "callers that know the corpus (embeddingNearDups, EmbeddingIndex.seed)")
     val planes = hyperplanes(nTables * bitsPerTable, dim)
     // bucket id per table t = sign bits of planes [t*b, t*b+b); each test is
     // a codegen'd dot of the raw embedding against a double-literal plane

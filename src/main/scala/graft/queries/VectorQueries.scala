@@ -267,10 +267,11 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      // nlist = 0: auto-sized cells (the 8-cell floor at oracle SFs —
-      // identical output; cells track ~4096 rows at scale, measured 1.000
-      // recall at sf10/sf20)
-      val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 0, nprobe = 3)
+      // nlist = 0 / nprobe = 4: the auto-sized cells with the EXACT probe
+      // width the scale measurement used (AnnRecall: recall 1.000 at
+      // sf10/sf20 with nprobe = 4 — citing a measured number obliges
+      // running the measured configuration)
+      val approx = Similarity.ivfAnn(queries, corpus, k = 5, nlist = 0, nprobe = 4)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
@@ -287,11 +288,11 @@ object VectorQueries {
         .select(col("vec_id").as("qid"), col("embedding"))
       val corpus = emb.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("id"), col("embedding"))
-      // nlist = 0: auto-sized cells (8-cell floor here; ~4096-row cells at
-      // scale — the persisted-index serve path measured 1.000 recall and
-      // 2.8-3.8 s serve at sf10/sf20)
+      // nlist = 0 / nprobe = 4: auto-sized cells at the measured probe
+      // width (the persisted-index serve path's 1.000 recall and 2.8-3.8 s
+      // serve at sf10/sf20 were measured with nprobe = 4)
       Similarity.buildIvfIndex(corpus, s"$base/index", nlist = 0)
-      val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 3)
+      val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 4)
       val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle), bench = true),

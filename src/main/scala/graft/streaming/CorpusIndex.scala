@@ -149,14 +149,33 @@ object CorpusIndex {
     */
   def seedNear(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
       k: Int = 16, rowsPerBand: Int = 2): Unit = {
+    // refuse to re-seed over accumulated streaming deltas (the
+    // EmbeddingIndex rule): seed overwrites only delta=-1 and the geometry
+    // row, so a geometry change would leave deltas >= 0 banded under the
+    // old MinHash while the new row certifies consistency
+    val bandsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = bandsRoot.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(bandsRoot)) {
+      val streamed = fs.listStatus(bandsRoot).map(_.getPath.getName)
+        .filter(n => n.startsWith("delta=") && n != "delta=-1")
+      require(streamed.isEmpty,
+        s"near-dup index at $indexDir already has ${streamed.length} streaming " +
+          s"delta(s): re-seeding would change the MinHash geometry under them " +
+          "and probes would silently skip the streamed docs — rebuild into a " +
+          "fresh indexDir")
+    }
     val arrays = Dedup.shingleArrays(docs, idCol, textCol, n = 3)
     arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=-1")
     Dedup.minhashBandsNarrow(arrays, k, rowsPerBand)
       .write.mode("overwrite").parquet(s"$indexDir/bands/delta=-1")
-    docs.sparkSession.createDataFrame(Seq((k, rowsPerBand)))
+    writeNearGeometry(docs.sparkSession, indexDir, k, rowsPerBand)
+  }
+
+  private def writeNearGeometry(spark: SparkSession, indexDir: String,
+      k: Int, rowsPerBand: Int): Unit =
+    spark.createDataFrame(Seq((k, rowsPerBand)))
       .toDF("k", "rows_per_band")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_geometry")
-  }
 
   /** The near-dup index's persisted MinHash geometry, if it carries one
     * (indexes seeded before the `_geometry` row do not — their callers
@@ -197,14 +216,19 @@ object CorpusIndex {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // band signatures from a different k/banding never match the index's —
     // the stream would run green while detecting nothing. Refuse a
-    // geometry mismatch up front.
-    readNearGeometry(docs.sparkSession, indexDir).foreach { case (gk, gr) =>
-      require(gk == k && gr == rowsPerBand,
-        s"near-dup index at $indexDir was seeded with geometry (k=$gk, " +
-          s"rowsPerBand=$gr) but startNear() was given (k=$k, " +
-          s"rowsPerBand=$rowsPerBand) — probes under a different MinHash " +
-          "geometry silently miss every indexed doc; pass the seeded " +
-          "values or rebuild the index")
+    // geometry mismatch up front; an index CREATED by streaming (no seed)
+    // persists its geometry on first start, so a later restart under
+    // different parameters is refused too.
+    readNearGeometry(docs.sparkSession, indexDir) match {
+      case Some((gk, gr)) =>
+        require(gk == k && gr == rowsPerBand,
+          s"near-dup index at $indexDir carries geometry (k=$gk, " +
+            s"rowsPerBand=$gr) but startNear() was given (k=$k, " +
+            s"rowsPerBand=$rowsPerBand) — probes under a different MinHash " +
+            "geometry silently miss every indexed doc; pass the carried " +
+            "values or rebuild the index")
+      case None =>
+        writeNearGeometry(docs.sparkSession, indexDir, k, rowsPerBand)
     }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -44,14 +44,35 @@ object EmbeddingIndex {
     */
   def seed(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       indexDir: String, nTables: Int = 8, bitsPerTable: Int = 4): Unit = {
+    // refuse to re-seed over accumulated streaming deltas: seed overwrites
+    // only delta=-1 and the geometry row, so a geometry change here would
+    // leave deltas >= 0 bucketed under the OLD hyperplanes while the new
+    // row certifies the index as consistent — a mixed-geometry index whose
+    // probes silently skip the streamed portion. Rebuild into a fresh
+    // indexDir instead (or delete the deltas deliberately first).
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val streamed = fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("delta=") && n != "delta=-1")
+      require(streamed.isEmpty,
+        s"index at $indexDir already has ${streamed.length} streaming " +
+          s"delta(s) (${streamed.take(3).mkString(", ")}…): re-seeding would " +
+          "change the geometry under them and probes would silently skip " +
+          "the streamed rows — rebuild into a fresh indexDir")
+    }
     val bits = if (bitsPerTable > 0) bitsPerTable
       else Dedup.bitsPerTableFor(emb.count())
     Dedup.embeddingBuckets(emb, idCol, embCol, dim, nTables, bits)
       .write.mode("overwrite").parquet(s"$indexDir/delta=-1")
-    emb.sparkSession.createDataFrame(Seq((nTables, bits, dim)))
+    writeGeometry(emb.sparkSession, indexDir, nTables, bits, dim)
+  }
+
+  private def writeGeometry(spark: SparkSession, indexDir: String,
+      nTables: Int, bits: Int, dim: Int): Unit =
+    spark.createDataFrame(Seq((nTables, bits, dim)))
       .toDF("n_tables", "bits_per_table", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_geometry")
-  }
 
   /** The index's persisted LSH geometry, if it carries one (indexes seeded
     * before the `_geometry` row existed do not — their callers must keep
@@ -82,13 +103,25 @@ object EmbeddingIndex {
     // never collides with them — the stream would run green while finding
     // nothing. Refuse a geometry mismatch up front (the PqIndex pre-band
     // discipline: silent recall loss must be an error, not a log line).
-    readGeometry(emb.sparkSession, indexDir).foreach { case (t, b, d) =>
-      require(t == nTables && b == bitsPerTable && d == dim,
-        s"index at $indexDir was seeded with geometry (nTables=$t, " +
-          s"bitsPerTable=$b, dim=$d) but start() was given (nTables=$nTables, " +
-          s"bitsPerTable=$bitsPerTable, dim=$dim) — probes under a different " +
-          "geometry silently miss every indexed row; pass the seeded values " +
-          "or rebuild the index")
+    // A stream can't auto-size (the corpus is unbounded), so bits must be
+    // explicit here or come from a seeded geometry; and an index CREATED
+    // by streaming (no seed) persists its geometry on first start so a
+    // later restart under different parameters is refused too — the
+    // protection must not depend on how the index was born.
+    require(bitsPerTable > 0 && nTables > 0,
+      "start() needs an explicit LSH geometry: pass the values from " +
+        "EmbeddingIndex.readGeometry(spark, indexDir) (seeded index) or " +
+        "choose bitsPerTableFor(expected corpus rows) for a fresh stream")
+    readGeometry(emb.sparkSession, indexDir) match {
+      case Some((t, b, d)) =>
+        require(t == nTables && b == bitsPerTable && d == dim,
+          s"index at $indexDir carries geometry (nTables=$t, " +
+            s"bitsPerTable=$b, dim=$d) but start() was given (nTables=$nTables, " +
+            s"bitsPerTable=$bitsPerTable, dim=$dim) — probes under a different " +
+            "geometry silently miss every indexed row; pass the carried values " +
+            "or rebuild the index")
+      case None =>
+        writeGeometry(emb.sparkSession, indexDir, nTables, bitsPerTable, dim)
     }
     emb.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -78,19 +78,24 @@ object AnnRecall {
     // fixed = the registry config; auto = nPlanesFor(corpus)
     timedRecall("lsh_fixed_p4",
       () => Similarity.lshAnn(queries, corpus, k, nPlanes = 4, dim = dim, probeBits = 2))
+    // pass the PRE-resolved auto values into the timed region: the 0
+    // sentinel's internal corpus.count() would otherwise charge the auto
+    // tiers a full extra corpus pass the fixed tiers don't pay, biasing
+    // the wall_s comparison this tool exists to report
     val planesAuto = Similarity.nPlanesFor(nCorpus)
     timedRecall(s"lsh_auto_p$planesAuto",
-      () => Similarity.lshAnn(queries, corpus, k, nPlanes = 0, dim = dim, probeBits = 2))
+      () => Similarity.lshAnn(queries, corpus, k, nPlanes = planesAuto, dim = dim,
+        probeBits = 2))
 
     // --- q46/q100 tier: IVF top-k (in-job and persisted-index serve) ----
     timedRecall("ivf_fixed_l8",
       () => Similarity.ivfAnn(queries, corpus, k, nlist = 8, nprobe = 3))
     val nlistAuto = Similarity.nlistFor(nCorpus)
     timedRecall(s"ivf_auto_l$nlistAuto",
-      () => Similarity.ivfAnn(queries, corpus, k, nlist = 0, nprobe = 4))
+      () => Similarity.ivfAnn(queries, corpus, k, nlist = nlistAuto, nprobe = 4))
     val idxDir = java.nio.file.Files.createTempDirectory("graft-annrecall-")
       .toString + "/ivf"
-    Similarity.buildIvfIndex(corpus, idxDir, nlist = 0)
+    Similarity.buildIvfIndex(corpus, idxDir, nlist = nlistAuto)
     timedRecall(s"ivf_index_auto_l$nlistAuto",
       () => Similarity.ivfIndexQuery(queries, idxDir, k, nprobe = 4))
 

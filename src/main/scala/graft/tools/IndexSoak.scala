@@ -103,6 +103,18 @@ object IndexSoak {
       println(f"""{"n_batches":${rows.length},"batch_size":$batchSize,""" +
         f""""baseline_b2_4_avg_s":$baseline%.2f,"last3_avg_s":$last3%.2f,""" +
         f""""growth_ratio":${last3 / baseline}%.2f}""")
+    } else if (secs.length >= 6) {
+      // too few batches for the cold-start-free baseline: still emit a
+      // summary (a 6-7 batch run previously produced one — never drop the
+      // JSON silently) but flag that batches 0-2 include warm-up
+      val baseline = secs.take(3).sum / 3
+      val last3 = secs.takeRight(3).sum / 3
+      println(f"""{"n_batches":${rows.length},"batch_size":$batchSize,""" +
+        f""""baseline_b0_2_avg_s":$baseline%.2f,"last3_avg_s":$last3%.2f,""" +
+        f""""growth_ratio":${last3 / baseline}%.2f,"cold_start_in_baseline":true}""")
+    } else {
+      System.err.println(s"[indexsoak] only ${secs.length} measured batches — " +
+        "need >= 6 for a growth summary (>= 8 for the cold-start-free baseline)")
     }
     spark.stop()
   }

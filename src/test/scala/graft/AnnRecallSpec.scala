@@ -126,5 +126,43 @@ class AnnRecallSpec extends SparkSuite {
       .schema("id_new long, id_other long, cos double, batch long")
       .parquet(s"$base/out")
     assert(found.count() > 0)
+    // re-seeding over the streamed delta must refuse: seed only rewrites
+    // delta=-1 + _geometry, so a geometry change would strand the streamed
+    // rows under old hyperplanes while the new row certifies consistency
+    val reseed = intercept[IllegalArgumentException] {
+      EmbeddingIndex.seed(emb, "vec_id", "embedding", dim = 64,
+        s"$base/index", bitsPerTable = 12)
+    }
+    assert(reseed.getMessage.contains("streaming delta"))
+  }
+
+  test("a stream-created EmbeddingIndex persists its geometry on first start") {
+    // the guard must not depend on how the index was born: an index built
+    // purely by streaming (no seed) records its geometry on first start,
+    // so a later restart under different parameters is refused instead of
+    // silently probing past every accumulated delta
+    import graft.streaming.EmbeddingIndex
+    val base = tmpDir("graft-annrec-streamgeom-")
+    val (_, corpus) = planted(nReplicas = 6, nBackground = 40, noise = 0.02)
+    val emb = corpus.select($"id".as("vec_id"),
+      $"embedding".cast("array<float>").as("embedding"))
+    emb.write.mode("overwrite").parquet(s"$base/src")
+    def stream() = spark.readStream.schema(emb.schema).parquet(s"$base/src")
+    EmbeddingIndex.start(stream(), "vec_id", "embedding", dim = 64,
+      s"$base/index", s"$base/out", s"$base/ck",
+      bitsPerTable = 6).awaitTermination()
+    assert(EmbeddingIndex.readGeometry(spark, s"$base/index").contains((8, 6, 64)))
+    val ex = intercept[IllegalArgumentException] {
+      EmbeddingIndex.start(stream(), "vec_id", "embedding", dim = 64,
+        s"$base/index", s"$base/out", s"$base/ck2", bitsPerTable = 4)
+    }
+    assert(ex.getMessage.contains("geometry"))
+    // and the 0 sentinel is rejected up front for streams (unbounded
+    // corpus — nothing to auto-size against)
+    val ex0 = intercept[IllegalArgumentException] {
+      EmbeddingIndex.start(stream(), "vec_id", "embedding", dim = 64,
+        s"$base/index2", s"$base/out2", s"$base/ck3", bitsPerTable = 0)
+    }
+    assert(ex0.getMessage.contains("explicit"))
   }
 }

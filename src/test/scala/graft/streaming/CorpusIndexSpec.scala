@@ -135,6 +135,24 @@ class CorpusIndexSpec extends SparkSuite {
       .parquet(s"$base/pairs").select($"id_new", $"id_other").as[(Long, Long)]
       .collect().toSet
     assert(got == Set((10L, 1L)))
+    // re-seeding over the streamed delta must refuse (geometry would change
+    // under the accumulated bands)
+    val reseed = intercept[IllegalArgumentException] {
+      CorpusIndex.seedNear(Seq((2L, words("delta"))).toDF("doc_id", "text"),
+        "doc_id", "text", s"$base/index", k = 32, rowsPerBand = 4)
+    }
+    assert(reseed.getMessage.contains("streaming delta"))
+    // and a stream-CREATED index (no seed) records its geometry on first
+    // start, refusing a later restart under different parameters
+    CorpusIndex.startNear(docs, "doc_id", "text",
+      s"$base/index2", s"$base/pairs2", s"$base/ck2", k = 32, rowsPerBand = 4)
+      .awaitTermination()
+    assert(CorpusIndex.readNearGeometry(spark, s"$base/index2").contains((32, 4)))
+    val restart = intercept[IllegalArgumentException] {
+      CorpusIndex.startNear(docs, "doc_id", "text",
+        s"$base/index2", s"$base/pairs2", s"$base/ck3")
+    }
+    assert(restart.getMessage.contains("geometry"))
   }
 
   test("delta compaction folds the index without changing what a probe sees") {

@@ -189,7 +189,13 @@ class MaintenanceSoakSpec extends SparkSuite {
     var backfills = 0
     var erases = 0
     var prev = Set.empty[Long]
-    while (live.isActive && (backfills < 3 || erases < 3)) {
+    // first-iteration unconditionally: on a fast machine the 6-microbatch
+    // AvailableNow stream can drain before the first isActive check, and a
+    // zero-iteration loop would fail the backfills>0/erases>0 asserts with
+    // no product defect behind it (both ops are valid on the quiet lake)
+    var first = true
+    while (first || (live.isActive && (backfills < 3 || erases < 3))) {
+      first = false
       val s = Backfill.overwritePartitions(repaired, s"$base/lake", partCols,
         manifestDir = Some(s"$base/manifest"))
       if (s.partitionsPacked > 0) backfills += 1
