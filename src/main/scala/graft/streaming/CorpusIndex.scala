@@ -164,11 +164,31 @@ object CorpusIndex {
           "and probes would silently skip the streamed docs — rebuild into a " +
           "fresh indexDir")
     }
+    // geometry BEFORE data (the EmbeddingIndex.seed ordering): a crash
+    // between the writes must leave _geometry already certifying the
+    // MinHash the data was (about to be) banded under, never banded data
+    // whose geometry a later startNear() would be invited to guess
+    writeNearGeometry(docs.sparkSession, indexDir, k, rowsPerBand)
     val arrays = Dedup.shingleArrays(docs, idCol, textCol, n = 3)
     arrays.write.mode("overwrite").parquet(s"$indexDir/arrays/delta=-1")
     Dedup.minhashBandsNarrow(arrays, k, rowsPerBand)
       .write.mode("overwrite").parquet(s"$indexDir/bands/delta=-1")
-    writeNearGeometry(docs.sparkSession, indexDir, k, rowsPerBand)
+    // re-verify AFTER writing: the pre-check is unlocked, so a LIVE
+    // startNear() stream can commit a delta mid-seed — banded under the
+    // old MinHash while the fresh _geometry certifies the new one. Fail
+    // loudly instead of leaving a mixed-geometry index running green.
+    // (Operationally: stop the stream before re-seeding.)
+    if (fs.exists(bandsRoot)) {
+      val raced = fs.listStatus(bandsRoot).map(_.getPath.getName)
+        .filter(n => n.startsWith("delta=") && n != "delta=-1")
+      require(raced.isEmpty,
+        s"near-dup index at $indexDir gained ${raced.length} streaming " +
+          s"delta(s) (${raced.take(3).mkString(", ")}) WHILE seedNear() was " +
+          "writing — a live startNear() stream raced the re-seed and those " +
+          "deltas are banded under a different MinHash than the new " +
+          "_geometry certifies. Stop the stream before re-seeding; rebuild " +
+          "this index into a fresh indexDir")
+    }
   }
 
   private def writeNearGeometry(spark: SparkSession, indexDir: String,
@@ -210,10 +230,19 @@ object CorpusIndex {
     * threshold) with id_other from the corpus, earlier batches, or a
     * smaller same-batch id.
     */
+  /** `adoptGeometry`: a pre-geometry index (seeded before the `_geometry`
+    * row existed) already holds banded deltas whose MinHash parameters this
+    * call cannot verify — certifying the caller's (k, rowsPerBand) over
+    * them is refused by default (the [[EmbeddingIndex.start]] rule: a wrong
+    * guess enshrined makes probes miss all pre-existing docs and points
+    * future mismatch errors the wrong way). Pass true only when the
+    * parameters are known to be the index's original ones.
+    */
   def startNear(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       k: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      adoptGeometry: Boolean = false): StreamingQuery = {
     // band signatures from a different k/banding never match the index's —
     // the stream would run green while detecting nothing. Refuse a
     // geometry mismatch up front; an index CREATED by streaming (no seed)
@@ -228,6 +257,31 @@ object CorpusIndex {
             "geometry silently miss every indexed doc; pass the carried " +
             "values or rebuild the index")
       case None =>
+        // bands already on disk but no _geometry: their MinHash is unknown
+        // to this call — adopting the caller's (k, rowsPerBand) unverified
+        // converts a silently-wrong probe into an ENFORCED-wrong one.
+        // Refuse unless the caller explicitly vouches for the parameters.
+        val bandsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+        val fs = bandsRoot.getFileSystem(
+          docs.sparkSession.sparkContext.hadoopConfiguration)
+        val existing =
+          if (!fs.exists(bandsRoot)) Array.empty[String]
+          else fs.listStatus(bandsRoot).map(_.getPath.getName)
+            .filter(_.startsWith("delta="))
+        require(existing.isEmpty || adoptGeometry,
+          s"near-dup index at $indexDir holds ${existing.length} band delta " +
+            s"dir(s) (${existing.take(3).mkString(", ")}) but no _geometry " +
+            s"row — adopting (k=$k, rowsPerBand=$rowsPerBand) as the certified " +
+            "MinHash geometry is refused: if they differ from the original " +
+            "seed's, probes silently miss every indexed doc. Pass " +
+            "adoptGeometry = true only if these ARE the original parameters, " +
+            "or rebuild the index with seedNear()")
+        if (existing.nonEmpty)
+          System.err.println(s"[graft] WARNING: adopting caller-supplied " +
+            s"MinHash geometry (k=$k, rowsPerBand=$rowsPerBand) for " +
+            s"pre-geometry near-dup index $indexDir with ${existing.length} " +
+            "existing delta(s) — certified correct only if these match the " +
+            "original seed")
         writeNearGeometry(docs.sparkSession, indexDir, k, rowsPerBand)
     }
     docs.writeStream

@@ -63,9 +63,34 @@ object EmbeddingIndex {
     }
     val bits = if (bitsPerTable > 0) bitsPerTable
       else Dedup.bitsPerTableFor(emb.count())
+    // geometry BEFORE data: a crash between the two writes must leave an
+    // index whose _geometry already certifies the hyperplanes delta=-1 was
+    // (about to be) bucketed under — the reverse order leaves data with no
+    // geometry, and a later start() would be invited to adopt whatever
+    // parameters it was called with (the silent-miss state this row exists
+    // to prevent)
+    writeGeometry(emb.sparkSession, indexDir, nTables, bits, dim)
     Dedup.embeddingBuckets(emb, idCol, embCol, dim, nTables, bits)
       .write.mode("overwrite").parquet(s"$indexDir/delta=-1")
-    writeGeometry(emb.sparkSession, indexDir, nTables, bits, dim)
+    // re-verify AFTER writing: the pre-check above is unlocked, so a LIVE
+    // start() stream racing this seed can commit a delta between the check
+    // and the writes — that delta is bucketed under the OLD hyperplanes
+    // while the fresh _geometry certifies the new ones. Detect the race and
+    // fail loudly instead of leaving a mixed-geometry index that runs
+    // green. (Operationally: stop the stream before re-seeding — this
+    // check converts forgetting that rule into an error, not a silent
+    // recall hole.)
+    if (fs.exists(root)) {
+      val raced = fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith("delta=") && n != "delta=-1")
+      require(raced.isEmpty,
+        s"index at $indexDir gained ${raced.length} streaming delta(s) " +
+          s"(${raced.take(3).mkString(", ")}) WHILE seed() was writing — a " +
+          "live start() stream raced the re-seed, and those deltas are " +
+          "bucketed under different hyperplanes than the new _geometry " +
+          "certifies. Stop the stream before re-seeding; this index is now " +
+          "mixed-geometry — rebuild into a fresh indexDir")
+    }
   }
 
   private def writeGeometry(spark: SparkSession, indexDir: String,
@@ -94,11 +119,21 @@ object EmbeddingIndex {
     * `outDir/batch=<id>/` as (id_new, id_other, cos, with id_other from
     * the seed, an earlier batch, or a smaller same-batch id).
     */
+  /** `adoptGeometry`: a pre-geometry index (seeded before the `_geometry`
+    * row existed) already holds delta data whose hyperplanes are whatever
+    * its original caller used — start() cannot verify that the parameters
+    * passed NOW match them, so certifying them as the index's geometry is
+    * refused by default (wrong params enshrined make every future probe
+    * miss the pre-existing rows AND make later mismatch errors point the
+    * wrong way). Pass true only when the parameters are known to be the
+    * index's original ones.
+    */
   def start(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       indexDir: String, outDir: String, checkpointDir: String,
       threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
       roundScale: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      adoptGeometry: Boolean = false): StreamingQuery = {
     // a probe bucketed under DIFFERENT hyperplanes than the index's rows
     // never collides with them — the stream would run green while finding
     // nothing. Refuse a geometry mismatch up front (the PqIndex pre-band
@@ -121,6 +156,34 @@ object EmbeddingIndex {
             "geometry silently miss every indexed row; pass the carried values " +
             "or rebuild the index")
       case None =>
+        // an index that already holds delta data but no _geometry (seeded
+        // pre-r9, or a pre-r10 crash between its data and geometry writes)
+        // was bucketed under parameters this call cannot verify — writing
+        // the CALLER's parameters as the certified geometry would enshrine
+        // a guess: if wrong, probes miss every pre-existing row and future
+        // mismatch errors blame the wrong side. Refuse unless the caller
+        // explicitly vouches for the parameters.
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(
+          emb.sparkSession.sparkContext.hadoopConfiguration)
+        val existing =
+          if (!fs.exists(root)) Array.empty[String]
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("delta="))
+        require(existing.isEmpty || adoptGeometry,
+          s"index at $indexDir holds ${existing.length} delta dir(s) " +
+            s"(${existing.take(3).mkString(", ")}) but no _geometry row — its " +
+            "hyperplanes are unknown to this call, so adopting " +
+            s"(nTables=$nTables, bitsPerTable=$bitsPerTable, dim=$dim) as the " +
+            "certified geometry is refused: if they differ from the original " +
+            "seed's, probes silently miss every pre-existing row. Pass " +
+            "adoptGeometry = true only if these ARE the original parameters, " +
+            "or rebuild the index with seed()")
+        if (existing.nonEmpty)
+          System.err.println(s"[graft] WARNING: adopting caller-supplied " +
+            s"geometry (nTables=$nTables, bitsPerTable=$bitsPerTable, dim=$dim) " +
+            s"for pre-geometry index $indexDir with ${existing.length} existing " +
+            "delta(s) — certified correct only if these match the original seed")
         writeGeometry(emb.sparkSession, indexDir, nTables, bitsPerTable, dim)
     }
     emb.writeStream
