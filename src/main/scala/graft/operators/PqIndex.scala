@@ -226,9 +226,12 @@ object PqIndex {
     // the distortion band is an index-build-time property (a function of
     // the codebooks and the corpus they were fit on) — persist it with the
     // codebooks so every serve call applies the same resolution limit
-    // without touching the corpus
-    spark.createDataFrame(Seq((m, kEff, books.toSeq, band)))
-      .toDF("m", "ksub", "books", "band")
+    // without touching the corpus. dim/nlist ride in the same row (the
+    // r10 `_geometry` discipline): a wrong-dim probe must be refused at
+    // serve time, not silently NULLed through DotProduct into empty
+    // results.
+    spark.createDataFrame(Seq((m, kEff, books.toSeq, band, dim, nlist)))
+      .toDF("m", "ksub", "books", "band", "dim", "nlist")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
@@ -258,6 +261,16 @@ object PqIndex {
     val meta = spark.read.parquet(s"$indexDir/codebooks").head()
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
+    // refuse a wrong-dim probe up front (the r10 geometry discipline —
+    // Similarity.requireProbeDim documents the silent-miss mode this
+    // turns into an error); indexes persisted before the dim column are
+    // served with a loud warning instead
+    if (meta.schema.fieldNames.contains("dim"))
+      Similarity.requireProbeDim(queries, meta.getAs[Int]("dim"), indexDir)
+    else
+      System.err.println(s"[graft] WARNING: PQ index $indexDir predates the " +
+        "dim geometry column — a wrong-dim probe against it fails only " +
+        "downstream (or returns empty results); rebuild with buildPqIvfIndex")
     val band =
       if (meta.schema.fieldNames.contains("band")) meta.getAs[Double]("band")
       else if (allowPreBandIndex) {

@@ -87,8 +87,9 @@ object Similarity {
     * growing with the corpus — a fixed nlist makes every probe scan
     * O(corpus/nlist) rows, which is a linear-in-n serve cost at 100 TB.
     * 4096 cells × 4096 target rows covers ~16M rows per index shard;
-    * beyond that, shard the index (one coarse quantizer per shard) rather
-    * than inflating a single KMeans fit.
+    * beyond that, shard the index — [[buildIvfIndexSharded]] (one coarse
+    * quantizer per shard, scatter-gather serve) — rather than inflating a
+    * single KMeans fit.
     */
   def nlistFor(corpusRows: Long, targetCellRows: Int = 4096): Int =
     math.min(4096L, math.max(8L,
@@ -220,6 +221,12 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
       seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
     val nl = if (nlist > 0) nlist else nlistFor(corpus.count())
+    // dimension read once from the data (one-row action on the scan): it
+    // becomes the index's persisted geometry, written FIRST (the
+    // EmbeddingIndex ordering — a crash mid-build leaves geometry, never
+    // unlabeled cells a later probe would have to guess at)
+    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
+    writeIvfGeometry(corpus.sparkSession, indexDir, dim, nl)
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSample(cVec, maxFitRows))
@@ -235,14 +242,76 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  private[operators] def writeIvfGeometry(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, dim: Int, nlist: Int): Unit =
+    spark.createDataFrame(Seq((dim, nlist, "cosine")))
+      .toDF("dim", "nlist", "metric")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_geometry")
+
+  /** The persisted index's (dim, nlist, metric), if it carries a geometry
+    * row (indexes built before r10 do not — their probes are validated
+    * only against `expectedDim` if the caller supplies it).
+    */
+  def readIvfGeometry(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(Int, Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$indexDir/_geometry").head()
+      Some((r.getAs[Int]("dim"), r.getAs[Int]("nlist"), r.getAs[String]("metric")))
+    }
+  }
+
+  /** Refuse a probe whose vectors don't match the index's dimension.
+    * Without this, a wrong-dim probe runs GREEN and returns nothing:
+    * [[graft.functions.DotProduct]] yields NULL on length mismatch, the
+    * NULL similarity fails every comparison, and the top-k window simply
+    * emits no rows — the silent-miss failure class the `_geometry` rows
+    * exist to turn into errors. The probe side is small by the serving
+    * contract, so min/max over it is a cheap action (and catches a RAGGED
+    * query batch, not just a uniformly wrong one).
+    */
+  private[operators] def requireProbeDim(queries: DataFrame, indexDim: Int,
+      indexDir: String): Unit = {
+    val r = queries.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    val (lo, hi) = (r.getInt(0), r.getInt(1))
+    require(lo == indexDim && hi == indexDim,
+      s"probe dimension ${if (lo == hi) lo.toString else s"$lo..$hi"} does " +
+        s"not match index $indexDir geometry (dim=$indexDim): a mismatched " +
+        "probe NULLs through the similarity expressions and returns empty " +
+        "results with no error — re-embed the queries or probe the right index")
+  }
+
   /** Query a [[buildIvfIndex]] index: rank each query's centroids, read
     * ONLY the union of probed cells' partitions (cell pruning reaches the
     * file listing — the scan never touches unprobed cells' files), then
     * the usual bucket join + top-k window.
     */
+  /** `expectedDim`: for indexes built before the `_geometry` row existed —
+    * pass the index's known dimension to restore the wrong-dim-probe
+    * refusal (0 = unknown: a pre-geometry index is served with a loud
+    * warning and NO dim validation, the EmbeddingIndex compatibility rule).
+    * When the index carries a geometry row, it is authoritative and a
+    * non-zero `expectedDim` must agree with it.
+    */
   def ivfIndexQuery(queries: DataFrame, indexDir: String, k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, expectedDim: Int = 0): DataFrame = {
     val spark = queries.sparkSession
+    readIvfGeometry(spark, indexDir) match {
+      case Some((dim, _, _)) =>
+        require(expectedDim == 0 || expectedDim == dim,
+          s"index at $indexDir carries geometry dim=$dim but the caller " +
+            s"expected dim=$expectedDim — one of the two is the wrong index")
+        requireProbeDim(queries, dim, indexDir)
+      case None if expectedDim > 0 => requireProbeDim(queries, expectedDim, indexDir)
+      case None =>
+        System.err.println(s"[graft] WARNING: IVF index $indexDir predates " +
+          "the _geometry row and no expectedDim was passed — a wrong-dim " +
+          "probe against it returns EMPTY results with no error; rebuild " +
+          "with buildIvfIndex or pass expectedDim")
+    }
     val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
       norm2(toDouble(col("embedding"))).as("qn"))
@@ -261,6 +330,69 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
     topK(sims, k)
+  }
+
+  /** Build a SHARDED IVF index: `nShards` independent [[buildIvfIndex]]
+    * instances (one coarse quantizer each) under `indexDir/shard=<s>/`,
+    * rows routed by id-hash. This is the scale path past [[nlistFor]]'s
+    * single-quantizer ceiling (4096 cells × 4096 target rows ≈ 16M rows):
+    * a quantizer's KMeans fit cost and centroid table are per-shard
+    * constants, so capacity scales by adding shards instead of inflating
+    * one fit — the FAISS/ScaNN sharded-serving pattern.
+    *
+    * Id-HASH routing (not range/ingest order) keeps every shard a uniform
+    * draw of the corpus, so each shard's quantizer sees the same embedding
+    * distribution and per-shard recall matches single-index recall — a
+    * time- or source-clustered split would give each shard a biased region
+    * and degrade the merge.
+    *
+    * `nlist = 0` auto-sizes each shard's cells to ITS row count.
+    * Per-shard seeds differ so equal-sized shards don't fit identical
+    * centroid initializations.
+    */
+  def buildIvfIndexSharded(corpus: DataFrame, indexDir: String, nShards: Int,
+      nlist: Int = 0, seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    corpus.sparkSession.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
+    (0 until nShards).foreach { sh =>
+      buildIvfIndex(
+        corpus.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
+        s"$indexDir/shard=$sh", nlist, seed + sh, maxFitRows)
+    }
+  }
+
+  /** The sharded index's shard count (None: not a sharded index). */
+  def readSharding(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_sharding")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$indexDir/_sharding").head().getAs[Int]("n_shards"))
+  }
+
+  /** Serve a [[buildIvfIndexSharded]] index: scatter the query batch to
+    * every shard ([[ivfIndexQuery]] — partition-pruned nprobe cells per
+    * shard, each shard's own geometry validated), gather per-shard top-k,
+    * merge to the global top-k. Correct because each corpus row lives in
+    * exactly one shard: the global top-k is a subset of the union of
+    * per-shard top-ks. Per-query work is O(nShards · nprobe · cellRows) —
+    * the scatter width is the price of unbounded capacity; `nprobe` keeps
+    * its per-shard meaning, so recall per shard matches the single-index
+    * measurement (AnnRecall tier).
+    */
+  def ivfIndexQuerySharded(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val nShards = readSharding(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir carries no _sharding row — not a sharded IVF index " +
+          "(serve a single index with ivfIndexQuery, or rebuild with " +
+          "buildIvfIndexSharded)"))
+    (0 until nShards)
+      .map(sh => ivfIndexQuery(queries, s"$indexDir/shard=$sh", k, nprobe))
+      .reduce(_ unionByName _)
+      .transform(topK(_, k))
   }
 
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al. 2023,

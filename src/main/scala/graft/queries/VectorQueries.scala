@@ -297,6 +297,28 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle), bench = true),
 
+    // ---- SHARDED persisted IVF index: the capacity path past nlistFor's
+    // single-quantizer ceiling (~16M rows/shard) — one coarse quantizer
+    // per id-hash shard, scatter-gather serve merging per-shard top-ks.
+    // Same machine-checked recall contract; IvfIndexSpec additionally pins
+    // that a full-probe merge reproduces the exact answer bit-for-bit and
+    // that every shard carries (and enforces) its own geometry row.
+    Q("q110_ivf_index_sharded", (s, d) => {
+      val base = Registry.tmpDir("graft-q110-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      // nlist = 0: each shard auto-sizes cells to ITS row count; nprobe = 4
+      // keeps the single-index measured probe width per shard
+      Similarity.buildIvfIndexSharded(corpus, s"$base/index", nShards = 2, nlist = 0)
+      val approx = Similarity.ivfIndexQuerySharded(queries, s"$base/index",
+        k = 5, nprobe = 4)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
     // ---- product-quantized ANN (flat): the memory-bound tier — the
     // candidate scan reads m-byte PQ codes (32× smaller than the raw
     // vectors at these defaults), ADC ranks via m table lookups per pair,
