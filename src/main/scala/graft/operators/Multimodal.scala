@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * per partition (the Scala twin of `mapInPandas` — one decoder instance
   * per partition, amortized over its rows, never per-row setup).
   *
-  * The actual media decode is STUBBED behind [[Decoder]] (the container has
-  * no image/audio libraries — per the offline contract): [[StubDecoder]] is
-  * a deterministic fake so the schema, partitioning, batch shape, and
-  * feature plumbing are real and tested end-to-end; a production decoder
-  * (JNI to ffmpeg/opencv, or a model server client) drops in per partition
-  * without touching the pipeline.
+  * IMAGE decode/resize is REAL ([[ImageIoDecoder]]/[[ImageIoResizer]]):
+  * `javax.imageio` + `java.awt.image` ship with the JDK, so PNG/JPEG/GIF/
+  * BMP decode needs no external library even offline. AUDIO/VIDEO decode
+  * remains stubbed behind the [[Decoder]] seam ([[StubDecoder]] — a
+  * deterministic fake keeping schema, partitioning, and batch shape real);
+  * a production codec (JNI to ffmpeg, or a model-server client) drops in
+  * per partition without touching the pipeline.
   */
 object Multimodal {
 
@@ -42,6 +43,61 @@ object Multimodal {
       }
       MediaFeatures(r.doc_id, r.mime, bytes.length.toLong,
         width = 16 + (bytes.length % 64), height = 16 + (bytes.length % 48), feat)
+    }
+  }
+
+  /** REAL image decoder — JDK-only (`javax.imageio`), no external deps.
+    * For payloads whose mime has the `image/` prefix: decodes the actual bytes (PNG/JPEG/GIF/BMP —
+    * whatever the JVM's registered ImageIO readers handle), reports true
+    * pixel dimensions, and emits a `gridSize`² feature vector of mean
+    * luma (Rec.601: 0.299R + 0.587G + 0.114B, normalized to [0,1]) over a
+    * gridSize×gridSize box partition of the image — computed by an exact
+    * per-pixel accumulation, not a Graphics2D rescale, so the features
+    * are bit-deterministic across JVMs and platforms.
+    *
+    * Non-image mimes delegate to `fallback` (the [[StubDecoder]] seam —
+    * audio/video remain stubbed pending a real codec). UNDECODABLE image
+    * bytes are an ERROR naming the doc_id, never a silently-fake feature
+    * row (the geometry-refusal discipline applied to media): callers
+    * needing DLQ semantics wrap the decode like the envelope's Ok/Failed
+    * routing (T10) does — decode failures are data errors, not schema
+    * surprises.
+    */
+  final class ImageIoDecoder(gridSize: Int = 4,
+      fallback: Decoder = new StubDecoder()) extends Decoder {
+    def open(): Unit = fallback.open()
+    def decode(r: MediaRecord): MediaFeatures = {
+      if (r.mime == null || !r.mime.startsWith("image/")) return fallback.decode(r)
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"doc_id=${r.doc_id}: undecodable ${r.mime} payload (${r.payload.length} bytes)", e) }
+      if (img == null) // ImageIO signals "no reader recognized these bytes" as null
+        throw new IllegalArgumentException(
+          s"doc_id=${r.doc_id}: payload (${r.payload.length} bytes) is not a " +
+            s"decodable image despite mime ${r.mime} — no ImageIO reader accepts it")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = gridSize
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(g - 1, y * g / h)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          val cell = cy * g + math.min(g - 1, x * g / w)
+          sums(cell) += luma / 255.0
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feat = Array.tabulate(g * g)(i =>
+        if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, feat)
     }
   }
 
@@ -94,6 +150,45 @@ object Multimodal {
         }
       }
       MediaRecord(r.doc_id, out, r.mime)
+    }
+  }
+
+  /** REAL image resizer — JDK-only: decode (`javax.imageio`) → scale
+    * (`Graphics2D` with NEAREST-NEIGHBOR interpolation — the one
+    * interpolation mode whose output is exactly determined by source
+    * pixels and target geometry, so thumbnails are bit-identical across
+    * JVMs/platforms) → re-encode as PNG (lossless + deterministic; JPEG
+    * re-encode quality would vary by encoder build). Output mime is
+    * `image/png` regardless of input format — the pixels, not the
+    * container, are the payload contract. Non-image mimes delegate to
+    * `fallback`; undecodable image bytes are an error naming the doc_id
+    * (the [[ImageIoDecoder]] rule).
+    */
+  final class ImageIoResizer(fallback: Resizer = new StubResizer) extends Resizer {
+    def open(): Unit = fallback.open()
+    def resize(r: MediaRecord, width: Int, height: Int): MediaRecord = {
+      if (r.mime == null || !r.mime.startsWith("image/"))
+        return fallback.resize(r, width, height)
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"doc_id=${r.doc_id}: undecodable ${r.mime} payload (${r.payload.length} bytes)", e) }
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"doc_id=${r.doc_id}: payload (${r.payload.length} bytes) is not a " +
+            s"decodable image despite mime ${r.mime} — no ImageIO reader accepts it")
+      val out = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = out.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g2.drawImage(img, 0, 0, width, height, null)
+        ()
+      } finally g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      MediaRecord(r.doc_id, baos.toByteArray, "image/png")
     }
   }
 

@@ -44,6 +44,77 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(2L).n_bytes == 0 && rows(2L).feature.forall(_ == 0.0f))
   }
 
+  /** A real PNG, generated in-memory: `w`×`h`, horizontal black→white
+    * gradient (left column 0, right column 255, all channels equal).
+    */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (w == 1) 0 else x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes a real PNG: true dimensions, luma-grid features") {
+    val png = gradientPng(32, 20)
+    val media = Seq(
+      MediaRecord(1L, png, "image/png"),
+      // a non-image payload rides the same batch and falls back to the stub
+      MediaRecord(2L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), "application/octet-stream"))
+      .toDS()
+    val rows = Multimodal.extractFeatures(media,
+      new Multimodal.ImageIoDecoder(gridSize = 4)).collect()
+      .map(r => r.doc_id -> r).toMap
+    val img = rows(1L)
+    assert(img.width == 32 && img.height == 20, s"${img.width}x${img.height}")
+    assert(img.n_bytes == png.length)
+    assert(img.feature.length == 16)
+    // gradient: every luma in [0,1], each grid column strictly brighter
+    // than the one left of it, rows identical (horizontal gradient)
+    assert(img.feature.forall(v => v >= 0.0f && v <= 1.0f))
+    for (row <- 0 until 4; c <- 0 until 3)
+      assert(img.feature(row * 4 + c) < img.feature(row * 4 + c + 1),
+        s"row $row col $c: ${img.feature.toSeq}")
+    for (c <- 0 until 4)
+      assert((0 until 4).map(r => img.feature(r * 4 + c)).distinct.size == 1)
+    // decode is deterministic bit-for-bit
+    val again = Multimodal.extractFeatures(media,
+      new Multimodal.ImageIoDecoder(gridSize = 4)).collect()
+      .find(_.doc_id == 1L).get
+    assert(again.feature.toSeq == img.feature.toSeq)
+    // the fallback row kept the stub's shape
+    assert(rows(2L).n_bytes == 8 && rows(2L).feature.length == 8)
+  }
+
+  test("ImageIoResizer resizes a real PNG to the target dimensions, deterministically") {
+    val media = Seq(MediaRecord(1L, gradientPng(32, 20), "image/png")).toDS()
+    val out = Multimodal.resizeAll(media, new Multimodal.ImageIoResizer, 8, 8)
+      .collect().head
+    assert(out.mime == "image/png")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // still a horizontal gradient after nearest-neighbor downscale
+    val left = back.getRGB(0, 4) & 0xff
+    val right = back.getRGB(7, 4) & 0xff
+    assert(left < right, s"left=$left right=$right")
+    val again = Multimodal.resizeAll(media, new Multimodal.ImageIoResizer, 8, 8)
+      .collect().head
+    assert(out.payload.toSeq == again.payload.toSeq, "resize must be deterministic")
+  }
+
+  test("undecodable image bytes are an error naming the doc_id, never fake features") {
+    val media = Seq(MediaRecord(7L, Array[Byte](1, 2, 3), "image/png")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(media, new Multimodal.ImageIoDecoder()).collect()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("doc_id=7"), msg)
+  }
+
   test("resize is batched, narrow, deterministic, and area-proportional") {
     val media = Multimodal.fromDocuments(
       spark.read.parquet(s"$sfDir/documents.parquet"))
