@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses `sbt "runMain graft.Bench"` stdout for the
+// one-line JSON headline. sbt's default output strategy routes the forked
+// JVM's stdout through its logger (`[info] ` prefix) and appends a
+// `[success] Total time…` line — both of which have broken the driver's
+// JSON parse every round ("parsed": null in BENCH_r1..r9). StdoutOutput
+// forwards the forked process's streams verbatim, and showSuccess drops
+// the trailer, so the headline is the LAST stdout line, bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
