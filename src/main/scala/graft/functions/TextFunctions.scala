@@ -23,7 +23,12 @@ object TextFunctions {
 
   /** BPE-ish sub-word token count: alpha runs, digit runs, and each
     * non-alnum non-space symbol count as one token (approximates the
-    * pre-tokenization split of byte-pair encoders).
+    * pre-tokenization split of byte-pair encoders). This is the CHEAP
+    * approximation (one regex pass, no vocabulary); the REAL merge-loop
+    * count over a caller-supplied merges table is
+    * [[Bpe.bpe_token_count]], which shares this exact pre-tokenization —
+    * so for any text, this count ≤ the exact count ≤ the pre-tokens'
+    * total character count (BpeSpec pins the bracket).
     */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")

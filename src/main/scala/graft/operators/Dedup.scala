@@ -241,7 +241,7 @@ object Dedup {
     * and the streaming embedding index.
     */
   def embeddingBuckets(emb: DataFrame, idCol: String, embCol: String, dim: Int,
-      nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+      nTables: Int = 12, bitsPerTable: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
     import graft.operators.Similarity.hyperplanes
     require(bitsPerTable > 0, "bitsPerTable must be explicit here; size it " +
@@ -270,7 +270,7 @@ object Dedup {
     * the within-bucket pair join quadratically.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String, dim: Int,
-      threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
+      threshold: Double = 0.9, nTables: Int = 12, bitsPerTable: Int = 4,
       roundScale: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
     val bits = if (bitsPerTable > 0) bitsPerTable else bitsPerTableFor(emb.count())

@@ -375,6 +375,33 @@ object TextQueries {
          |  FROM (SELECT unnest($toksSql) AS tok FROM documents) u) AS vocab_size
          |FROM documents""".stripMargin)),
 
+    // ---- REAL BPE token counting (r10): the merge loop over a
+    // caller-supplied merges table, as a machine-checked contract (the
+    // q44 pattern — BPE is not SQL-expressible, but its BRACKET is):
+    // exact BPE count shares bpeTokenCount's pre-tokenization, so per doc
+    // approx ≤ exact ≤ pre-token char count, with strict overall
+    // reduction when the vocab's merges fire; BpeSpec pins the
+    // hand-computed tokenizations themselves. The vocab broadcasts inside
+    // the expression (narrow codegen scalar, no join/UDF) — the 100 TB
+    // shape for token-budget packing and corpus stats.
+    Q("q111_bpe_token_count", (s, d) => {
+      import graft.functions.Bpe
+      val vocab = Bpe.BpeVocab(Seq(("l", "o"), ("lo", "w"), ("e", "r"),
+        ("t", "h"), ("th", "e"), ("i", "n")))
+      val counted = tbl(s, d, "documents").select(
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("approx"),
+        Bpe.bpe_token_count(col("text"), vocab).as("exact"),
+        Bpe.bpe_token_count(col("text"), Bpe.BpeVocab(Nil)).as("chars"))
+      counted.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(col("approx") <= col("exact") && col("exact") <= col("chars"), 0)
+          .otherwise(1)) === 0).as("bounds_ok"),
+        (sum(col("exact")) < sum(col("chars"))).as("merges_reduce"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | TRUE AS bounds_ok, TRUE AS merges_reduce
+        |FROM documents""".stripMargin)),
+
     // ---- the composed training-data cleaning pipeline: quality gate →
     // exact dedup → LSH+Jaccard near-dup removal → language filter, with a
     // per-verdict audit — the end-to-end use case of the extension ops

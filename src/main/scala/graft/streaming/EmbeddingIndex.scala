@@ -43,7 +43,7 @@ object EmbeddingIndex {
     * the right parameters forever.
     */
   def seed(emb: DataFrame, idCol: String, embCol: String, dim: Int,
-      indexDir: String, nTables: Int = 8, bitsPerTable: Int = 4): Unit = {
+      indexDir: String, nTables: Int = 12, bitsPerTable: Int = 4): Unit = {
     // refuse to re-seed over accumulated streaming deltas: seed overwrites
     // only delta=-1 and the geometry row, so a geometry change here would
     // leave deltas >= 0 bucketed under the OLD hyperplanes while the new
@@ -130,7 +130,7 @@ object EmbeddingIndex {
     */
   def start(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       indexDir: String, outDir: String, checkpointDir: String,
-      threshold: Double = 0.9, nTables: Int = 8, bitsPerTable: Int = 4,
+      threshold: Double = 0.9, nTables: Int = 12, bitsPerTable: Int = 4,
       roundScale: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
       adoptGeometry: Boolean = false): StreamingQuery = {

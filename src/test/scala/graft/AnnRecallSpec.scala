@@ -102,7 +102,7 @@ class AnnRecallSpec extends SparkSuite {
     EmbeddingIndex.seed(emb, "vec_id", "embedding", dim = 64,
       s"$base/index", bitsPerTable = 0)
     val geom = EmbeddingIndex.readGeometry(spark, s"$base/index")
-    assert(geom.contains((8, Dedup.bitsPerTableFor(110), 64)))
+    assert(geom.contains((12, Dedup.bitsPerTableFor(110), 64)))
     // the _geometry row must be invisible to the delta partition read
     assert(spark.read.parquet(s"$base/index").columns.contains("delta"))
     // start() under a different geometry would silently miss every indexed
@@ -151,7 +151,7 @@ class AnnRecallSpec extends SparkSuite {
     EmbeddingIndex.start(stream(), "vec_id", "embedding", dim = 64,
       s"$base/index", s"$base/out", s"$base/ck",
       bitsPerTable = 6).awaitTermination()
-    assert(EmbeddingIndex.readGeometry(spark, s"$base/index").contains((8, 6, 64)))
+    assert(EmbeddingIndex.readGeometry(spark, s"$base/index").contains((12, 6, 64)))
     val ex = intercept[IllegalArgumentException] {
       EmbeddingIndex.start(stream(), "vec_id", "embedding", dim = 64,
         s"$base/index", s"$base/out", s"$base/ck2", bitsPerTable = 4)
