@@ -12,15 +12,18 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * atomic — swaps ONE argument on the maintenance entry points:
   *
   * {{{
-  * // e.g. backed by a real lock service (DynamoDB conditional writes,
-  * // ZooKeeper, etcd, a database row) or S3 conditional PUTs:
+  * // reference implementation for conditional-PUT object stores (S3
+  * // If-None-Match/If-Match, GCS generation-match, Azure ETag):
+  * val lock = new ConditionalPutLockProvider(myS3ConditionalStore)
+  * Compact.run(spark, lakeDir, manifestDir = m, lock = lock)
+  * // or any external lock service (DynamoDB conditional writes,
+  * // ZooKeeper, etcd, a database row):
   * object MyLock extends LockProvider {
   *   def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T = {
   *     val lease = acquireExternal(lake.toString, leaseMs) // throws if held
   *     try body finally lease.release()
   *   }
   * }
-  * Compact.run(spark, lakeDir, manifestDir = m, lock = MyLock)
   * }}}
   *
   * Contract: `withLock` runs `body` only while holding an exclusive
