@@ -239,6 +239,49 @@ object PqIndex {
       m: Int, ksub: Int): org.apache.spark.sql.Column =
     pq_encode(l2_normalize(emb), typedLit(books.toSeq), m, ksub)
 
+  /** Sharded IVF-PQ: `nShards` independent [[buildPqIvfIndex]] instances
+    * under `indexDir/shard=<s>/`, rows routed by id-hash — the
+    * [[Similarity.buildIvfIndexSharded]] capacity pattern applied to the
+    * memory-bound tier. Each shard fits its OWN codebooks and coarse
+    * quantizer (id-hash routing keeps every shard a uniform corpus draw,
+    * so per-shard quantization quality matches single-index quality);
+    * the serve-side merge is sound because each shard's top-k carries
+    * EXACT reranked cosines — the global window over the union ranks true
+    * similarities, not shard-local ADC scores.
+    */
+  def buildPqIvfIndexSharded(corpus: DataFrame, indexDir: String, nShards: Int,
+      dim: Int, nlist: Int = 16, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      maxFitRows: Int = 100000): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    corpus.sparkSession.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
+    (0 until nShards).foreach { sh =>
+      buildPqIvfIndex(
+        corpus.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
+        s"$indexDir/shard=$sh", dim, nlist, m, ksub, seed + sh, maxFitRows)
+    }
+  }
+
+  /** Serve a [[buildPqIvfIndexSharded]] index: scatter to every shard
+    * ([[pqIvfQuery]] — per-shard codebooks, ADC scan, band cut, exact
+    * rerank), gather per-shard top-ks, merge to the global top-k.
+    */
+  def pqIvfQuerySharded(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4, refine: Int = 8, bandCap: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    val nShards = Similarity.readSharding(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir carries no _sharding row — not a sharded IVF-PQ index " +
+          "(serve a single index with pqIvfQuery, or rebuild with " +
+          "buildPqIvfIndexSharded)"))
+    val merged = (0 until nShards)
+      .map(sh => pqIvfQuery(queries, s"$indexDir/shard=$sh", k, nprobe, refine, bandCap))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("sim"), 4).desc, col("nid"))
+    merged.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
   /** Serve a query batch from a [[buildPqIvfIndex]] index: rank centroids,
     * partition-pruned read of the probed cells' CODES, ADC top-(k·refine),
     * then a partition-pruned read of the same cells' vectors for the exact

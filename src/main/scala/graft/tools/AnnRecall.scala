@@ -98,6 +98,15 @@ object AnnRecall {
     Similarity.buildIvfIndex(corpus, idxDir, nlist = nlistAuto)
     timedRecall(s"ivf_index_auto_l$nlistAuto",
       () => Similarity.ivfIndexQuery(queries, idxDir, k, nprobe = 4))
+    // sharded serve (r10): 2 id-hash shards, per-shard auto nlist, same
+    // per-shard nprobe — the capacity path must hold the single-index
+    // recall (each shard is a uniform corpus draw, so per-shard recall
+    // matches; the merge is exact over per-shard top-ks)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-annrecall-sh-")
+      .toString + "/ivf"
+    Similarity.buildIvfIndexSharded(corpus, shardDir, nShards = 2, nlist = 0)
+    timedRecall("ivf_sharded_2x_auto",
+      () => Similarity.ivfIndexQuerySharded(queries, shardDir, k, nprobe = 4))
 
     // --- q44 tier: embedding near-dup pair recall -----------------------
     // Ground truth: every exact cos>=0.9 pair with a sampled endpoint

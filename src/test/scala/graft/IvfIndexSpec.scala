@@ -113,4 +113,32 @@ class IvfIndexSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("_sharding"), ex2.getMessage)
   }
+
+  test("sharded IVF-PQ: scatter-gather merge matches exact top-k at full probe width") {
+    val base = tmpDir("graft-pqshard-")
+    PqIndex.buildPqIvfIndexSharded(corpus, s"$base/index", nShards = 2,
+      dim = 64, nlist = 4, m = 8, ksub = 16)
+    // full probe width + generous band-adaptive rerank: the candidate set
+    // per shard covers the true neighbors, and the EXACT rerank makes the
+    // merged global window reproduce brute force
+    val got = PqIndex.pqIvfQuerySharded(queries, s"$base/index", k = 5,
+        nprobe = 4, refine = 32)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"diff=${got.diff(exact)} / ${exact.diff(got)}")
+    // wrong-dim probe refused per shard; non-sharded dir refused
+    val ex = intercept[IllegalArgumentException] {
+      PqIndex.pqIvfQuerySharded(badQueries, s"$base/index", k = 5)
+    }
+    assert(ex.getMessage.contains("dim=64"), ex.getMessage)
+    val singlePq = s"$base/single"
+    PqIndex.buildPqIvfIndex(corpus, singlePq, dim = 64, nlist = 4, m = 8, ksub = 16)
+    val ex2 = intercept[IllegalStateException] {
+      PqIndex.pqIvfQuerySharded(queries, singlePq, k = 5)
+    }
+    assert(ex2.getMessage.contains("_sharding"), ex2.getMessage)
+  }
 }
