@@ -274,8 +274,12 @@ object PqIndex {
         s"$indexDir carries no _sharding row — not a sharded IVF-PQ index " +
           "(serve a single index with pqIvfQuery, or rebuild with " +
           "buildPqIvfIndexSharded)"))
-    val merged = (0 until nShards)
-      .map(sh => pqIvfQuery(queries, s"$indexDir/shard=$sh", k, nprobe, refine, bandCap))
+    // concurrent scatter (Similarity.shardScatter): plan-time per-shard
+    // work — codebook read, geometry check, probe-plan collect — runs on a
+    // bounded pool instead of serializing; the cell scans execute together
+    // under the merged plan
+    val merged = Similarity.shardScatter(nShards)(sh =>
+        pqIvfQuery(queries, s"$indexDir/shard=$sh", k, nprobe, refine, bandCap))
       .reduce(_ unionByName _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 4).desc, col("nid"))

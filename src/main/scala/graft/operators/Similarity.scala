@@ -389,10 +389,38 @@ object Similarity {
         s"$indexDir carries no _sharding row — not a sharded IVF index " +
           "(serve a single index with ivfIndexQuery, or rebuild with " +
           "buildIvfIndexSharded)"))
-    (0 until nShards)
-      .map(sh => ivfIndexQuery(queries, s"$indexDir/shard=$sh", k, nprobe))
+    // scatter CONCURRENTLY: each shard's plan-time work (geometry check +
+    // centroid read + probe-plan collect — small driver-side jobs; Spark
+    // job submission is thread-safe) would otherwise serialize into
+    // nShards × collect-latency before the merged scan job even starts.
+    // The heavy cell scans stay in ONE job: the per-shard frames are lazy
+    // and execute together under the final union+window.
+    shardScatter(nShards)(sh =>
+      ivfIndexQuery(queries, s"$indexDir/shard=$sh", k, nprobe))
       .reduce(_ unionByName _)
       .transform(topK(_, k))
+  }
+
+  /** Run `f` for every shard id on a bounded thread pool, preserving shard
+    * order in the result (order only matters for plan determinism — the
+    * final top-k window re-ranks). Shared by the IVF and IVF-PQ sharded
+    * serves.
+    */
+  private[operators] def shardScatter[T](nShards: Int, maxThreads: Int = 8)(
+      f: Int => T): Seq[T] = {
+    if (nShards == 1) return Seq(f(0))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(nShards, maxThreads))
+    try {
+      val futures = (0 until nShards).map(sh =>
+        pool.submit(new java.util.concurrent.Callable[T] { def call(): T = f(sh) }))
+      // unwrap ExecutionException so callers see the shard's own error
+      // (e.g. the geometry-mismatch IllegalArgumentException), not a
+      // concurrency wrapper around it
+      futures.map(fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+    } finally { pool.shutdown() }
   }
 
   /** SemDeDup-style semantic near-duplicate detection (Abbas et al. 2023,
