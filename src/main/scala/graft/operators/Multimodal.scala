@@ -101,6 +101,77 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder — JDK-only (`javax.sound.sampled`): WAV, AIFF and
+    * AU payloads (the formats the JDK's built-in SPIs read; PCM plus
+    * µ-law/a-law) decode to true sample rate, channel count, and a
+    * `windows`-segment RMS-energy envelope over the mono-mixed signal
+    * (each value in [0,1], 1.0 = full-scale) — the audio analogue of
+    * [[ImageIoDecoder]]'s luma grid, computed by exact integer
+    * accumulation (bit-deterministic). Compressed codecs (mp3/ogg/aac)
+    * have no JDK SPI and delegate to `fallback`, as do non-audio mimes;
+    * undecodable audio-mime bytes are an error naming the doc_id.
+    *
+    * [[MediaFeatures]] field mapping for the audio modality (the schema is
+    * shared across modalities by design — one lake table, one pipeline):
+    * `width` = sample rate in Hz, `height` = channel count.
+    */
+  final class JavaSoundDecoder(windows: Int = 8,
+      fallback: Decoder = new StubDecoder()) extends Decoder {
+    require(windows >= 1, s"windows must be positive, got $windows")
+    def open(): Unit = fallback.open()
+    def decode(r: MediaRecord): MediaFeatures = {
+      if (r.mime == null || !r.mime.startsWith("audio/")) return fallback.decode(r)
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val pcm = try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = ais.getFormat
+        // normalize every JDK-decodable encoding to 16-bit signed
+        // little-endian PCM at the source rate/channels: one sample-read
+        // loop below serves PCM and µ-law/a-law alike
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        AudioSystem.getAudioInputStream(target, ais)
+      } catch {
+        case e @ (_: javax.sound.sampled.UnsupportedAudioFileException |
+                  _: java.io.IOException |
+                  _: IllegalArgumentException) =>
+          throw new IllegalArgumentException(
+            s"doc_id=${r.doc_id}: undecodable ${r.mime} payload " +
+              s"(${r.payload.length} bytes) — the JDK SPIs read WAV/AIFF/AU " +
+              "(PCM, µ-law, a-law); compressed codecs need a real codec " +
+              "behind the Decoder seam", e)
+      }
+      val fmt = pcm.getFormat
+      val channels = fmt.getChannels
+      val bytes = pcm.readAllBytes()
+      val nFrames = bytes.length / (2 * channels)
+      // mono-mix each frame, accumulate sum-of-squares per window
+      val sums = new Array[Double](windows)
+      val counts = new Array[Long](windows)
+      var fr = 0
+      while (fr < nFrames) {
+        var mix = 0L
+        var ch = 0
+        while (ch < channels) {
+          val off = (fr * channels + ch) * 2
+          mix += ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+          ch += 1
+        }
+        val s = mix.toDouble / channels / 32768.0
+        val w = math.min(windows - 1, (fr.toLong * windows / math.max(1, nFrames)).toInt)
+        sums(w) += s * s
+        counts(w) += 1
+        fr += 1
+      }
+      val feat = Array.tabulate(windows)(i =>
+        if (counts(i) == 0) 0.0f else math.sqrt(sums(i) / counts(i)).toFloat)
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+        width = fmt.getSampleRate.toInt, height = channels, feat)
+    }
+  }
+
   /** The pipeline: binary payload dataset → per-partition batched decode →
     * typed feature rows. Narrow (no shuffle); scales with partitions.
     */

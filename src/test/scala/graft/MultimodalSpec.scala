@@ -106,6 +106,58 @@ class MultimodalSpec extends SparkSuite {
     assert(out.payload.toSeq == again.payload.toSeq, "resize must be deterministic")
   }
 
+  /** A real WAV, generated in-memory: 1 s of 16-bit mono PCM at `rate` Hz —
+    * first half silence, second half a ±`amp` square wave.
+    */
+  private def halfSilentWav(rate: Int = 8000, amp: Short = 16384): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = rate
+    val data = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if ((i / 8) % 2 == 0) amp else (-amp).toShort
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("JavaSoundDecoder decodes a real WAV: true rate/channels, RMS envelope") {
+    val wav = halfSilentWav()
+    val media = Seq(
+      MediaRecord(1L, wav, "audio/wav"),
+      MediaRecord(2L, Array[Byte](1, 2, 3, 4), "application/octet-stream"))
+      .toDS()
+    val rows = Multimodal.extractFeatures(media,
+      new Multimodal.JavaSoundDecoder(windows = 8)).collect()
+      .map(r => r.doc_id -> r).toMap
+    val a = rows(1L)
+    assert(a.width == 8000 && a.height == 1, s"${a.width}Hz x${a.height}ch")
+    assert(a.n_bytes == wav.length)
+    assert(a.feature.length == 8)
+    // first half silent, second half full square wave at amp/32768 = 0.5 RMS
+    (0 until 4).foreach(i => assert(a.feature(i) == 0.0f, a.feature.toSeq))
+    (4 until 8).foreach(i => assert(math.abs(a.feature(i) - 0.5f) < 0.01f,
+      a.feature.toSeq))
+    // deterministic bit-for-bit
+    val again = Multimodal.extractFeatures(media,
+      new Multimodal.JavaSoundDecoder(windows = 8)).collect()
+      .find(_.doc_id == 1L).get
+    assert(again.feature.toSeq == a.feature.toSeq)
+    // non-audio mime fell back to the stub
+    assert(rows(2L).n_bytes == 4 && rows(2L).feature.length == 8)
+    // undecodable audio-mime bytes are an error naming the doc_id
+    val bad = Seq(MediaRecord(9L, Array[Byte](9, 9, 9), "audio/wav")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad, new Multimodal.JavaSoundDecoder()).collect()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("doc_id=9"), msg)
+  }
+
   test("undecodable image bytes are an error naming the doc_id, never fake features") {
     val media = Seq(MediaRecord(7L, Array[Byte](1, 2, 3), "image/png")).toDS()
     val ex = intercept[org.apache.spark.SparkException] {

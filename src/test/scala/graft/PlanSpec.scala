@@ -217,6 +217,35 @@ class PlanSpec extends SparkSuite {
     assert(readParts < 8, s"probe read $readParts of 8 cells — pruning lost")
   }
 
+  test("q110 sharded IVF serve: every shard's probe scan is cell-pruned") {
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("graft-ivfshardplan-")
+    val emb = Registry.tbl(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    graft.operators.Similarity.buildIvfIndexSharded(corpus, s"$base/index",
+      nShards = 2, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val df = graft.operators.Similarity.ivfIndexQuerySharded(queries,
+      s"$base/index", k = 5, nprobe = 2)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.metadata.get("Location").exists(_.contains("corpus")) => sc
+    }
+    // one corpus scan per shard, each with the q100 pruning shape
+    assert(scans.size == 2, s"expected 2 shard scans, got ${scans.size}")
+    scans.foreach { corpusScan =>
+      assert(corpusScan.metadata("PartitionFilters").contains("cell"),
+        corpusScan.metadata.toString)
+      val static = corpusScan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      val readParts = corpusScan.relation.location
+        .listFiles(static, corpusScan.dataFilters).size
+      assert(readParts < 8, s"shard probe read $readParts of 8 cells — pruning lost")
+    }
+  }
+
   test("partitioned lake point query prunes to the matching hour partition") {
     val base = tmpDir("graft-prune-")
     import org.apache.spark.sql.functions._
