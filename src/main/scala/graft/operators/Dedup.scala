@@ -215,8 +215,8 @@ object Dedup {
     * independent tables of `bitsPerTable` hyperplane sign bits each; two
     * docs are candidates when they share a bucket in ANY table, and every
     * candidate is cosine-verified, so output ⊆ the exact answer with miss
-    * probability (1 − (1 − θ/π)^b)^L per true pair — ≈0.2% at cos ≥ 0.9
-    * with the defaults (8 tables × 4 bits). Plan shape at 100 TB: the
+    * probability (1 − (1 − θ/π)^b)^L per true pair — ≈0.01% at cos ≥ 0.9
+    * with the defaults (12 tables × 4 bits). Plan shape at 100 TB: the
     * corpus fans out ×nTables and shuffles once on (table, bucket); pair
     * count is bucket-bounded.
     */

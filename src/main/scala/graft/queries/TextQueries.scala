@@ -375,6 +375,84 @@ object TextQueries {
          |  FROM (SELECT unnest($toksSql) AS tok FROM documents) u) AS vocab_size
          |FROM documents""".stripMargin)),
 
+    // ---- REAL media decode round-trip (r10): encode → decode → verify,
+    // as a machine-checked contract (the q44 pattern — pixel/PCM decode is
+    // not SQL-expressible, but the ROUND-TRIP invariants are booleans
+    // DuckDB can pin): per doc, a deterministically-sized gradient PNG and
+    // a half-silence WAV are generated in-executor, decoded by the REAL
+    // JDK decoders (ImageIoDecoder / JavaSoundDecoder), and checked —
+    // decoded dims == generated dims, luma grid monotone along the
+    // gradient, audio rate/channels exact, RMS envelope silent-then-loud.
+    // The pipeline is the production shape: per-partition batched decode,
+    // no shuffle (PlanSpec-style narrowness is pinned in MultimodalSpec).
+    Q("q112_media_decode", (s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.MediaRecord
+      val ids = tbl(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 50)
+        .as[Long]
+      val png = ids.map { id =>
+        val w = 16 + (id % 32).toInt; val h = 16 + (id % 24).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = if (w == 1) 0 else x * 255 / (w - 1)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaRecord(id, baos.toByteArray, "image/png")
+      }
+      val wav = ids.map { id =>
+        val rate = 8000; val n = 800 + (id % 8).toInt * 100
+        val data = new Array[Byte](n * 2)
+        var i = n / 2
+        while (i < n) { // second half: full-scale square wave
+          val v: Short = if ((i / 8) % 2 == 0) 16384 else -16384
+          data(i * 2) = (v & 0xff).toByte
+          data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        MediaRecord(id, baos.toByteArray, "audio/wav")
+      }
+      val imgOk = Multimodal.extractFeatures(png, new Multimodal.ImageIoDecoder(4))(s)
+        .map { f =>
+          val dimsOk = f.width == 16 + (f.doc_id % 32).toInt &&
+            f.height == 16 + (f.doc_id % 24).toInt
+          // horizontal gradient: each grid column brighter than the last
+          val gradOk = (0 until 4).forall(r => (0 until 3).forall(c =>
+            f.feature(r * 4 + c) < f.feature(r * 4 + c + 1)))
+          (f.doc_id, dimsOk, gradOk)
+        }.toDF("doc_id", "dims_ok", "grad_ok")
+      val audOk = Multimodal.extractFeatures(wav, new Multimodal.JavaSoundDecoder(4))(s)
+        .map { f =>
+          val fmtOk = f.width == 8000 && f.height == 1
+          // first half silent, second half ~0.5 RMS
+          val envOk = f.feature(0) == 0.0f && f.feature(1) == 0.0f &&
+            math.abs(f.feature(2) - 0.5f) < 0.02f &&
+            math.abs(f.feature(3) - 0.5f) < 0.02f
+          (f.doc_id, fmtOk, envOk)
+        }.toDF("doc_id", "fmt_ok", "env_ok")
+      imgOk.join(audOk, "doc_id").agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(col("dims_ok") && col("grad_ok"), 0).otherwise(1)) === 0).as("image_ok"),
+        (sum(when(col("fmt_ok") && col("env_ok"), 0).otherwise(1)) === 0).as("audio_ok"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | TRUE AS image_ok, TRUE AS audio_ok
+        |FROM documents WHERE doc_id < 50""".stripMargin)),
+
     // ---- REAL BPE token counting (r10): the merge loop over a
     // caller-supplied merges table, as a machine-checked contract (the
     // q44 pattern — BPE is not SQL-expressible, but its BRACKET is):
