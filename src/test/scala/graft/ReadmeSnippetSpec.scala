@@ -46,4 +46,46 @@ class ReadmeSnippetSpec extends SparkSuite {
     assert(Seq("shuffle_key", "doc_id", "n_tokens", "cum_weight")
       .forall(back.schema.fieldNames.contains))
   }
+
+  test("the README similarity-serving quickstart snippet compiles and runs end to end") {
+    import graft.operators.{PqIndex, Similarity}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val base = tmpDir("graft-readme-ann-")
+
+    // single index, auto-sized cells
+    Similarity.buildIvfIndex(corpus, s"$base/v1", nlist = 0)
+    val top10 = Similarity.ivfIndexQuery(queries, s"$base/v1", k = 10, nprobe = 4)
+    assert(top10.groupBy("qid").count().collect().forall(_.getLong(1) == 10))
+
+    // sharded (README uses 64 shards at scale; 2 exercises the same path)
+    Similarity.buildIvfIndexSharded(corpus, s"$base/v2", nShards = 2, nlist = 0)
+    val top10b = Similarity.ivfIndexQuerySharded(queries, s"$base/v2",
+      k = 10, nprobe = 4)
+    assert(top10b.groupBy("qid").count().collect().forall(_.getLong(1) == 10))
+
+    // PQ memory-bound tier, sharded (test embeddings are 64-dim)
+    PqIndex.buildPqIvfIndexSharded(corpus, s"$base/v3", nShards = 2,
+      dim = 64, nlist = 4, ksub = 16)
+    val top10c = PqIndex.pqIvfQuerySharded(queries, s"$base/v3", k = 10)
+    assert(top10c.groupBy("qid").count().collect().forall(_.getLong(1) == 10))
+
+    // streaming index with the geometry handshake
+    graft.streaming.EmbeddingIndex.seed(corpus.limit(100)
+        .select(col("id").as("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, s"$base/stream", bitsPerTable = 0)
+    val (t, b, dm) = graft.streaming.EmbeddingIndex
+      .readGeometry(spark, s"$base/stream").get
+    queries.select(col("qid").as("vec_id"), col("embedding"))
+      .write.parquet(s"$base/src")
+    val newVectors = spark.readStream
+      .schema("vec_id long, embedding array<float>").parquet(s"$base/src")
+    graft.streaming.EmbeddingIndex.start(newVectors, "vec_id", "embedding", dm,
+      s"$base/stream", s"$base/pairs", s"$base/ck",
+      nTables = t, bitsPerTable = b).awaitTermination()
+    assert(new java.io.File(s"$base/pairs").exists())
+  }
 }
