@@ -80,12 +80,17 @@ object Multimodal {
       val g = gridSize
       val sums = new Array[Double](g * g)
       val counts = new Array[Long](g * g)
+      // bulk scanline fetch: per-pixel getRGB(x, y) pays a ColorModel
+      // conversion call per pixel (~10× slower) — w×h calls per record in
+      // the pipeline's hot loop; the row form returns identical values
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
         val cy = math.min(g - 1, y * g / h)
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
             0.114 * (rgb & 0xff)
           val cell = cy * g + math.min(g - 1, x * g / w)
@@ -107,9 +112,13 @@ object Multimodal {
     * `windows`-segment RMS-energy envelope over the mono-mixed signal
     * (each value in [0,1], 1.0 = full-scale) — the audio analogue of
     * [[ImageIoDecoder]]'s luma grid, computed by exact integer
-    * accumulation (bit-deterministic). Compressed codecs (mp3/ogg/aac)
-    * have no JDK SPI and delegate to `fallback`, as do non-audio mimes;
-    * undecodable audio-mime bytes are an error naming the doc_id.
+    * accumulation (bit-deterministic). NON-audio mimes delegate to
+    * `fallback`; audio mimes the JDK cannot decode — compressed codecs
+    * (mp3/ogg/aac) have no JDK SPI — are an ERROR naming the doc_id, the
+    * same rule as undecodable bytes: silently-fake features for real
+    * audio are the failure mode this family refuses everywhere, so a
+    * mixed-codec corpus must either route compressed mimes to a real
+    * codec behind the seam or filter them upstream.
     *
     * [[MediaFeatures]] field mapping for the audio modality (the schema is
     * shared across modalities by design — one lake table, one pipeline):

@@ -253,13 +253,23 @@ object PqIndex {
       dim: Int, nlist: Int = 16, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
       maxFitRows: Int = 100000): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    corpus.sparkSession.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
+    // empty-shard fail-fast + commit-point-last, the buildIvfIndexSharded
+    // discipline: never strand a half-built index a serve would touch
+    val present = corpus
+      .groupBy(pmod(xxhash64(col("id")), lit(nShards)).as("sh")).count()
+      .collect().map(_.getLong(0)).toSet
+    val missing = (0L until nShards.toLong).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"buildPqIvfIndexSharded(nShards=$nShards): shard(s) " +
+        s"${missing.take(5).mkString(", ")} would be EMPTY — the corpus is " +
+        "too small for this shard count; reduce nShards")
     (0 until nShards).foreach { sh =>
       buildPqIvfIndex(
         corpus.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
         s"$indexDir/shard=$sh", dim, nlist, m, ksub, seed + sh, maxFitRows)
     }
+    corpus.sparkSession.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
   }
 
   /** Serve a [[buildPqIvfIndexSharded]] index: scatter to every shard
@@ -274,16 +284,21 @@ object PqIndex {
         s"$indexDir carries no _sharding row — not a sharded IVF-PQ index " +
           "(serve a single index with pqIvfQuery, or rebuild with " +
           "buildPqIvfIndexSharded)"))
+    // validate the batch ONCE against shard 0's persisted dim (all shards
+    // of one build share it), then scatter with per-shard validation off
+    val meta0 = spark.read.parquet(s"$indexDir/shard=0/codebooks").head()
+    if (meta0.schema.fieldNames.contains("dim"))
+      Similarity.requireProbeDim(queries, meta0.getAs[Int]("dim"), indexDir)
     // concurrent scatter (Similarity.shardScatter): plan-time per-shard
-    // work — codebook read, geometry check, probe-plan collect — runs on a
-    // bounded pool instead of serializing; the cell scans execute together
-    // under the merged plan
-    val merged = Similarity.shardScatter(nShards)(sh =>
-        pqIvfQuery(queries, s"$indexDir/shard=$sh", k, nprobe, refine, bandCap))
+    // work — codebook read, probe-plan collect — runs on a bounded pool
+    // instead of serializing; the cell scans execute together under the
+    // merged plan
+    Similarity.shardScatter(nShards)(sh =>
+        pqIvfQueryImpl(queries, s"$indexDir/shard=$sh", k, nprobe, refine,
+          bandCap, allowPreBandIndex = false, validateProbe = false))
       .reduce(_ unionByName _)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(round(col("sim"), 4).desc, col("nid"))
-    merged.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+      // the ONE engine-stable ranking every ANN path shares
+      .transform(Similarity.topK(_, k))
   }
 
   /** Serve a query batch from a [[buildPqIvfIndex]] index: rank centroids,
@@ -302,7 +317,17 @@ object PqIndex {
     */
   def pqIvfQuery(queries: DataFrame, indexDir: String, k: Int,
       nprobe: Int = 4, refine: Int = 8, bandCap: Int = 32,
-      allowPreBandIndex: Boolean = false): DataFrame = {
+      allowPreBandIndex: Boolean = false): DataFrame =
+    pqIvfQueryImpl(queries, indexDir, k, nprobe, refine, bandCap,
+      allowPreBandIndex, validateProbe = true)
+
+  /** `validateProbe = false` skips the dim handshake — ONLY for the
+    * sharded serve, which validates once against shard 0 (the
+    * [[Similarity.ivfIndexQueryImpl]] rule).
+    */
+  private def pqIvfQueryImpl(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int, refine: Int, bandCap: Int,
+      allowPreBandIndex: Boolean, validateProbe: Boolean): DataFrame = {
     val spark = queries.sparkSession
     val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val meta = spark.read.parquet(s"$indexDir/codebooks").head()
@@ -312,12 +337,14 @@ object PqIndex {
     // Similarity.requireProbeDim documents the silent-miss mode this
     // turns into an error); indexes persisted before the dim column are
     // served with a loud warning instead
-    if (meta.schema.fieldNames.contains("dim"))
-      Similarity.requireProbeDim(queries, meta.getAs[Int]("dim"), indexDir)
-    else
-      System.err.println(s"[graft] WARNING: PQ index $indexDir predates the " +
-        "dim geometry column — a wrong-dim probe against it fails only " +
-        "downstream (or returns empty results); rebuild with buildPqIvfIndex")
+    if (validateProbe) {
+      if (meta.schema.fieldNames.contains("dim"))
+        Similarity.requireProbeDim(queries, meta.getAs[Int]("dim"), indexDir)
+      else
+        System.err.println(s"[graft] WARNING: PQ index $indexDir predates the " +
+          "dim geometry column — a wrong-dim probe against it fails only " +
+          "downstream (or returns empty results); rebuild with buildPqIvfIndex")
+    }
     val band =
       if (meta.schema.fieldNames.contains("band")) meta.getAs[Double]("band")
       else if (allowPreBandIndex) {
@@ -361,8 +388,8 @@ object PqIndex {
     val sims = vectors.join(q, Seq("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(round(col("sim"), 4).desc, col("nid"))
-    sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    // the ONE engine-stable ranking every ANN path shares — a drifted copy
+    // here would silently diverge PQ ordering from the IVF tiers
+    Similarity.topK(sims, k)
   }
 }

@@ -163,7 +163,7 @@ object Similarity {
   /** Per-query top-k on a (qid, nid, sim) table — rounded-sim ranking with
     * nid tie-break, the engine-stable ordering every ANN path shares.
     */
-  private def topK(sims: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 4).desc, col("nid"))
     sims.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
@@ -274,9 +274,22 @@ object Similarity {
     */
   private[operators] def requireProbeDim(queries: DataFrame, indexDim: Int,
       indexDir: String): Unit = {
-    val r = queries.agg(min(size(col("embedding"))).as("lo"),
+    val r = queries.agg(count(lit(1)).as("n"), count(col("embedding")).as("nn"),
+      min(size(col("embedding"))).as("lo"),
       max(size(col("embedding"))).as("hi")).head()
-    val (lo, hi) = (r.getInt(0), r.getInt(1))
+    // an EMPTY probe batch is a legal serve (returns empty results, the
+    // pre-r10 behavior) — min/max are NULL there, so bail before reading
+    // them as ints (NPE otherwise)
+    if (r.getLong(0) == 0) return
+    // NULL embeddings slip past min/max (aggregates skip nulls) but NULL
+    // through every similarity expression downstream — same silent-empty
+    // mode as a wrong dim; refuse them by the same rule
+    require(r.getLong(1) == r.getLong(0),
+      s"probe batch has ${r.getLong(0) - r.getLong(1)} NULL embedding(s) " +
+        s"(of ${r.getLong(0)} rows) against index $indexDir — NULL probes " +
+        "NULL through the similarity expressions and return empty results " +
+        "with no error; filter or re-embed them")
+    val (lo, hi) = (r.getInt(2), r.getInt(3))
     require(lo == indexDim && hi == indexDim,
       s"probe dimension ${if (lo == hi) lo.toString else s"$lo..$hi"} does " +
         s"not match index $indexDir geometry (dim=$indexDim): a mismatched " +
@@ -297,9 +310,19 @@ object Similarity {
     * non-zero `expectedDim` must agree with it.
     */
   def ivfIndexQuery(queries: DataFrame, indexDir: String, k: Int,
-      nprobe: Int = 4, expectedDim: Int = 0): DataFrame = {
+      nprobe: Int = 4, expectedDim: Int = 0): DataFrame =
+    ivfIndexQueryImpl(queries, indexDir, k, nprobe, expectedDim,
+      validateProbe = true)
+
+  /** `validateProbe = false` skips the geometry/dim handshake — ONLY for
+    * the sharded serve, which validates the batch once against shard 0's
+    * geometry instead of re-running the same aggregation per shard (all
+    * shards of one build share dim by construction).
+    */
+  private[operators] def ivfIndexQueryImpl(queries: DataFrame, indexDir: String,
+      k: Int, nprobe: Int, expectedDim: Int, validateProbe: Boolean): DataFrame = {
     val spark = queries.sparkSession
-    readIvfGeometry(spark, indexDir) match {
+    if (validateProbe) readIvfGeometry(spark, indexDir) match {
       case Some((dim, _, _)) =>
         require(expectedDim == 0 || expectedDim == dim,
           s"index at $indexDir carries geometry dim=$dim but the caller " +
@@ -353,13 +376,30 @@ object Similarity {
   def buildIvfIndexSharded(corpus: DataFrame, indexDir: String, nShards: Int,
       nlist: Int = 0, seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    corpus.sparkSession.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
+    // fail fast, BEFORE any shard is written, if some hash residue class
+    // would be empty (guaranteed when rows < nShards): an empty shard's
+    // build dies mid-loop with an unhelpful empty-head error, stranding a
+    // half-built index. One count pass over (id) only.
+    val present = corpus
+      .groupBy(pmod(xxhash64(col("id")), lit(nShards)).as("sh")).count()
+      .collect().map(_.getLong(0)).toSet
+    val missing = (0L until nShards.toLong).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"buildIvfIndexSharded(nShards=$nShards): shard(s) " +
+        s"${missing.take(5).mkString(", ")} would be EMPTY (corpus has only " +
+        s"${present.size} non-empty hash classes) — the corpus is too small " +
+        "for this shard count; reduce nShards (a shard should hold millions " +
+        "of rows, not thousands)")
     (0 until nShards).foreach { sh =>
       buildIvfIndex(
         corpus.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
         s"$indexDir/shard=$sh", nlist, seed + sh, maxFitRows)
     }
+    // the _sharding row is the COMMIT point, written after every shard is
+    // complete: a crash mid-build leaves a directory ivfIndexQuerySharded
+    // refuses (no _sharding row), never one it serves partially
+    corpus.sparkSession.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
   }
 
   /** The sharded index's shard count (None: not a sharded index). */
@@ -389,14 +429,22 @@ object Similarity {
         s"$indexDir carries no _sharding row — not a sharded IVF index " +
           "(serve a single index with ivfIndexQuery, or rebuild with " +
           "buildIvfIndexSharded)"))
-    // scatter CONCURRENTLY: each shard's plan-time work (geometry check +
-    // centroid read + probe-plan collect — small driver-side jobs; Spark
-    // job submission is thread-safe) would otherwise serialize into
-    // nShards × collect-latency before the merged scan job even starts.
-    // The heavy cell scans stay in ONE job: the per-shard frames are lazy
-    // and execute together under the final union+window.
+    // validate the batch ONCE against shard 0's geometry (all shards of
+    // one build share dim by construction) instead of re-running the same
+    // probe aggregation per shard
+    readIvfGeometry(spark, s"$indexDir/shard=0") match {
+      case Some((dim, _, _)) => requireProbeDim(queries, dim, indexDir)
+      case None => ()
+    }
+    // scatter CONCURRENTLY: each shard's plan-time work (centroid read +
+    // probe-plan collect — small driver-side jobs; Spark job submission is
+    // thread-safe) would otherwise serialize into nShards × collect-latency
+    // before the merged scan job even starts. The heavy cell scans stay in
+    // ONE job: the per-shard frames are lazy and execute together under
+    // the final union+window.
     shardScatter(nShards)(sh =>
-      ivfIndexQuery(queries, s"$indexDir/shard=$sh", k, nprobe))
+      ivfIndexQueryImpl(queries, s"$indexDir/shard=$sh", k, nprobe,
+        expectedDim = 0, validateProbe = false))
       .reduce(_ unionByName _)
       .transform(topK(_, k))
   }

@@ -81,6 +81,13 @@ final class ConditionalPutLockProvider(store: ConditionalStore,
     beat.start()
     try body finally {
       beat.interrupt()
+      // JOIN before reading held: a heartbeat mid-CAS (not sleeping, so
+      // the interrupt doesn't stop it) can commit a new version AFTER the
+      // main thread read held.get() — the delete would then CAS-fail and
+      // leak the lock with a freshly extended lease, blocking the next
+      // writer for up to a full leaseMs
+      try beat.join() catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
       store.deleteIfMatch(key, held.get())
       ()
     }

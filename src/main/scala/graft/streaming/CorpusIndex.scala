@@ -164,6 +164,14 @@ object CorpusIndex {
           "and probes would silently skip the streamed docs — rebuild into a " +
           "fresh indexDir")
     }
+    // RE-seed: drop the old seed deltas BEFORE certifying the new geometry
+    // (the EmbeddingIndex.seed rule) — a crash between the geometry write
+    // and the data overwrite must never leave OLD-MinHash bands under a
+    // NEW-geometry certificate
+    Seq(s"$indexDir/bands/delta=-1", s"$indexDir/arrays/delta=-1").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(p)) FsOps.deleteOrThrow(fs, p, recursive = true)
+    }
     // geometry BEFORE data (the EmbeddingIndex.seed ordering): a crash
     // between the writes must leave _geometry already certifying the
     // MinHash the data was (about to be) banded under, never banded data

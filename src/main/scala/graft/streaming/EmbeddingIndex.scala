@@ -63,12 +63,18 @@ object EmbeddingIndex {
     }
     val bits = if (bitsPerTable > 0) bitsPerTable
       else Dedup.bitsPerTableFor(emb.count())
+    // RE-seed: drop the old delta=-1 BEFORE certifying the new geometry —
+    // otherwise a crash between the geometry write and the delta overwrite
+    // leaves OLD-hyperplane data under a NEW-geometry certificate, a
+    // mixed state that passes the start() handshake and probes to nothing
+    val oldSeed = new org.apache.hadoop.fs.Path(s"$indexDir/delta=-1")
+    if (fs.exists(oldSeed)) FsOps.deleteOrThrow(fs, oldSeed, recursive = true)
     // geometry BEFORE data: a crash between the two writes must leave an
     // index whose _geometry already certifies the hyperplanes delta=-1 was
-    // (about to be) bucketed under — the reverse order leaves data with no
-    // geometry, and a later start() would be invited to adopt whatever
-    // parameters it was called with (the silent-miss state this row exists
-    // to prevent)
+    // (about to be) bucketed under (geometry-with-no-data starts cleanly);
+    // the reverse order leaves data with no geometry, and a later start()
+    // would be invited to adopt whatever parameters it was called with
+    // (the silent-miss state this row exists to prevent)
     writeGeometry(emb.sparkSession, indexDir, nTables, bits, dim)
     Dedup.embeddingBuckets(emb, idCol, embCol, dim, nTables, bits)
       .write.mode("overwrite").parquet(s"$indexDir/delta=-1")

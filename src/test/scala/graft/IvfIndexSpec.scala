@@ -114,6 +114,31 @@ class IvfIndexSpec extends SparkSuite {
     assert(ex2.getMessage.contains("_sharding"), ex2.getMessage)
   }
 
+  test("empty probe batch serves empty; NULL-embedding probes are refused; empty shard build fails fast") {
+    val dir = s"${tmpDir("graft-ivfedge-")}/index"
+    Similarity.buildIvfIndex(corpus, dir, nlist = 4)
+    // an empty batch is a legal serve (the pre-r10 behavior): no NPE,
+    // empty result
+    val none = queries.where(col("qid") < 0)
+    assert(Similarity.ivfIndexQuery(none, dir, k = 3, nprobe = 2).count() == 0)
+    // NULL embeddings NULL through the similarity expressions exactly like
+    // a wrong dim — refused by the same rule
+    val withNull = queries.select(col("qid"),
+      when(col("qid") === 0, lit(null)).otherwise(col("embedding")).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexQuery(withNull, dir, k = 3, nprobe = 2)
+    }
+    assert(ex.getMessage.contains("NULL embedding"), ex.getMessage)
+    // a shard count the corpus can't fill is refused BEFORE any shard is
+    // written (an empty shard would strand a half-built index)
+    val tiny = corpus.limit(3)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndexSharded(tiny, s"${tmpDir("graft-ivfempty-")}/idx",
+        nShards = 64, nlist = 0)
+    }
+    assert(ex2.getMessage.contains("EMPTY"), ex2.getMessage)
+  }
+
   test("sharded IVF-PQ: scatter-gather merge matches exact top-k at full probe width") {
     val base = tmpDir("graft-pqshard-")
     PqIndex.buildPqIvfIndexSharded(corpus, s"$base/index", nShards = 2,

@@ -102,6 +102,34 @@ class HardeningR10Spec extends SparkSuite {
     assert(got == Set((10L, 1L)), s"got $got")
   }
 
+  test("re-seed with changed geometry replaces delta=-1 atomically enough: old data never sits under the new certificate") {
+    val base = tmpDir("graft-r10-reseed-")
+    val rows = Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f))).toDF("id", "emb")
+    EmbeddingIndex.seed(rows, "id", "emb", dim = 4, s"$base/index",
+      nTables = 8, bitsPerTable = 4)
+    // legal re-seed (no streamed deltas yet) under different geometry
+    EmbeddingIndex.seed(rows, "id", "emb", dim = 4, s"$base/index",
+      nTables = 12, bitsPerTable = 6)
+    assert(EmbeddingIndex.readGeometry(spark, s"$base/index").contains((12, 6, 4)))
+    // the re-seeded index probes correctly under the NEW geometry: a
+    // stream under the carried parameters finds the seed pair (old
+    // 8-table data under the new certificate would find nothing)
+    val src = s"$base/src"
+    stage(Seq((10L, Seq(1.0f, 0.0f, 0.0f, 0.0f))), src, "b0",
+      System.currentTimeMillis() - 60000)
+    EmbeddingIndex.start(
+      spark.readStream.schema("id long, emb array<float>").parquet(src),
+      "id", "emb", dim = 4, s"$base/index", s"$base/out", s"$base/ck",
+      threshold = 0.9, nTables = 12, bitsPerTable = 6)
+      .awaitTermination()
+    val pairs = spark.read
+      .schema("id_new long, id_other long, cos double, batch long")
+      .parquet(s"$base/out")
+      .select($"id_new", $"id_other").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)), s"got $pairs")
+  }
+
   test("seed() writes _geometry before delta data (crash leaves geometry, never orphan data)") {
     // the observable contract: a fresh seed's geometry row exists and an
     // index holding ONLY a geometry row (the new crash state) starts clean
