@@ -322,8 +322,11 @@ object PqIndex {
       allowPreBandIndex, validateProbe = true)
 
   /** `validateProbe = false` skips the dim handshake — ONLY for the
-    * sharded serve, which validates once against shard 0 (the
-    * [[Similarity.ivfIndexQueryImpl]] rule).
+    * sharded serve, which validates the batch once against shard 0 (all
+    * shards of one build share dim by construction). Unlike the IVF serve
+    * (whose validation is free on its collected probe rows), the PQ check
+    * must run BEFORE the probe plan: `pq_table` evaluates on the raw
+    * embedding and must never see a wrong-dim vector.
     */
   private def pqIvfQueryImpl(queries: DataFrame, indexDir: String, k: Int,
       nprobe: Int, refine: Int, bandCap: Int,

@@ -297,6 +297,35 @@ object Similarity {
         "results with no error — re-embed the queries or probe the right index")
   }
 
+  /** The zero-extra-job form of [[requireProbeDim]]: validate the query
+    * vectors riding in ALREADY-COLLECTED probe rows (column `qe`) against
+    * the index dimension. Same refusal semantics; used by the IVF serve
+    * paths, whose probe-plan collect materializes every query's vector
+    * anyway. (The PQ serve keeps the aggregation pre-check instead: its
+    * probe plan evaluates `pq_table` on the raw embedding, which must not
+    * see a wrong-dim vector.)
+    */
+  private[operators] def validateProbeRows(rows: Seq[org.apache.spark.sql.Row],
+      indexDim: Int, indexDir: String): Unit = {
+    if (rows.isEmpty) return // empty batch = legal empty serve
+    val byQid = rows.groupBy(_.getAs[Any]("qid")).view
+      .mapValues(_.head).toMap
+    val nullQids = byQid.count { case (_, r) => r.isNullAt(r.fieldIndex("qe")) }
+    require(nullQids == 0,
+      s"probe batch has $nullQids NULL embedding(s) (of ${byQid.size} " +
+        s"queries) against index $indexDir — NULL probes NULL through the " +
+        "similarity expressions and return empty results with no error; " +
+        "filter or re-embed them")
+    val sizes = byQid.valuesIterator
+      .map(r => r.getAs[scala.collection.Seq[Double]]("qe").size).toSeq
+    val (lo, hi) = (sizes.min, sizes.max)
+    require(lo == indexDim && hi == indexDim,
+      s"probe dimension ${if (lo == hi) lo.toString else s"$lo..$hi"} does " +
+        s"not match index $indexDir geometry (dim=$indexDim): a mismatched " +
+        "probe NULLs through the similarity expressions and returns empty " +
+        "results with no error — re-embed the queries or probe the right index")
+  }
+
   /** Query a [[buildIvfIndex]] index: rank each query's centroids, read
     * ONLY the union of probed cells' partitions (cell pruning reaches the
     * file listing — the scan never touches unprobed cells' files), then
@@ -310,30 +339,25 @@ object Similarity {
     * non-zero `expectedDim` must agree with it.
     */
   def ivfIndexQuery(queries: DataFrame, indexDir: String, k: Int,
-      nprobe: Int = 4, expectedDim: Int = 0): DataFrame =
-    ivfIndexQueryImpl(queries, indexDir, k, nprobe, expectedDim,
-      validateProbe = true)
-
-  /** `validateProbe = false` skips the geometry/dim handshake — ONLY for
-    * the sharded serve, which validates the batch once against shard 0's
-    * geometry instead of re-running the same aggregation per shard (all
-    * shards of one build share dim by construction).
-    */
-  private[operators] def ivfIndexQueryImpl(queries: DataFrame, indexDir: String,
-      k: Int, nprobe: Int, expectedDim: Int, validateProbe: Boolean): DataFrame = {
+      nprobe: Int = 4, expectedDim: Int = 0): DataFrame = {
     val spark = queries.sparkSession
-    if (validateProbe) readIvfGeometry(spark, indexDir) match {
+    // resolve the dimension the probe must match; the CHECK itself runs on
+    // the collected probe rows below — zero extra jobs (the serve already
+    // collects them), where a separate aggregation would bill every serve
+    // batch one more round-trip
+    val indexDim: Option[Int] = readIvfGeometry(spark, indexDir) match {
       case Some((dim, _, _)) =>
         require(expectedDim == 0 || expectedDim == dim,
           s"index at $indexDir carries geometry dim=$dim but the caller " +
             s"expected dim=$expectedDim — one of the two is the wrong index")
-        requireProbeDim(queries, dim, indexDir)
-      case None if expectedDim > 0 => requireProbeDim(queries, expectedDim, indexDir)
+        Some(dim)
+      case None if expectedDim > 0 => Some(expectedDim)
       case None =>
         System.err.println(s"[graft] WARNING: IVF index $indexDir predates " +
           "the _geometry row and no expectedDim was passed — a wrong-dim " +
           "probe against it returns EMPTY results with no error; rebuild " +
           "with buildIvfIndex or pass expectedDim")
+        None
     }
     val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
@@ -344,6 +368,10 @@ object Similarity {
     // collected rows become the broadcast join side
     val probePlan = rankedProbes(qe, centDf, nprobe)
     val probeRows = probePlan.collect().toSeq
+    // wrong-dim/NULL probes survive to this point (their cdist is NULL but
+    // the rank window still emits rows), so the collected rows carry every
+    // query's vector — validate here, before any cell is read
+    indexDim.foreach(d => validateProbeRows(probeRows, d, indexDir))
     val cells = probeRows.map(_.getAs[Int]("cell")).distinct
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows), probePlan.schema)
@@ -429,22 +457,15 @@ object Similarity {
         s"$indexDir carries no _sharding row — not a sharded IVF index " +
           "(serve a single index with ivfIndexQuery, or rebuild with " +
           "buildIvfIndexSharded)"))
-    // validate the batch ONCE against shard 0's geometry (all shards of
-    // one build share dim by construction) instead of re-running the same
-    // probe aggregation per shard
-    readIvfGeometry(spark, s"$indexDir/shard=0") match {
-      case Some((dim, _, _)) => requireProbeDim(queries, dim, indexDir)
-      case None => ()
-    }
     // scatter CONCURRENTLY: each shard's plan-time work (centroid read +
     // probe-plan collect — small driver-side jobs; Spark job submission is
     // thread-safe) would otherwise serialize into nShards × collect-latency
     // before the merged scan job even starts. The heavy cell scans stay in
     // ONE job: the per-shard frames are lazy and execute together under
-    // the final union+window.
+    // the final union+window. (Per-shard dim validation is free — it runs
+    // on each shard's already-collected probe rows.)
     shardScatter(nShards)(sh =>
-      ivfIndexQueryImpl(queries, s"$indexDir/shard=$sh", k, nprobe,
-        expectedDim = 0, validateProbe = false))
+      ivfIndexQuery(queries, s"$indexDir/shard=$sh", k, nprobe))
       .reduce(_ unionByName _)
       .transform(topK(_, k))
   }
