@@ -221,15 +221,16 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
       seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
     val nl = if (nlist > 0) nlist else nlistFor(corpus.count())
-    // dimension read once from the data (one-row action on the scan): it
-    // becomes the index's persisted geometry, written FIRST (the
-    // EmbeddingIndex ordering — a crash mid-build leaves geometry, never
-    // unlabeled cells a later probe would have to guess at)
-    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
-    writeIvfGeometry(corpus.sparkSession, indexDir, dim, nl)
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSample(cVec, maxFitRows))
+    // dimension comes FREE from the fitted centroids (they live in the
+    // corpus space) — a separate head() on the corpus scan billed every
+    // build an extra action. Geometry still lands BEFORE the cells (the
+    // EmbeddingIndex ordering: a crash mid-build leaves geometry, never
+    // unlabeled cells a later probe would have to guess at).
+    writeIvfGeometry(corpus.sparkSession, indexDir,
+      model.clusterCenters.head.size, nl)
     model.transform(cVec)
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
         norm2(toDouble(col("embedding"))).as("nn"),
