@@ -207,6 +207,14 @@ object PqIndex {
     val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
     val coarse = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSample(cVec, maxFitRows))
+    // rebuild discipline (Similarity.buildIvfIndex's delete-first rule):
+    // the codebooks row is this index's geometry/commit point and is
+    // written LAST — an in-place rebuild with changed dim/m that crashes
+    // mid-write would otherwise leave OLD codebooks certifying NEW codes;
+    // deleting the old codebooks (and data) first turns that mixed state
+    // into a loud missing-path error instead
+    Similarity.deleteIndexData(spark, indexDir,
+      Seq("codebooks", "codes", "vectors", "centroids"))
     val assigned = coarse.transform(cVec)
       .withColumn("code", withCodeCol(col("embedding"), books, m, kEff))
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
@@ -263,7 +271,10 @@ object PqIndex {
       s"buildPqIvfIndexSharded(nShards=$nShards): shard(s) " +
         s"${missing.take(5).mkString(", ")} would be EMPTY — the corpus is " +
         "too small for this shard count; reduce nShards")
-    (0 until nShards).foreach { sh =>
+    // concurrent shard builds — the Similarity.buildIvfIndexSharded
+    // rationale: overlap each shard's driver-side fit phases with the
+    // others' cluster work; shards write disjoint directories
+    Similarity.shardScatter(nShards) { sh =>
       buildPqIvfIndex(
         corpus.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
         s"$indexDir/shard=$sh", dim, nlist, m, ksub, seed + sh, maxFitRows)
@@ -289,6 +300,15 @@ object PqIndex {
     val meta0 = spark.read.parquet(s"$indexDir/shard=0/codebooks").head()
     if (meta0.schema.fieldNames.contains("dim"))
       Similarity.requireProbeDim(queries, meta0.getAs[Int]("dim"), indexDir)
+    else
+      // the single-index serve's pre-geometry warning, mirrored: a sharded
+      // index whose codebooks predate the dim column serves wrong-dim
+      // probes as silent empty results — say so loudly instead of skipping
+      // validation without a signal
+      System.err.println(s"[graft] WARNING: sharded PQ index $indexDir " +
+        "predates the dim geometry column — a wrong-dim probe against it " +
+        "fails only downstream (or returns empty results); rebuild with " +
+        "buildPqIvfIndexSharded")
     // concurrent scatter (Similarity.shardScatter): plan-time per-shard
     // work — codebook read, probe-plan collect — runs on a bounded pool
     // instead of serializing; the cell scans execute together under the

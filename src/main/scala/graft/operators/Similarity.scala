@@ -224,6 +224,14 @@ object Similarity {
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
       .fit(fitSample(cVec, maxFitRows))
+    // REBUILD discipline (the EmbeddingIndex.seed delete-first rule):
+    // remove any existing corpus/centroids BEFORE the new geometry lands —
+    // otherwise an in-place rebuild with changed dim/nlist that crashes
+    // after the geometry write leaves NEW geometry certifying STALE data,
+    // and probes against the mix return empty results green. After the
+    // delete, a crash leaves geometry over MISSING data — a loud read
+    // error, never a silent wrong answer.
+    deleteIndexData(corpus.sparkSession, indexDir, Seq("corpus", "centroids"))
     // dimension comes FREE from the fitted centroids (they live in the
     // corpus space) — a separate head() on the corpus scan billed every
     // build an extra action. Geometry still lands BEFORE the cells (the
@@ -241,6 +249,19 @@ object Similarity {
     }.toSeq
     corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Remove existing index data dirs before a rebuild's geometry write —
+    * shared by the IVF and IVF-PQ builders.
+    */
+  private[operators] def deleteIndexData(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, subdirs: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    subdirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) graft.streaming.FsOps.deleteOrThrow(fs, p, recursive = true)
+    }
   }
 
   private[operators] def writeIvfGeometry(spark: org.apache.spark.sql.SparkSession,
@@ -419,7 +440,13 @@ object Similarity {
         s"${present.size} non-empty hash classes) — the corpus is too small " +
         "for this shard count; reduce nShards (a shard should hold millions " +
         "of rows, not thousands)")
-    (0 until nShards).foreach { sh =>
+    // CONCURRENT shard builds (the serve-side shardScatter applied to the
+    // build): each shard's KMeans fit has driver-side phases (collects,
+    // model updates) that leave the cluster idle — a sequential loop
+    // serializes those gaps into nShards × fit-latency, while concurrent
+    // fits overlap each shard's driver phase with the others' cluster
+    // work. Shards write disjoint directories, so the builds compose.
+    shardScatter(nShards) { sh =>
       buildIvfIndex(
         corpus.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
         s"$indexDir/shard=$sh", nlist, seed + sh, maxFitRows)
@@ -476,20 +503,43 @@ object Similarity {
     * final top-k window re-ranks). Shared by the IVF and IVF-PQ sharded
     * serves.
     */
-  private[operators] def shardScatter[T](nShards: Int, maxThreads: Int = 8)(
+  private[graft] def shardScatter[T](nShards: Int, maxThreads: Int = 8)(
       f: Int => T): Seq[T] = {
     if (nShards == 1) return Seq(f(0))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(nShards, maxThreads))
+    // await in COMPLETION order (not submission order): waiting on shard 0
+    // first would sit out its full runtime before noticing shard 3 already
+    // failed — the failure must cancel the still-running shards promptly,
+    // not after the slowest one finishes
+    val ecs = new java.util.concurrent.ExecutorCompletionService[(Int, T)](pool)
     try {
-      val futures = (0 until nShards).map(sh =>
-        pool.submit(new java.util.concurrent.Callable[T] { def call(): T = f(sh) }))
-      // unwrap ExecutionException so callers see the shard's own error
-      // (e.g. the geometry-mismatch IllegalArgumentException), not a
-      // concurrency wrapper around it
-      futures.map(fut =>
-        try fut.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      (0 until nShards).foreach { sh =>
+        ecs.submit(new java.util.concurrent.Callable[(Int, T)] {
+          def call(): (Int, T) = (sh, f(sh))
+        })
+        ()
+      }
+      val results = new Array[Any](nShards)
+      var done = 0
+      while (done < nShards) {
+        // unwrap ExecutionException so callers see the shard's own error
+        // (e.g. the geometry-mismatch IllegalArgumentException), not a
+        // concurrency wrapper around it
+        val (sh, r) =
+          try ecs.take().get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        results(sh) = r
+        done += 1
+      }
+      results.toSeq.map(_.asInstanceOf[T])
+    } catch { case t: Throwable =>
+      // a failed scatter must not leak still-running shard work (each
+      // shard's callable drives Spark jobs): cancel queued tasks and
+      // interrupt running ones — Spark cancels a job whose submitting
+      // thread is interrupted mid-collect — before rethrowing
+      pool.shutdownNow()
+      throw t
     } finally { pool.shutdown() }
   }
 

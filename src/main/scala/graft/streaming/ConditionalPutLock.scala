@@ -25,7 +25,15 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *  - HEARTBEAT: while the body runs, a daemon thread CAS-extends the
   *    expiry every leaseMs/3 (tracking the version each extend returns).
   *    A failed extend means the lease lapsed AND someone took over (e.g.
-  *    a long GC pause) — logged loudly; release then correctly no-ops.
+  *    a long GC pause) — the LOSS IS SURFACED, not just logged: the
+  *    [[Lease]] handle's `lost` flag flips, the body's thread is
+  *    interrupted (aborting blocking work — a Spark action cancels on
+  *    interrupt), and `withLock` re-checks the flag after the body so a
+  *    body that ran to completion under a lapsed lease FAILS instead of
+  *    returning success while a second writer mutates the lake. Bodies
+  *    must therefore be idempotent/abortable on lease loss (maintenance
+  *    ops are — the next pass recovers); long non-interruptible sections
+  *    can poll `lease.lost` / call `lease.ensureHeld()` at write points.
   *  - RELEASE: `deleteIfMatch` with the last version this holder wrote —
   *    never deletes a lock a takeover now owns.
   *
@@ -42,7 +50,31 @@ final class ConditionalPutLockProvider(store: ConditionalStore,
     else try s.substring(i + 1).toLong catch { case _: NumberFormatException => Long.MaxValue }
   }
 
-  def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T = {
+  def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T =
+    withLease(fs, lake, leaseMs) { lease =>
+      val r = body
+      // a body that ran to completion under a lapsed lease must not report
+      // success: another writer may have been mutating the lake alongside
+      // it — exactly the state the lock exists to prevent
+      lease.ensureHeld()
+      r
+    }
+
+  /** [[withLock]] with the lease handle exposed: bodies that want finer
+    * control than thread-interrupt + completion-check poll `lease.lost`
+    * (or call `ensureHeld()`) at their own write points, and can pass
+    * `lease.fencingToken` to stores that accept one.
+    */
+  def withLease[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
+      body: Lease => T): T = {
+    // minimum-lease floor: below this the heartbeat interval (leaseMs/3,
+    // ≥50 ms) leaves too little slack for scheduling jitter — a live
+    // holder's lock would expire BETWEEN beats and a waiter legitimately
+    // take it over mid-body
+    require(leaseMs >= 300,
+      s"leaseMs=$leaseMs is below the 300 ms floor: the heartbeat extends " +
+        "every leaseMs/3, so a shorter lease can lapse between beats under " +
+        "ordinary scheduling jitter and a waiter would take over a LIVE body")
     val key = s"${lake.toString}/.graft-maintenance-lock"
     val holder = java.util.UUID.randomUUID().toString
     def payload(): Array[Byte] = s"$holder:${nowMs() + leaseMs}".getBytes("UTF-8")
@@ -63,8 +95,10 @@ final class ConditionalPutLockProvider(store: ConditionalStore,
       }
     }
     val held = new AtomicReference[String](version)
+    val owner = Thread.currentThread()
+    val lease = new Lease(key, held)
     val beat = new Thread(() => {
-      val interval = math.max(100L, leaseMs / 3)
+      val interval = math.max(50L, leaseMs / 3)
       try while (!Thread.interrupted()) {
         Thread.sleep(interval)
         store.putIfMatch(key, payload(), held.get()) match {
@@ -73,13 +107,23 @@ final class ConditionalPutLockProvider(store: ConditionalStore,
             System.err.println(s"[graft] WARNING: lease heartbeat CAS failed " +
               s"for $key — the lease lapsed and another writer took over; " +
               "this writer's release will no-op")
+            // surface the loss: flag first (so an interrupted body that
+            // polls sees it), then abort the body's blocking work — two
+            // maintenance writers mutating the lake concurrently is the
+            // exact state this lock exists to prevent
+            lease.lostFlag = true
+            if (!lease.releasedFlag) owner.interrupt()
             Thread.currentThread().interrupt()
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-cput-lock-heartbeat-$lake")
     beat.setDaemon(true)
     beat.start()
-    try body finally {
+    try body(lease) finally {
+      // releasing: a heartbeat loss detected from here on must not
+      // interrupt the owner — the body is done, and the interrupt would
+      // land on whatever the CALLER runs next
+      lease.releasedFlag = true
       beat.interrupt()
       // JOIN before reading held: a heartbeat mid-CAS (not sleeping, so
       // the interrupt doesn't stop it) can commit a new version AFTER the
@@ -88,10 +132,38 @@ final class ConditionalPutLockProvider(store: ConditionalStore,
       // writer for up to a full leaseMs
       try beat.join() catch { case _: InterruptedException =>
         Thread.currentThread().interrupt() }
+      // the heartbeat thread is dead now; if the loss interrupt landed in
+      // the release window above (body already complete), absorb it — the
+      // loss is surfaced by ensureHeld()/the caller's Lease, not by leaking
+      // interrupt status into unrelated caller code
+      if (lease.lostFlag) { Thread.interrupted(); () }
       store.deleteIfMatch(key, held.get())
       ()
     }
   }
+}
+
+/** Live-lease handle a [[ConditionalPutLockProvider]] body can poll.
+  * `lost` flips true the moment a heartbeat CAS fails (the lease lapsed
+  * and another writer took over); `fencingToken` is the store version of
+  * the holder's latest extend — monotonic per key, so stores that accept
+  * a token can reject a stale holder's writes outright.
+  */
+final class Lease private[streaming] (key: String,
+    held: AtomicReference[String]) {
+  @volatile private[streaming] var lostFlag = false
+  @volatile private[streaming] var releasedFlag = false
+  def lost: Boolean = lostFlag
+  def fencingToken: String = held.get()
+  /** Throw if the lease has been lost — call at write points (or rely on
+    * the thread interrupt + the completion check `withLock` performs).
+    */
+  def ensureHeld(): Unit =
+    if (lostFlag) throw new IllegalStateException(
+      s"maintenance lease for $key was LOST mid-body (heartbeat CAS failed — " +
+        "e.g. a pause longer than the lease): another writer has taken over " +
+        "and may be mutating the lake; this body's work must be treated as " +
+        "failed and retried under a fresh lock")
 }
 
 /** The two conditional primitives the lock needs, with versioned reads —
