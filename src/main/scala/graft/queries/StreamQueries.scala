@@ -1106,6 +1106,39 @@ object StreamQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_lake,
         | CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra,
         | CAST(0 AS BIGINT) AS n_dup_seq
-        |FROM events WHERE day(ts) <= 6""".stripMargin))
+        |FROM events WHERE day(ts) <= 6""".stripMargin)),
+
+    // ---- q50's lake path on the NATIVE DataSourceV2 source (r11): the
+    // graftlog MicroBatchStream replaces the file-stream emulation —
+    // SequenceNumber-range offsets, per-shard ordering, byte admission
+    // (the cap forces multiple budgeted micro-batches here), TRIM_HORIZON
+    // start. Same oracle as q50: the source swap must be invisible to the
+    // delivered lake.
+    Q("q113_graftlog_deliver", (s, d) => {
+      val logDir = tmp("graft-q113log-")
+      val lakeDir = tmp("graft-q113lake-")
+      val ckDir = tmp("graft-q113ck-")
+      graft.sources.v2.GraftLog.append(
+        ShardedLog.fromEvents(tbl(s, d, "events")), logDir,
+        maxSegmentBytes = 1L << 20)
+      val q = Deliver.start(s,
+        graft.sources.StreamIngest.GraftLog(logDir,
+          maxBytesPerTrigger = Some(4L << 20)),
+        payloadSchema,
+        Deliver.Config(lakeDir = lakeDir, checkpointDir = ckDir,
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+      LakeCatalog.registerLake(s, "graftlog_events", lakeDir)
+      s.sql(
+        """SELECT day, hour, op, COUNT(*) AS n, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys,
+          |       MIN(processed_at) AS processed_at
+          |FROM graftlog_events GROUP BY day, hour, op ORDER BY day, hour, op""".stripMargin)
+    }, Some(
+      """SELECT CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour,
+        | CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        | TIMESTAMP '2025-11-07 14:32:09.13' AS processed_at
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

@@ -16,6 +16,16 @@ object StreamIngest {
   final case class Emulated(dir: String, maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None) // the size half of "64 MB OR 60 s"
       extends SourceConfig
+  /** The native `graftlog` DataSourceV2 segment store
+    * ([[graft.sources.v2.GraftLogTableProvider]]): SequenceNumber-range
+    * offsets, per-shard ordering, byte/count admission, reshard pickup,
+    * TRIM_HORIZON/LATEST/AT_SEQUENCE starting positions — the real shape
+    * of the reference's S1–S5 consumer contract.
+    */
+  final case class GraftLog(dir: String,
+      maxRecordsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None,
+      startingPosition: String = "TRIM_HORIZON") extends SourceConfig
   /** Kinesis Data Streams via the spark-sql-kinesis connector.
     * `startingPosition`: TRIM_HORIZON | LATEST | AT_TIMESTAMP (S5 replay,
     * README.md:60, 81-83); `consumerArn` set ⇒ enhanced fan-out (S4,
@@ -37,6 +47,12 @@ object StreamIngest {
   def readStream(spark: SparkSession, cfg: SourceConfig): DataFrame = cfg match {
     case Emulated(dir, maxFiles, maxBytes) =>
       ShardedLog.readStream(spark, dir, maxFiles, maxBytes)
+    case g: GraftLog =>
+      val r = spark.readStream.format("graftlog")
+        .option("startingPosition", g.startingPosition)
+      g.maxRecordsPerTrigger.foreach(n => r.option("maxRecordsPerTrigger", n))
+      g.maxBytesPerTrigger.foreach(n => r.option("maxBytesPerTrigger", n))
+      r.load(g.dir)
     case k: Kinesis =>
       val r = spark.readStream.format("kinesis")
         .option("streamName", k.streamName)

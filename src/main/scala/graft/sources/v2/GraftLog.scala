@@ -1,0 +1,179 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** The sharded-log STORE behind the `graftlog` DataSourceV2 source
+  * ([[GraftLogTableProvider]]) — the durable shape of the reference's
+  * stream (README.md:43-53): named shards, per-shard monotonically
+  * increasing SequenceNumbers, replayable from any position.
+  *
+  * Layout (one directory per shard; segment files named by their own
+  * metadata so ADMISSION — byte/count budgeting, offset math — is a
+  * driver-side LISTING, never a data read):
+  *
+  * {{{
+  * <dir>/<shardId>/seg-<firstSeq>-<lastSeq>-<count>-<bytes>-<uuid>.log
+  * }}}
+  *
+  * Segment content: UTF-8 lines, TAB-separated
+  * `stream \t partition_key \t sequence_number \t arrival_micros \t data`
+  * (`data` is the base64 wire payload — base64 and the key contract below
+  * guarantee no field contains a tab/newline). A segment is written to a
+  * dot-prefixed temp name and RENAMED into place, so readers never list a
+  * half-written segment.
+  *
+  * Log contract (what the reference's managed service guarantees, enforced
+  * here by [[append]]):
+  *  - a record's shard is a pure function of its partition key (producer
+  *    side — [[graft.sources.ShardedLog.fromEvents]] hash-routes);
+  *  - per shard, segment sequence ranges are DISJOINT and INCREASING:
+  *    append() sorts each shard's rows, cuts segments at the byte budget,
+  *    and refuses rows at-or-below the shard's current high-water mark.
+  *    The reader re-validates (a segment straddling a committed offset is
+  *    a corrupt log, refused loudly — never silently skipped or reread).
+  *
+  * Scale shape: one append = one Spark job whose tasks each own whole
+  * shards (repartition by shard_id); listing cost is O(segments), kept
+  * bounded by segment size (default 8 MB) and log retention, exactly like
+  * a Kafka/Kinesis segment store.
+  */
+object GraftLog {
+
+  /** One segment file's name-borne metadata. */
+  final case class Segment(shard: String, path: String, firstSeq: String,
+      lastSeq: String, count: Long, bytes: Long)
+
+  private val SegName = """seg-([0-9]+)-([0-9]+)-(\d+)-(\d+)-[0-9a-f-]+\.log""".r
+
+  def parseSegment(shard: String, p: HPath): Option[Segment] = p.getName match {
+    case SegName(first, last, count, bytes) =>
+      Some(Segment(shard, p.toString, first, last, count.toLong, bytes.toLong))
+    case _ => None
+  }
+
+  private def segmentName(firstSeq: String, lastSeq: String, count: Long,
+      bytes: Long): String =
+    s"seg-$firstSeq-$lastSeq-$count-$bytes-${java.util.UUID.randomUUID()}.log"
+
+  /** All shards' segments, sorted by firstSeq within each shard — the
+    * driver-side metadata read behind offsets/admission/planning.
+    */
+  def listSegments(fs: FileSystem, dir: String): Map[String, Seq[Segment]] = {
+    val root = new HPath(dir)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).map { shardDir =>
+      val shard = shardDir.getPath.getName
+      val segs = fs.listStatus(shardDir.getPath).toSeq
+        .flatMap(st => parseSegment(shard, st.getPath))
+        .sortBy(_.firstSeq)
+      shard -> segs
+    }.toMap
+  }
+
+  /** Per-shard high-water mark (max lastSeq), for producer monotonicity
+    * enforcement and LATEST starting position.
+    */
+  def highWater(fs: FileSystem, dir: String): Map[String, String] =
+    listSegments(fs, dir).collect {
+      case (shard, segs) if segs.nonEmpty => shard -> segs.map(_.lastSeq).max
+    }
+
+  /** Distributed append of envelope records ([[graft.sources.ShardedLog]]
+    * schema). One task per shard (repartition + sortWithinPartitions), so
+    * each shard's segments are cut from ONE ordered pass — ranges disjoint
+    * and increasing by construction. Records at or below a shard's current
+    * high-water mark are refused (the per-shard monotonicity contract the
+    * reader's offset math relies on). Concurrent appends to the SAME shard
+    * are out of scope — the reference's service serializes per-shard
+    * writes; run appends to one log sequentially (appends to different
+    * logs, or resharded shard sets, compose freely).
+    */
+  def append(records: DataFrame, dir: String,
+      maxSegmentBytes: Long = 8L << 20): Unit = {
+    val spark = records.sparkSession
+    val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fs = new HPath(dir).getFileSystem(hconf.value)
+    val hw = highWater(fs, dir)
+    val hwB = spark.sparkContext.broadcast(hw)
+    records
+      .select(col("stream_name"), col("shard_id"), col("partition_key"),
+        col("sequence_number"), unix_micros(col("approx_arrival_ts")).as("ts_us"),
+        // the log stores CANONICAL base64: Spark's base64() emits
+        // MIME-chunked text (CRLF every 76 chars), which cannot ride in a
+        // line-oriented segment; stripping the whitespace changes the
+        // presentation, not the payload (every base64 decoder accepts the
+        // unchunked form)
+        regexp_replace(col("data"), "\\s", "").as("data"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("sequence_number"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        writeShardRuns(rows, dir, hconf.value, hwB.value, maxSegmentBytes)
+      }
+  }
+
+  /** Write one task's rows (sorted by shard, seq) as segments: a new
+    * segment per shard change or byte-budget overflow.
+    */
+  private def writeShardRuns(rows: Iterator[org.apache.spark.sql.Row], dir: String,
+      hconf: Configuration, highWater: Map[String, String],
+      maxSegmentBytes: Long): Unit = {
+    val fs = new HPath(dir).getFileSystem(hconf)
+    var shard: String = null
+    var buf = new java.io.ByteArrayOutputStream()
+    var firstSeq: String = null
+    var lastSeq: String = null
+    var prevSeq: String = null // last seq of the CURRENT SHARD across segments
+    var count = 0L
+    def flush(): Unit = if (count > 0) {
+      val shardDir = new HPath(dir, shard)
+      fs.mkdirs(shardDir)
+      val tmp = new HPath(shardDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try { buf.writeTo(out) } finally out.close()
+      val dest = new HPath(shardDir, segmentName(firstSeq, lastSeq, count, buf.size().toLong))
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"could not publish segment $dest")
+      buf = new java.io.ByteArrayOutputStream()
+      firstSeq = null; lastSeq = null; count = 0
+    }
+    rows.foreach { r =>
+      val sh = r.getString(1)
+      if (sh != shard) { flush(); shard = sh; prevSeq = null }
+      val seq = r.getString(3)
+      // duplicate sequence numbers within one append would produce
+      // overlapping segment ranges — the same corruption the high-water
+      // check refuses across appends
+      require(prevSeq == null || seq > prevSeq,
+        s"graftlog append carries duplicate sequence number $seq in shard $sh " +
+          "(sequence numbers must be unique and increasing per shard)")
+      prevSeq = seq
+      Seq(r.getString(0), r.getString(2), seq, r.getString(5)).foreach { f =>
+        require(f != null && !f.contains('\t') && !f.contains('\n') && !f.contains('\r'),
+          s"graftlog field contains a tab/newline or is null (shard $sh, seq $seq): " +
+            "records ride in a line-oriented segment and must not")
+      }
+      // monotonicity: never write at-or-below the shard's committed range —
+      // the reader's offset math ("everything ≤ offset is delivered")
+      // depends on it, exactly like the reference's service-assigned
+      // SequenceNumbers
+      highWater.get(sh).foreach { hwm =>
+        require(seq > hwm,
+          s"graftlog append violates per-shard monotonicity: shard $sh already " +
+            s"holds sequence numbers up to $hwm but this append carries $seq — " +
+            "sequence numbers must strictly increase per shard (replay the " +
+            "producer with fresh sequence numbers, or write to a new log)")
+      }
+      if (count > 0 && buf.size() >= maxSegmentBytes) flush()
+      if (count == 0) firstSeq = seq
+      lastSeq = seq
+      val line = s"${r.getString(0)}\t${r.getString(2)}\t$seq\t${r.getLong(4)}\t${r.getString(5)}\n"
+      buf.write(line.getBytes("UTF-8"))
+      count += 1
+    }
+    flush()
+  }
+}
