@@ -283,6 +283,91 @@ object PqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
   }
 
+  /** INCREMENTAL ingest into a persisted [[buildPqIvfIndex]] index — the
+    * [[Similarity.appendToIvfIndex]] protocol applied to the memory-bound
+    * tier: assign `newRows` (id, embedding) to the EXISTING coarse
+    * centroids, encode with the EXISTING codebooks (no refit of either),
+    * and append idempotent per-batch deltas under
+    * `indexDir/codes_deltas/delta=<id>/cell=<c>` and
+    * `indexDir/vectors_deltas/delta=<id>/cell=<c>`. Serving reads
+    * base ∪ deltas with the same cell pruning on both tiers. Same guards:
+    * dim geometry required, skewed batches refused (drifted data needs a
+    * refit — and stale CODEBOOKS additionally inflate quantization error
+    * on drifted appends, which the band-adaptive rerank absorbs only up
+    * to a point).
+    */
+  def appendToPqIvfIndex(newRows: DataFrame, indexDir: String, deltaId: Long,
+      maxCellSkew: Double = 8.0): Unit = {
+    require(deltaId >= 0, s"deltaId must be >= 0 (got $deltaId): negative ids " +
+      "are reserved for compacted bases")
+    val spark = newRows.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/codebooks").head()
+    require(meta.schema.fieldNames.contains("dim"),
+      s"PQ index at $indexDir predates the dim geometry column: appends " +
+        "cannot be dim-validated against it — rebuild with buildPqIvfIndex first")
+    val dim = meta.getAs[Int]("dim")
+    val nlist = meta.getAs[Int]("nlist")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val books = meta.getAs[scala.collection.Seq[Double]]("books").toArray
+    Similarity.requireProbeDim(
+      newRows.select(col("id").as("qid"), col("embedding")), dim, indexDir)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+    val assigned = Similarity.assignCells(
+        newRows.select(col("id"), col("embedding")), cents)
+      .withColumn("code", withCodeCol(col("embedding"), books, m, ksub))
+      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
+        norm2(toDouble(col("embedding"))).as("nn"), col("code"), col("cell"))
+    val counts = assigned.groupBy(col("cell")).count().collect()
+    val n = counts.map(_.getLong(1)).sum
+    if (n == 0) return
+    val maxCell = counts.map(_.getLong(1)).max
+    val balanced = math.max(1.0, n.toDouble / nlist)
+    require(maxCell <= maxCellSkew * balanced,
+      f"appendToPqIvfIndex($indexDir, delta=$deltaId): batch assignment is " +
+        f"skewed — heaviest cell holds $maxCell of $n rows " +
+        f"(${maxCell / balanced}%.1f× the balanced share, gate $maxCellSkew%.1f×). " +
+        "The new data has drifted off the fitted quantizer/codebooks; " +
+        "rebuild with buildPqIvfIndex instead of appending")
+    // codes first, vectors second, each idempotent per-delta: a crash
+    // between the two leaves a delta whose ADC candidates cannot fetch
+    // rerank vectors — the retry overwrites both dirs; serving between
+    // crash and retry loses the half-appended batch's rows from results
+    // (an availability gap, never a wrong answer: rerank inner-joins)
+    assigned.select(col("nid"), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/codes_deltas/delta=$deltaId")
+    assigned.select(col("nid"), col("ne"), col("nn"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/vectors_deltas/delta=$deltaId")
+  }
+
+  /** [[appendToPqIvfIndex]] for a sharded index — same id-hash routing as
+    * the build, shards appended concurrently.
+    */
+  def appendToPqIvfIndexSharded(newRows: DataFrame, indexDir: String,
+      deltaId: Long, maxCellSkew: Double = 8.0): Unit = {
+    val spark = newRows.sparkSession
+    val nShards = Similarity.readSharding(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir carries no _sharding row — append to a single index with " +
+          "appendToPqIvfIndex, or build with buildPqIvfIndexSharded"))
+    Similarity.shardScatter(nShards) { sh =>
+      appendToPqIvfIndex(
+        newRows.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
+        s"$indexDir/shard=$sh", deltaId, maxCellSkew)
+    }
+    ()
+  }
+
+  /** Fold a PQ index's accumulated append deltas (both tiers). */
+  def compactPqIvfDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int =
+    Similarity.foldCellDeltas(spark, s"$indexDir/codes_deltas") +
+      Similarity.foldCellDeltas(spark, s"$indexDir/vectors_deltas")
+
   /** Serve a [[buildPqIvfIndexSharded]] index: scatter to every shard
     * ([[pqIvfQuery]] — per-shard codebooks, ADC scan, band cut, exact
     * rerank), gather per-shard top-ks, merge to the global top-k.
@@ -398,14 +483,15 @@ object PqIndex {
     val cells = probeRows.map(_.getAs[Int]("cell")).distinct
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows), probePlan.schema)
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      .where(col("cell").isin(cells: _*))
+    // base ∪ append deltas on both tiers (incremental ingest), cell-pruned
+    val codes = Similarity.readWithDeltas(spark, s"$indexDir/codes",
+      s"$indexDir/codes_deltas", cells, Seq("nid", "code", "cell"))
     val adc = codes.join(broadcast(probes.select(col("qid"), col("tbl"), col("cell"))),
         Seq("cell"))
       .select(col("qid"), col("nid"), pq_adc(col("code"), col("tbl")).as("adc"))
     val cand = bandCut(adc, k, refine, band, bandCap)
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
-      .where(col("cell").isin(cells: _*))
+    val vectors = Similarity.readWithDeltas(spark, s"$indexDir/vectors",
+      s"$indexDir/vectors_deltas", cells, Seq("nid", "ne", "nn", "cell"))
       .join(broadcast(cand), Seq("nid"))
     val q = broadcast(probes.select(col("qid"), col("qe"), col("qn")).distinct())
     val sims = vectors.join(q, Seq("qid"))

@@ -348,6 +348,182 @@ object Similarity {
         "results with no error — re-embed the queries or probe the right index")
   }
 
+  /** Nearest-centroid cell id for each row of `rows` (id, embedding) — a
+    * NARROW, join-free assignment: the centroid table rides as a literal
+    * in the task closure (≤ nlist·dim doubles — 4096 cells × 64 dims ≈
+    * 2 MB, the same budget as [[semanticNearDups]]'s cell literal), each
+    * row computes nlist exact L2 distances and takes the argmin. This is
+    * the incremental-ingest counterpart of the build-time
+    * `model.transform` — assigning to the TRUE nearest centroid is exactly
+    * what the probe side's centroid ranking assumes, so appended rows are
+    * found by the same `nprobe` cells as built rows.
+    */
+  private[operators] def assignCells(rows: DataFrame,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val centLit = typedLit(centroids)
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(c, toDouble(col("embedding")), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    // array_min returns an element of the array, so the position lookup is
+    // an exact self-match; ties resolve to the LOWEST cell id (first
+    // occurrence) — deterministic across runs and engines
+    rows.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** The index's centroid table as a cell-indexed sequence (position i =
+    * cell i), validated complete — a centroids table with holes would make
+    * [[assignCells]]'s positional literal mis-route every row after the gap.
+    */
+  private def centroidSeq(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getAs[Int]("cell") == i,
+        s"centroids table at $indexDir is not a dense 0..k-1 cell range " +
+          s"(position $i holds cell ${r.getAs[Int]("cell")}) — rebuild the index")
+    }
+    rows.toSeq.map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+  }
+
+  /** INCREMENTAL ingest into a persisted [[buildIvfIndex]] index: assign
+    * `newRows` (id, embedding) to the EXISTING centroids (no refit) and
+    * append them as an idempotent per-batch delta
+    * (`indexDir/deltas/delta=<deltaId>/cell=<c>/…` — the
+    * [[graft.streaming.CorpusIndex]] protocol: a replayed/retried batch id
+    * OVERWRITES its own directory with identical content instead of
+    * double-appending). Serving reads corpus ∪ deltas with the same cell
+    * pruning; [[compactIvfDeltas]] folds accumulated deltas.
+    *
+    * A corpus that grows daily therefore costs one assignment pass per
+    * batch instead of a full rebuild. The trade: appended data is
+    * quantized by YESTERDAY'S centroids. Two guards keep that honest:
+    *
+    *  - geometry is REQUIRED (dim-validated appends only — a pre-geometry
+    *    index must be rebuilt before it can grow);
+    *  - a batch whose assignment is heavily SKEWED (max cell >
+    *    `maxCellSkew` × the balanced share) is refused before writing:
+    *    new data crowding into few cells means the distribution has
+    *    drifted off the fitted quantizer — per-probe cost inflates and
+    *    recall decays — so the right move is a refit
+    *    ([[buildIvfIndex]]), not another delta.
+    */
+  def appendToIvfIndex(newRows: DataFrame, indexDir: String, deltaId: Long,
+      maxCellSkew: Double = 8.0): Unit = {
+    require(deltaId >= 0, s"deltaId must be >= 0 (got $deltaId): negative ids " +
+      "are reserved for compacted bases")
+    val spark = newRows.sparkSession
+    val (dim, nlist, _) = readIvfGeometry(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $indexDir carries no _geometry row: appends cannot be " +
+          "dim-validated against it — rebuild with buildIvfIndex first"))
+    requireProbeDim(newRows.select(col("id").as("qid"), col("embedding")),
+      dim, indexDir)
+    val assigned = assignCells(
+      newRows.select(col("id"), col("embedding")), centroidSeq(spark, indexDir))
+      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
+        norm2(toDouble(col("embedding"))).as("nn"), col("cell"))
+    // skew gate BEFORE writing (a tiny (cell, count) aggregation — the
+    // batch is scanned twice, the price of never committing a delta the
+    // gate would then have to retract)
+    val counts = assigned.groupBy(col("cell")).count().collect()
+    val n = counts.map(_.getLong(1)).sum
+    if (n == 0) return // empty append is a legal no-op
+    val maxCell = counts.map(_.getLong(1)).max
+    val balanced = math.max(1.0, n.toDouble / nlist)
+    require(maxCell <= maxCellSkew * balanced,
+      f"appendToIvfIndex($indexDir, delta=$deltaId): batch assignment is " +
+        f"skewed — heaviest cell holds $maxCell of $n rows " +
+        f"(${maxCell / balanced}%.1f× the balanced share, gate $maxCellSkew%.1f×). " +
+        "The new data's distribution has drifted off the fitted quantizer; " +
+        "REBUILD the index (buildIvfIndex) instead of appending, or raise " +
+        "maxCellSkew if the skew is expected")
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/deltas/delta=$deltaId")
+  }
+
+  /** [[appendToIvfIndex]] for a [[buildIvfIndexSharded]] index: rows route
+    * to shards by the SAME id-hash as the build, each shard's slice
+    * appended to its own sub-index concurrently.
+    */
+  def appendToIvfIndexSharded(newRows: DataFrame, indexDir: String,
+      deltaId: Long, maxCellSkew: Double = 8.0): Unit = {
+    val spark = newRows.sparkSession
+    val nShards = readSharding(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir carries no _sharding row — append to a single index with " +
+          "appendToIvfIndex, or build with buildIvfIndexSharded"))
+    shardScatter(nShards) { sh =>
+      appendToIvfIndex(
+        newRows.where(pmod(xxhash64(col("id")), lit(nShards)) === sh),
+        s"$indexDir/shard=$sh", deltaId, maxCellSkew)
+    }
+    ()
+  }
+
+  /** Delta subdirectories of an index component (sorted by id). */
+  private[operators] def listDeltas(spark: org.apache.spark.sql.SparkSession,
+      deltasDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(deltasDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("delta="))
+      .map(d => d.getName.stripPrefix("delta=").toLong -> d)
+      .sortBy(_._1)
+  }
+
+  /** Cell-pruned read of an index data dir plus its deltas (if any) —
+    * the one read every serve path uses, so appended rows are found by
+    * exactly the same partition-pruned plan as built rows.
+    */
+  private[operators] def readWithDeltas(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, deltasDir: String, cells: Seq[Int],
+      cols: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(dataDir)
+      .where(col("cell").isin(cells: _*)).select(cols.map(col): _*)
+    val deltas = listDeltas(spark, deltasDir)
+    if (deltas.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(deltasDir)
+        .where(col("cell").isin(cells: _*)).select(cols.map(col): _*))
+  }
+
+  /** Fold accumulated append deltas into one compacted base delta
+    * (`delta=<min-1>`, a negative id below every existing one), preserving
+    * the cell partitioning — the [[graft.streaming.CorpusIndex]]
+    * compaction discipline: stage → promote → delete, so a crash at any
+    * point leaves every row visible at least once (per-id duplicates
+    * cannot arise: each delta holds distinct ingest batches). The NEWEST
+    * non-negative delta is never folded (safe to run between a crashed
+    * append and its idempotent retry). Returns folded delta count.
+    */
+  def compactIvfDeltas(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int = foldCellDeltas(spark, s"$indexDir/deltas")
+
+  private[operators] def foldCellDeltas(spark: org.apache.spark.sql.SparkSession,
+      deltasDir: String): Int = {
+    val deltas = listDeltas(spark, deltasDir)
+    val newestBatch = deltas.map(_._1).filter(_ >= 0).maxOption
+    val fold = deltas.filterNot(d => newestBatch.contains(d._1))
+    if (fold.size <= 1) return 0
+    val fs = new org.apache.hadoop.fs.Path(deltasDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newBase = deltas.map(_._1).min - 1
+    val stage = new org.apache.hadoop.fs.Path(deltasDir, ".compact-stage")
+    // basePath anchors partition discovery for the multi-root read: both
+    // delta and cell resolve as partition columns; the fold drops delta
+    // and keeps the cell layout
+    spark.read.option("basePath", deltasDir).parquet(fold.map(_._2.toString): _*)
+      .drop("delta")
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    graft.streaming.FsOps.renameOrThrow(fs, stage,
+      new org.apache.hadoop.fs.Path(deltasDir, s"delta=$newBase"))
+    fold.foreach(d => graft.streaming.FsOps.deleteOrThrow(fs, d._2, recursive = true))
+    fold.size
+  }
+
   /** Query a [[buildIvfIndex]] index: rank each query's centroids, read
     * ONLY the union of probed cells' partitions (cell pruning reaches the
     * file listing — the scan never touches unprobed cells' files), then
@@ -397,8 +573,10 @@ object Similarity {
     val cells = probeRows.map(_.getAs[Int]("cell")).distinct
     val probes = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows), probePlan.schema)
-    val assigned = spark.read.parquet(s"$indexDir/corpus")
-      .where(col("cell").isin(cells: _*))
+    // corpus ∪ append deltas (incremental ingest), both cell-pruned — an
+    // appended row is served by exactly the plan a built row gets
+    val assigned = readWithDeltas(spark, s"$indexDir/corpus",
+      s"$indexDir/deltas", cells, Seq("nid", "ne", "nn", "cell"))
     val sims = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("nid"),
         (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))

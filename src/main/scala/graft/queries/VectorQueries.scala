@@ -319,6 +319,35 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
 
+    // ---- INCREMENTAL ingest into the persisted IVF index (r11): a corpus
+    // that grows daily appends assignment-only deltas (existing centroids,
+    // no refit) under the CorpusIndex idempotent-delta protocol instead of
+    // rebuilding; serving reads corpus ∪ deltas with the same cell pruning.
+    // Built on a 60% id-hash draw, grown by two appended batches, then the
+    // same machine-checked recall contract against the exact answer over
+    // the FULL corpus — appended rows must be served like built rows
+    // (IncrementalIvfSpec additionally pins full-probe exactness, replay
+    // idempotence, compaction, and the dim/skew refusals).
+    Q("q114_ivf_incremental", (s, d) => {
+      val base = Registry.tmpDir("graft-q114-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val built = corpus.filter(pmod(xxhash64(col("id")), lit(5)) < 3)
+      Similarity.buildIvfIndex(built, s"$base/index", nlist = 0)
+      Similarity.appendToIvfIndex(
+        corpus.filter(pmod(xxhash64(col("id")), lit(5)) === 3),
+        s"$base/index", deltaId = 0)
+      Similarity.appendToIvfIndex(
+        corpus.filter(pmod(xxhash64(col("id")), lit(5)) === 4),
+        s"$base/index", deltaId = 1)
+      val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 4)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
     // ---- product-quantized ANN (flat): the memory-bound tier — the
     // candidate scan reads m-byte PQ codes (32× smaller than the raw
     // vectors at these defaults), ADC ranks via m table lookups per pair,
