@@ -85,7 +85,12 @@ object Bench {
       // spread the outlier guard then has to reason about
       timed(run)
       val first = (1 to 3).map(_ => timed(run))
-      val all = if (first.map(_._1).max / first.map(_._1).min > 3.0)
+      // n=5 for SUB-SECOND queries as well as contended spreads (r11
+      // variance gate): r10's q04 swung +45% median-to-median on
+      // byte-identical shuffle profiles — sub-second medians of 3 are
+      // dominated by scheduler jitter, and 5 samples reject it
+      val all = if (first.map(_._1).max / first.map(_._1).min > 3.0 ||
+                    first.map(_._1).sorted.apply(1) < 1.0)
                   first ++ (1 to 2).map(_ => timed(run))
                 else first
       def medL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
@@ -224,6 +229,27 @@ object Bench {
       }
     }
     regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
+    // MIN-regression gate (r11): a query whose best-of-n regresses >20%
+    // against the committed MINS_BASELINE.json while its shuffle bytes are
+    // UNCHANGED is flagged — min is the contention-free estimator, so a
+    // moved min with an identical plan is a real executor-side change
+    // (codegen, data volume, decode work), not harness noise.
+    val minRegressions: Seq[String] = {
+      val f = new java.io.File("MINS_BASELINE.json")
+      if (!f.exists()) Nil else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        val baseline = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val shuffleGrew = regressions.map(_.split(":")(0).stripPrefix("\"")).toSet
+        all.flatMap { case (k, _, ts, _) =>
+          baseline.get(k).collect {
+            case b if ts.nonEmpty && b > 0 && ts.min > 1.2 * b && !shuffleGrew(k) =>
+              f""""$k: min ${ts.min}%.3f vs baseline $b%.3f (shuffle unchanged)""""
+          }
+        }
+      }
+    }
+    minRegressions.foreach(r => System.err.println(s"[bench] MIN REGRESSION $r"))
     val total = all.map(_._2).sum
     // Provenance (r8 verdict #6): wall-time deltas across rounds are
     // unadjudicable without knowing machine load — record the 1/5/15-min
@@ -240,7 +266,8 @@ object Bench {
     // harness keeps only the tail of stdout, and round 8 proved the detail
     // inline pushes headline entries out of the capture window.
     val detail = s"""{"runs":$runs,"shuffle":$shuffleJson,""" +
-      s""""shuffle_regressions":[${regressions.mkString(",")}],"sf":"$sfDir"}"""
+      s""""shuffle_regressions":[${regressions.mkString(",")}],""" +
+      s""""min_regressions":[${minRegressions.mkString(",")}],"sf":"$sfDir"}"""
     // cwd-relative by the same convention as the SHUFFLE_BASELINE.json read
     // above (the harness runs sbt from the repo root); the absolute path is
     // logged so a wrapper invoking from elsewhere can see where it landed
@@ -253,6 +280,7 @@ object Bench {
     val headlineLine = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""queries":$qs,"mins":$mins,"loadavg":$loadavg,"procs":$procs,""" +
       s""""shuffle_regression_count":${regressions.size},""" +
+      s""""min_regression_count":${minRegressions.size},""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     if (headlineLine.length > 1900)
       System.err.println(s"[bench] WARNING headline line ${headlineLine.length} chars " +

@@ -164,6 +164,41 @@ object Bpe {
         .collect().toSeq
         .map(r => (r.getString(0), r.getString(1))))
     }
+
+    /** Build from a standard `merges.txt` (the GPT-2/RoBERTa/HF-tokenizers
+      * export format): one merge per line, two space-separated symbols,
+      * rank = line order; a leading `#version:` header and blank lines are
+      * skipped. Read through Hadoop FileSystem so file://, hdfs:// and
+      * s3a:// paths all work; a merges file is vocabulary-sized (GPT-2
+      * ships 50k lines, ~0.5 MB) — driver-side by construction.
+      *
+      * Note the tokenizer around the vocab stays THIS engine's
+      * (char-level symbols, the documented pre-tokenization): loading
+      * GPT-2's merges gives GPT-2's merge RANKING over those symbols, not
+      * byte-level-BPE output parity — byte-level pre-tokenization (Ġ
+      * space-marking, byte fallback) is a tokenizer contract, not a
+      * merges-file property.
+      */
+    def fromMergesFile(path: String,
+        hconf: org.apache.hadoop.conf.Configuration =
+          new org.apache.hadoop.conf.Configuration()): BpeVocab = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = p.getFileSystem(hconf).open(p)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      val merges = lines.zipWithIndex
+        .filterNot { case (l, i) => l.isEmpty || (i == 0 && l.startsWith("#version")) }
+        .map { case (l, i) =>
+          val sp = l.indexOf(' ')
+          require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+            s"$path line ${i + 1}: expected exactly two space-separated " +
+              s"symbols, got '$l'")
+          (l.substring(0, sp), l.substring(sp + 1))
+        }
+      require(merges.nonEmpty, s"$path contains no merges")
+      new BpeVocab(merges)
+    }
   }
 
   /** Exact BPE token count under `vocab` — NULL for null text. */

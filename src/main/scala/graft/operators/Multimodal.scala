@@ -76,34 +76,43 @@ object Multimodal {
         throw new IllegalArgumentException(
           s"doc_id=${r.doc_id}: payload (${r.payload.length} bytes) is not a " +
             s"decodable image despite mime ${r.mime} — no ImageIO reader accepts it")
-      val (w, h) = (img.getWidth, img.getHeight)
-      val g = gridSize
-      val sums = new Array[Double](g * g)
-      val counts = new Array[Long](g * g)
-      // bulk scanline fetch: per-pixel getRGB(x, y) pays a ColorModel
-      // conversion call per pixel (~10× slower) — w×h calls per record in
-      // the pipeline's hot loop; the row form returns identical values
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        val cy = math.min(g - 1, y * g / h)
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val rgb = row(x)
-          val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          val cell = cy * g + math.min(g - 1, x * g / w)
-          sums(cell) += luma / 255.0
-          counts(cell) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val feat = Array.tabulate(g * g)(i =>
-        if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
-      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, feat)
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+        img.getWidth, img.getHeight, lumaGrid(img, gridSize))
     }
+  }
+
+  /** gridSize² mean-luma features (Rec.601, normalized to [0,1]) over a
+    * gridSize×gridSize box partition — exact per-pixel accumulation, so
+    * bit-deterministic across JVMs/platforms. Shared by the image and
+    * video (per-frame) decoders.
+    */
+  private[operators] def lumaGrid(img: java.awt.image.BufferedImage,
+      g: Int): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    // bulk scanline fetch: per-pixel getRGB(x, y) pays a ColorModel
+    // conversion call per pixel (~10× slower) — w×h calls per record in
+    // the pipeline's hot loop; the row form returns identical values
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(g - 1, y * g / h)
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val cell = cy * g + math.min(g - 1, x * g / w)
+        sums(cell) += luma / 255.0
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(g * g)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
   }
 
   /** REAL audio decoder — JDK-only (`javax.sound.sampled`): WAV, AIFF and
@@ -180,6 +189,59 @@ object Multimodal {
         width = fmt.getSampleRate.toInt, height = channels, feat)
     }
   }
+
+  /** REAL video decoder for MJPEG-AVI — JDK-only: [[MjpegAvi.frames]]
+    * parses the RIFF container, `sampleFrames` I-frames are sampled evenly
+    * ([[MjpegAvi.sampleIndices]] — deterministic frame sampling, the
+    * pipeline never decodes every frame of a long clip), each decodes via
+    * `ImageIO` to the shared `gridSize`² luma grid. The feature vector is
+    * the CONCATENATION of the sampled frames' grids (a fixed
+    * sampleFrames·gridSize² layout; clips shorter than `sampleFrames`
+    * contribute fewer grids).
+    *
+    * [[MediaFeatures]] mapping for the video modality: `width`/`height` =
+    * first sampled frame's pixel dims. Non-video mimes delegate to
+    * `fallback`; video bytes that are not a well-formed MJPEG-AVI are an
+    * ERROR naming the doc_id (compressed inter-frame codecs have no JDK
+    * decoder — route them to a real codec behind the seam or filter
+    * upstream), the same refusal rule as the image/audio decoders.
+    */
+  final class MjpegAviDecoder(gridSize: Int = 4, sampleFrames: Int = 4,
+      fallback: Decoder = new StubDecoder()) extends Decoder {
+    require(sampleFrames >= 1, s"sampleFrames must be positive, got $sampleFrames")
+    def open(): Unit = fallback.open()
+    def decode(r: MediaRecord): MediaFeatures = {
+      if (r.mime == null || !r.mime.startsWith("video/")) return fallback.decode(r)
+      val frameBytes = try MjpegAvi.frames(r.payload)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"doc_id=${r.doc_id}: undecodable ${r.mime} payload " +
+              s"(${r.payload.length} bytes) — ${e.getMessage}", e) }
+      val sampled = MjpegAvi.sampleIndices(frameBytes.size, sampleFrames)
+        .map(frameBytes)
+      val grids = sampled.zipWithIndex.map { case (f, i) =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+          catch { case e: java.io.IOException =>
+            throw new IllegalArgumentException(
+              s"doc_id=${r.doc_id}: sampled frame $i is undecodable", e) }
+        if (img == null) throw new IllegalArgumentException(
+          s"doc_id=${r.doc_id}: sampled frame $i is not a decodable JPEG")
+        (img, lumaGrid(img, gridSize))
+      }
+      MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong,
+        grids.head._1.getWidth, grids.head._1.getHeight,
+        grids.flatMap(_._2).toArray)
+    }
+  }
+
+  /** The full modality chain: video → audio → image → deterministic stub —
+    * one decoder instance routing every mime the JDK can decode, for
+    * mixed-modality lake tables.
+    */
+  def jdkDecoder(gridSize: Int = 4, sampleFrames: Int = 4,
+      audioWindows: Int = 8): Decoder =
+    new MjpegAviDecoder(gridSize, sampleFrames,
+      new JavaSoundDecoder(audioWindows, new ImageIoDecoder(gridSize)))
 
   /** The pipeline: binary payload dataset → per-partition batched decode →
     * typed feature rows. Narrow (no shuffle); scales with partitions.

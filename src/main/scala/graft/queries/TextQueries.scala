@@ -480,6 +480,62 @@ object TextQueries {
         | TRUE AS bounds_ok, TRUE AS merges_reduce
         |FROM documents""".stripMargin)),
 
+    // ---- REAL video decode round-trip (r11, q112's pattern on the video
+    // modality): per doc, a deterministic MJPEG-AVI — frames of strictly
+    // increasing brightness — is containerized in-executor (MjpegAvi
+    // container writer over ImageIO JPEG frames), decoded by the REAL
+    // MjpegAviDecoder (RIFF parse → deterministic frame sampling → ImageIO
+    // per frame → shared luma grid), and checked: first-frame dims exact,
+    // feature layout = sampleFrames × grid², and the TEMPORAL gradient
+    // (each sampled frame's mean luma brighter than the previous) — which
+    // only holds if sampling picked the right frames in stream order.
+    // Compressed inter-frame codecs stay refused loudly (MjpegAviSpec);
+    // MJPEG is all I-frames, which is exactly why it is JDK-decodable.
+    Q("q115_video_decode", (s, d) => {
+      import s.implicits._
+      import graft.operators.{MjpegAvi, Multimodal}
+      import graft.operators.Multimodal.MediaRecord
+      val ids = tbl(s, d, "documents").select(col("doc_id")).where(col("doc_id") < 50)
+        .as[Long]
+      val avi = ids.map { id =>
+        val w = 16 + (id % 16).toInt * 2; val h = 16 + (id % 12).toInt * 2
+        val nFrames = 6 + (id % 5).toInt
+        val frames = (0 until nFrames).map { fi =>
+          val v = 20 + fi * 200 / nFrames // strictly increasing gray level
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = img.createGraphics()
+          try { g2.setColor(new java.awt.Color(v, v, v)); g2.fillRect(0, 0, w, h) }
+          finally g2.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        MediaRecord(id, MjpegAvi.encode(frames, w, h), "video/avi")
+      }
+      val checked = Multimodal.extractFeatures(avi,
+          new Multimodal.MjpegAviDecoder(gridSize = 4, sampleFrames = 4))(s)
+        .map { f =>
+          val dimsOk = f.width == 16 + (f.doc_id % 16).toInt * 2 &&
+            f.height == 16 + (f.doc_id % 12).toInt * 2
+          val layoutOk = f.feature.length == 4 * 16
+          // temporal gradient: each sampled frame's MEAN luma must exceed
+          // the previous frame's — stream-order sampling made visible
+          val means = (0 until 4).map(sl =>
+            f.feature.slice(sl * 16, sl * 16 + 16).sum / 16.0)
+          val gradOk = (0 until 3).forall(i => means(i) < means(i + 1))
+          (f.doc_id, dimsOk, layoutOk, gradOk)
+        }.toDF("doc_id", "dims_ok", "layout_ok", "grad_ok")
+      checked.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(col("dims_ok"), 0).otherwise(1)) === 0).as("dims_ok"),
+        (sum(when(col("layout_ok"), 0).otherwise(1)) === 0).as("layout_ok"),
+        (sum(when(col("grad_ok"), 0).otherwise(1)) === 0).as("temporal_ok"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | TRUE AS dims_ok, TRUE AS layout_ok, TRUE AS temporal_ok
+        |FROM documents WHERE doc_id < 50""".stripMargin)),
+
     // ---- the composed training-data cleaning pipeline: quality gate →
     // exact dedup → LSH+Jaccard near-dup removal → language filter, with a
     // per-verdict audit — the end-to-end use case of the extension ops

@@ -101,4 +101,39 @@ class BpeSpec extends SparkSuite {
     assert(v.size == 2)
     assert(tokens(v, "abc") == Seq("a", "bc"))
   }
+
+  test("fromMergesFile parses the standard merges.txt format; parity with the pair form") {
+    // a real GPT-2-style snippet: version header, rank = line order
+    val path = s"${tmpDir("graft-merges-")}/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      ("#version: 0.2\nh e\nl l\nhe ll\ne r\nll o\n").getBytes("UTF-8"))
+    val v = BpeVocab.fromMergesFile(path)
+    assert(v.size == 5)
+    // "hello": h e l l o → (h,e) r0 → he l l o → (l,l) r1 → he ll o
+    //          → (he,ll) r2 → hell o; (ll,o) is rank 4 but ll was consumed
+    assert(tokens(v, "hello") == Seq("hell", "o"))
+    // byte-for-byte parity with the same ranking built from pairs
+    val pairForm = BpeVocab(Seq(("h", "e"), ("l", "l"), ("he", "ll"),
+      ("e", "r"), ("ll", "o")))
+    Seq("hello there", "seller", "h ell o!", "er").foreach(s =>
+      assert(tokens(v, s) == tokens(pairForm, s), s))
+    // header handling is first-line-only; malformed lines are refused
+    val bad = s"${tmpDir("graft-merges-bad-")}/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "#version: 0.2\na b c\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] { BpeVocab.fromMergesFile(bad) }
+    assert(ex.getMessage.contains("line 2"), ex.getMessage)
+  }
+
+  test("the codegen'd expression runs a merges-file vocab over a column") {
+    val path = s"${tmpDir("graft-merges-col-")}/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "t h\nth e\n".getBytes("UTF-8"))
+    val v = BpeVocab.fromMergesFile(path)
+    val got = Seq("the theory", "breathe").toDF("text")
+      .select(Bpe.bpe_token_count(col("text"), v).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    // "the"→[the]=1, "theory"→[the,o,r,y]=4 → 5; "breathe"→[b,r,e,a,the]=5
+    assert(got == Seq(5L, 5L))
+  }
 }
