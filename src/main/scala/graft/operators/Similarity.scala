@@ -220,10 +220,16 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
       seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
-    val nl = if (nlist > 0) nlist else nlistFor(corpus.count())
+    val nl0 = if (nlist > 0) nlist else nlistFor(corpus.count())
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
+    val fitSet = fitSample(cVec, maxFitRows).cache()
+    // clamp k to the sample size (the fitCodebooks discipline): KMeans
+    // with k > n is a hard internal error, and a sub-nlist corpus — e.g.
+    // a small space-routed shard — quantizes losslessly at k = n anyway
+    val nl = math.max(1L, math.min(nl0.toLong, fitSet.count())).toInt
     val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
-      .fit(fitSample(cVec, maxFitRows))
+      .fit(fitSet)
+    fitSet.unpersist()
     // REBUILD discipline (the EmbeddingIndex.seed delete-first rule):
     // remove any existing corpus/centroids BEFORE the new geometry lands —
     // otherwise an in-place rebuild with changed dim/nlist that crashes
@@ -358,7 +364,7 @@ object Similarity {
     * what the probe side's centroid ranking assumes, so appended rows are
     * found by the same `nprobe` cells as built rows.
     */
-  private[operators] def assignCells(rows: DataFrame,
+  private[graft] def assignCells(rows: DataFrame,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val centLit = typedLit(centroids)
     val dists = transform(centLit, c =>
@@ -643,6 +649,99 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(spark.read.parquet(s"$indexDir/_sharding").head().getAs[Int]("n_shards"))
+  }
+
+  /** Build a ROUTED sharded IVF index: a top-level KMeans quantizer with
+    * `nShards` cells partitions the embedding SPACE (not the id space) —
+    * rows route to the shard of their nearest top-level centroid, each
+    * shard builds its own [[buildIvfIndex]] sub-index, and the router
+    * centroids persist under `_router/`. This is the two-level
+    * inverted-multi-index shape (FAISS IMI): where [[buildIvfIndexSharded]]
+    * (id-hash) must scatter EVERY query to EVERY shard (each shard is a
+    * uniform corpus draw, so the true neighbor is equally likely
+    * anywhere), a routed index serves with `routeShards ≪ nShards` probes
+    * ([[ivfIndexQueryRouted]]) — per-query serve cost drops from
+    * O(nShards·nprobe·cellRows) to O(routeShards·nprobe·cellRows), the
+    * escape from the measured linear scatter width. The trade is recall
+    * at shard Voronoi boundaries, recovered by routeShards > 1 exactly
+    * like nprobe recovers cell-boundary recall.
+    *
+    * A top-level cell that attracts no rows fails the build fast (same
+    * rule as the hash-sharded empty-residue check): lower nShards.
+    */
+  def buildIvfIndexRouted(corpus: DataFrame, indexDir: String, nShards: Int,
+      nlist: Int = 0, seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
+    require(nShards > 1, s"nShards must be > 1 for a routed index, got $nShards")
+    val spark = corpus.sparkSession
+    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
+    val router = new KMeans().setK(nShards).setSeed(seed).setFeaturesCol("__features")
+      .fit(fitSample(cVec, maxFitRows))
+    val routerCents = router.clusterCenters.map(_.toArray.toSeq).toSeq
+    val routed = assignCells(corpus.select(col("id"), col("embedding")), routerCents)
+      .withColumnRenamed("cell", "__shard")
+    val present = routed.groupBy(col("__shard")).count()
+      .collect().map(_.getInt(0)).toSet
+    val missing = (0 until nShards).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"buildIvfIndexRouted(nShards=$nShards): router cell(s) " +
+        s"${missing.take(5).mkString(", ")} attracted no rows — the corpus " +
+        "does not support this many space shards; reduce nShards")
+    shardScatter(nShards) { sh =>
+      buildIvfIndex(
+        routed.where(col("__shard") === sh).select(col("id"), col("embedding")),
+        s"$indexDir/shard=$sh", nlist, seed + sh, maxFitRows)
+    }
+    spark.createDataFrame(routerCents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("shard", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_router")
+    // the _sharding row stays the commit point, written after router AND
+    // every shard are complete
+    spark.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
+  }
+
+  /** Serve a [[buildIvfIndexRouted]] index probing each query's
+    * `routeShards` nearest space shards only. `routeShards >= nShards`
+    * degenerates to the full scatter and returns results identical to
+    * [[ivfIndexQuerySharded]] on the same index (pinned in
+    * IncrementalIvfSpec) — the router is a cost dial, not a different
+    * answer.
+    */
+  def ivfIndexQueryRouted(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4, routeShards: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val nShards = readSharding(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir carries no _sharding row — not a sharded IVF index"))
+    val rp = new org.apache.hadoop.fs.Path(s"$indexDir/_router")
+    require(rp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rp),
+      s"$indexDir carries no _router centroids — an id-hash sharded index " +
+        "has no meaningful shard routing (every shard is a uniform corpus " +
+        "draw; skipping any loses recall proportionally): serve it with " +
+        "ivfIndexQuerySharded, or rebuild with buildIvfIndexRouted")
+    val r = math.min(math.max(1, routeShards), nShards)
+    if (r == nShards) return ivfIndexQuerySharded(queries, indexDir, k, nprobe)
+    // rank router centroids per query; the (qid, shard) routing table is
+    // |Q|·r rows — driver-side by the serving contract, like the per-shard
+    // probe plans it gates
+    val routerDf = broadcast(spark.read.parquet(s"$indexDir/_router"))
+    val wShard = Window.partitionBy(col("qid")).orderBy(col("rdist"), col("shard"))
+    val routing = queries
+      .select(col("qid"), toDouble(col("embedding")).as("qe"))
+      .crossJoin(routerDf)
+      .withColumn("rdist", l2Distance(col("qe"), col("centroid")))
+      .withColumn("rrn", row_number().over(wShard))
+      .where(col("rrn") <= r)
+      .select(col("qid"), col("shard"))
+      .collect()
+    val byShard = routing.groupBy(_.getAs[Int]("shard")).view
+      .mapValues(_.map(_.getAs[Any]("qid")).toSeq).toSeq.sortBy(_._1)
+    val frames = shardScatter(byShard.size) { i =>
+      val (sh, qids) = byShard(i)
+      ivfIndexQuery(queries.where(col("qid").isInCollection(qids)),
+        s"$indexDir/shard=$sh", k, nprobe)
+    }
+    frames.reduce(_ unionByName _).transform(topK(_, k))
   }
 
   /** Serve a [[buildIvfIndexSharded]] index: scatter the query batch to

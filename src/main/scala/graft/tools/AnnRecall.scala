@@ -98,15 +98,58 @@ object AnnRecall {
     Similarity.buildIvfIndex(corpus, idxDir, nlist = nlistAuto)
     timedRecall(s"ivf_index_auto_l$nlistAuto",
       () => Similarity.ivfIndexQuery(queries, idxDir, k, nprobe = 4))
-    // sharded serve (r10): 2 id-hash shards, per-shard auto nlist, same
-    // per-shard nprobe — the capacity path must hold the single-index
-    // recall (each shard is a uniform corpus draw, so per-shard recall
-    // matches; the merge is exact over per-shard top-ks)
-    val shardDir = java.nio.file.Files.createTempDirectory("graft-annrecall-sh-")
+    // sharded serve SCATTER CURVE (r11): nShards ∈ {2,4,8}, per-shard auto
+    // nlist, same per-shard nprobe — the capacity path must hold the
+    // single-index recall (each shard is a uniform corpus draw), and the
+    // serve wall's growth with nShards is the knowingly-paid scatter
+    // width: measured here rather than asserted from one point. Build wall
+    // reported too (r11 made shard fits concurrent).
+    Seq(2, 4, 8).foreach { nSh =>
+      val shardDir = java.nio.file.Files.createTempDirectory(
+        s"graft-annrecall-sh$nSh-").toString + "/ivf"
+      val b0 = System.nanoTime()
+      Similarity.buildIvfIndexSharded(corpus, shardDir, nShards = nSh, nlist = 0)
+      val buildS = (System.nanoTime() - b0) / 1e9
+      println(f"""SHARDBUILD {"n_shards":$nSh,"build_s":$buildS%.1f}""")
+      timedRecall(s"ivf_sharded_${nSh}x_auto",
+        () => Similarity.ivfIndexQuerySharded(queries, shardDir, k, nprobe = 4))
+    }
+
+    // ROUTED sharding curve (r11): space-partitioned shards (top-level
+    // quantizer) serve with routeShards ≪ nShards — recall vs serve wall
+    // at each routing width, against the same exact truth. This is the
+    // dial the id-hash scatter cannot offer.
+    val routedDir = java.nio.file.Files.createTempDirectory("graft-annrecall-rt-")
       .toString + "/ivf"
-    Similarity.buildIvfIndexSharded(corpus, shardDir, nShards = 2, nlist = 0)
-    timedRecall("ivf_sharded_2x_auto",
-      () => Similarity.ivfIndexQuerySharded(queries, shardDir, k, nprobe = 4))
+    val rb0 = System.nanoTime()
+    Similarity.buildIvfIndexRouted(corpus, routedDir, nShards = 8, nlist = 0)
+    println(f"""ROUTEDBUILD {"n_shards":8,"build_s":${(System.nanoTime() - rb0) / 1e9}%.1f}""")
+    Seq(1, 2, 4, 8).foreach { r =>
+      timedRecall(s"ivf_routed_8x_r$r",
+        () => Similarity.ivfIndexQueryRouted(queries, routedDir, k, nprobe = 4,
+          routeShards = r))
+    }
+
+    // incremental ingest (r11): build on a 60% id-hash draw, append the
+    // other 40% as two assignment-only deltas, serve — recall must match
+    // the fresh auto-sized build above (the bounded fit sample makes the
+    // 60%-fit and full-fit quantizers statistically identical at this
+    // scale, so any gap is the append path's)
+    val incDir = java.nio.file.Files.createTempDirectory("graft-annrecall-inc-")
+      .toString + "/ivf"
+    val bInc0 = System.nanoTime()
+    Similarity.buildIvfIndex(
+      corpus.where(pmod(xxhash64(col("id")), lit(5)) < 3), incDir, nlist = 0)
+    val incBuildS = (System.nanoTime() - bInc0) / 1e9
+    val a0 = System.nanoTime()
+    Similarity.appendToIvfIndex(
+      corpus.where(pmod(xxhash64(col("id")), lit(5)) === 3), incDir, deltaId = 0)
+    Similarity.appendToIvfIndex(
+      corpus.where(pmod(xxhash64(col("id")), lit(5)) === 4), incDir, deltaId = 1)
+    val appendS = (System.nanoTime() - a0) / 1e9
+    println(f"""INCBUILD {"build60_s":$incBuildS%.1f,"append40_s":$appendS%.1f}""")
+    timedRecall("ivf_incremental_auto",
+      () => Similarity.ivfIndexQuery(queries, incDir, k, nprobe = 4))
 
     // --- q44 tier: embedding near-dup pair recall -----------------------
     // Ground truth: every exact cos>=0.9 pair with a sampled endpoint
