@@ -365,17 +365,14 @@ object Similarity {
     * found by the same `nprobe` cells as built rows.
     */
   private[graft] def assignCells(rows: DataFrame,
-      centroids: Seq[Seq[Double]]): DataFrame = {
-    val centLit = typedLit(centroids)
-    val dists = transform(centLit, c =>
-      aggregate(zip_with(c, toDouble(col("embedding")), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v))
-    // array_min returns an element of the array, so the position lookup is
-    // an exact self-match; ties resolve to the LOWEST cell id (first
-    // occurrence) — deterministic across runs and engines
+      centroids: Seq[Seq[Double]]): DataFrame =
+    // native codegen'd argmin (graft.functions.NearestCell): the HOF form
+    // (transform + aggregate + zip_with over a centroid literal) measured
+    // ~10× slower on the sf20 append — per-element lambdas are interpreted;
+    // the expression runs two fused native loops over a task-closure table.
+    // Ties resolve to the LOWEST cell id, deterministic across engines.
     rows.withColumn("cell",
-      (array_position(dists, array_min(dists)) - 1).cast("int"))
-  }
+      graft.functions.NearestCell.nearest_cell(toDouble(col("embedding")), centroids))
 
   /** The index's centroid table as a cell-indexed sequence (position i =
     * cell i), validated complete — a centroids table with holes would make

@@ -348,6 +348,27 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
 
+    // ---- ROUTED (space-partitioned) sharded IVF (r11): a top-level
+    // quantizer routes rows to shards at build and each query to its
+    // `routeShards` nearest shards at serve — per-query cost drops from
+    // O(nShards·nprobe·cellRows) to O(routeShards·…), the dial the
+    // id-hash scatter cannot offer. Narrow routing (2 of 3 shards) must
+    // still clear the recall contract; RoutedIvfSpec pins that full
+    // routing equals the full scatter bit-for-bit.
+    Q("q116_ivf_routed", (s, d) => {
+      val base = Registry.tmpDir("graft-q116-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.buildIvfIndexRouted(corpus, s"$base/index", nShards = 3, nlist = 0)
+      val approx = Similarity.ivfIndexQueryRouted(queries, s"$base/index",
+        k = 5, nprobe = 4, routeShards = 2)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
     // ---- product-quantized ANN (flat): the memory-bound tier — the
     // candidate scan reads m-byte PQ codes (32× smaller than the raw
     // vectors at these defaults), ADC ranks via m table lookups per pair,
