@@ -190,6 +190,38 @@ object MoreQueries {
     }, Some(
       s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
          | CAST(COUNT(*) AS BIGINT) AS n_events, ${dsumSql("value")} AS total_value
-         |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin))
+         |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin)),
+
+    // ---- Z-order clustered rewrite + zone-map scan (r11): cluster
+    // lineitem on (l_partkey, l_suppkey), then answer a 2-D range predicate
+    // reading ONLY the files whose footer min/max can match — the oracle
+    // pins both the answer AND that pruning actually fired (`pruned`),
+    // so a layout regression that stops skipping files fails correctness,
+    // not just the bench. Bounds are max/8 per dimension, data-derived so
+    // the query scales with the SF instead of degenerating to select-all.
+    Q("q118_zorder_scan", (s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val dir = Registry.tmpDir("graft-q118z-")
+      graft.operators.ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), dir, nFiles = 16)
+      val Array(maxPart, maxSupp) = li.agg(max("l_partkey"), max("l_suppkey"))
+        .head.toSeq.map(_.asInstanceOf[Long] / 8).toArray
+      val pred = col("l_partkey") <= maxPart && col("l_suppkey") <= maxSupp
+      val (kept, total) = graft.sources.ZoneMaps.pruneStats(s, dir, pred)
+      graft.sources.ZoneMaps.scanWhere(s, dir, pred)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .withColumn("pruned", lit(kept > 0 && kept < total))
+    }, Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         | ${dsumSql("l_quantity")} AS sum_qty,
+         | ${dsumSql("l_extendedprice")} AS sum_price,
+         | TRUE AS pruned
+         |FROM lineitem
+         |WHERE l_partkey <= (SELECT CAST(FLOOR(MAX(l_partkey) / 8.0) AS BIGINT) FROM lineitem)
+         |  AND l_suppkey <= (SELECT CAST(FLOOR(MAX(l_suppkey) / 8.0) AS BIGINT) FROM lineitem)""".stripMargin))
   )
 }

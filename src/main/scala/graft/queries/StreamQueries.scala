@@ -1139,6 +1139,41 @@ object StreamQueries {
         | CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
         | TIMESTAMP '2025-11-07 14:32:09.13' AS processed_at
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- zone-map file skipping on a delivered lake (r11): the sink
+    // harvests ts/event_id min/max from each flushed file's parquet FOOTER
+    // into the `_zonemaps` sidecar; readWhere answers a ts-range predicate
+    // without listing/opening the files the stats disprove. The `pruned`
+    // column pins in the ORACLE that skipping fired (most of the
+    // hour-partitioned lake's files lie before the Jan-28 cut), while the
+    // aggregates pin that skipping never changed the answer.
+    Q("q117_zonemap_readwhere", (s, d) => {
+      val base = tmp("graft-q117-")
+      ShardedLog.put(ShardedLog.fromEvents(tbl(s, d, "events")), s"$base/log")
+      val q = Deliver.start(ShardedLog.readStream(s, s"$base/log"), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck",
+          manifestDir = Some(s"$base/manifest"),
+          zoneMapCols = Seq("ts", "event_id"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+      val cut = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
+      val pred = col("ts") >= lit(cut)
+      val (kept, total) = graft.sources.ManifestReader
+        .pruneStats(s, s"$base/manifest", pred)
+      graft.sources.ManifestReader.readWhere(s, s"$base/manifest", pred)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("n_keys"),
+          // the JSON envelope carries millis; truncate to seconds so the
+          // bound compares engine-portably against the raw parquet micros
+          date_trunc("second", min(col("ts"))).as("min_ts"),
+          date_trunc("second", max(col("ts"))).as("max_ts"))
+        .withColumn("pruned", lit(kept > 0 && kept < total))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        | date_trunc('second', MIN(ts)) AS min_ts,
+        | date_trunc('second', MAX(ts)) AS max_ts, TRUE AS pruned
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin))
   )
 }

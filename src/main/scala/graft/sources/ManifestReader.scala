@@ -59,6 +59,66 @@ object ManifestReader {
     spark.read.option("basePath", base).parquet(files: _*)
   }
 
+  /** Manifest scan with file-level zone-map pruning: resolve the visible
+    * file set, drop every file whose persisted `_zonemaps` stats PROVE it
+    * cannot satisfy `filter`, scan only the survivors, and re-apply the
+    * filter (correctness never depends on pruning — files without stats,
+    * unsupported predicate shapes, and domain mismatches are all kept).
+    * At 100 TB this is the difference between opening every file so
+    * parquet row-group stats can reject it and never scheduling the file
+    * at all: the decision reads a manifest-sized sidecar, no data I/O.
+    */
+  def readWhere(spark: SparkSession, manifestDir: String,
+      filter: org.apache.spark.sql.Column): DataFrame = {
+    val (kept, files, base) = pruned(spark, manifestDir, filter)
+    val read = if (kept.nonEmpty) kept else files.take(1)
+    spark.read.option("basePath", base).parquet(read: _*).where(filter)
+  }
+
+  /** (files kept, files total) under zone-map pruning — effectiveness
+    * observability for tests and ops.
+    */
+  def pruneStats(spark: SparkSession, manifestDir: String,
+      filter: org.apache.spark.sql.Column): (Int, Int) = {
+    val (kept, files, _) = pruned(spark, manifestDir, filter)
+    (kept.size, files.size)
+  }
+
+  private def pruned(spark: SparkSession, manifestDir: String,
+      filter: org.apache.spark.sql.Column): (Seq[String], Seq[String], String) = {
+    val files = latestManifestFiles(spark, manifestDir)
+    require(files.nonEmpty, s"no manifest in $manifestDir")
+    val zones = ZoneMaps.load(spark.sessionState.newHadoopConf(), manifestDir)
+    val base = recordedBasePath(spark, manifestDir).getOrElse {
+      val common = files
+        .map(_.split('/').dropRight(1).toSeq)
+        .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
+      common.reverse.dropWhile(seg =>
+          seg.contains('=') && !seg.startsWith("=")).reverse
+        .mkString("/")
+    }
+    val kept = ZoneMaps.pruneColumn(spark, base, filter, zones, files)
+    (kept, files, base)
+  }
+
+  /** Rebuild the zone-map sidecar from the CURRENT visible file set's
+    * footers — the one-call refresh after maintenance (Compact/Retention)
+    * rewrote files the incremental sidecars described. Written as a
+    * snapshot past every live batch id so the next reader resolves only it.
+    */
+  def refreshZoneMaps(spark: SparkSession, manifestDir: String,
+      cols: Seq[String] = Nil): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val files = latestManifestFiles(spark, manifestDir)
+    val zones = ZoneMaps.fromFooters(hconf, files, cols)
+    val dir = new HPath(manifestDir)
+    val fs = dir.getFileSystem(hconf)
+    val maxBatch = ManifestChain.list(fs, dir).map(_._1).maxOption.getOrElse(0L)
+    ZoneMaps.write(hconf, manifestDir, maxBatch + 1,
+      zones, compactEvery = 1) // force a .snap.json fold
+    files.size
+  }
+
   /** The lake root recorded by the manifest writer, when all chain
     * manifests that record one agree (path-normalized). Disagreement means
     * mixed producers — fall back to the heuristic rather than guess.

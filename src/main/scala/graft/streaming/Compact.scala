@@ -93,7 +93,10 @@ object Compact {
     */
   def run(spark: SparkSession, lakeDir: String, targetBytes: Long = 128L << 20,
       manifestDir: Option[String] = None, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil,
       lock: LockProvider = FsLeaseLock): Stats = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "pick ONE clustering: sortBy (1-D ranges) or zorderBy (multi-D Morton)")
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)
@@ -123,12 +126,23 @@ object Compact {
         // nested dirs, or files at the lake ROOT all stage the same way)
         val outDir = new HPath(stage, f"g$i%05d")
         val packed = spark.read.parquet(files.map(_.toString): _*)
+        import org.apache.spark.sql.functions.col
         val shaped =
-          if (sortBy.isEmpty) packed.coalesce(want)
-          else packed.repartitionByRange(want, sortBy.map(org.apache.spark.sql.functions.col): _*)
-            .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
-        shaped.write.mode("overwrite").option("compression", "snappy")
-          .parquet(outDir.toString)
+          if (zorderBy.nonEmpty) {
+            // multi-D clustering: files become z-curve ranges, so min/max
+            // stay tight on EVERY zorderBy column (see operators.ZOrder)
+            val z = graft.operators.ZOrder.zValue(packed, zorderBy)
+            packed.withColumn("__z", z).repartitionByRange(want, col("__z"))
+              .sortWithinPartitions(col("__z")).drop("__z")
+          } else if (sortBy.isEmpty) packed.coalesce(want)
+          else packed.repartitionByRange(want, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        // INT64 timestamps (scoped): compaction rewrites the bytes that
+        // zone maps will describe; INT96 carries no min/max stats
+        Deliver.withInt64Timestamps(spark) {
+          shaped.write.mode("overwrite").option("compression", "snappy")
+            .parquet(outDir.toString)
+        }
         listParquet(fs, outDir).map { f =>
           (f, new HPath(dir, f.getName)) // promotes into the same partition dir
         }
@@ -225,6 +239,21 @@ object Compact {
       val base = Some(fs.makeQualified(lake).toString)
       FsOps.atomicWrite(hconf, mfs, new HPath(dir, f"manifest-$foldId%010d.snap.json"),
         ManifestChain.render(urls, base).getBytes("UTF-8"))
+      // Zone-map repair: the rewritten files are new urls with no sidecar
+      // stats — without this, every compaction quietly degrades pruning
+      // (never correctness) on exactly the files it touched. Fold the
+      // existing sidecar chain and add footer harvests for the news,
+      // restricted to the columns the sidecar already tracks; written as
+      // a snapshot at foldId (same id discipline as the manifest fold).
+      // Runs on recovery's roll-forward path too — idempotent overwrite.
+      import graft.sources.ZoneMaps
+      val existing = ZoneMaps.load(hconf, mdir)
+      if (existing.nonEmpty) {
+        val cols = existing.valuesIterator.flatMap(_.keysIterator).toSeq.distinct
+        val zmAll = existing ++ ZoneMaps.fromFooters(hconf, news.map(norm), cols)
+        FsOps.atomicWrite(hconf, mfs, new HPath(dir, s"_zonemaps/zm-" +
+          f"$foldId%010d.snap.json"), ZoneMaps.render(zmAll).getBytes("UTF-8"))
+      }
     }
     olds.foreach(o => FsOps.deleteOrThrow(fs, new HPath(o), recursive = false))
     FsOps.deleteOrThrow(fs, ctl(lake, "stage"), recursive = true)

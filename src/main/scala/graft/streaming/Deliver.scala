@@ -48,6 +48,12 @@ object Deliver {
       // registered schema route to the DLQ (errorDir), never crash the
       // stream.
       schemas: Map[String, StructType] = Map.empty,
+      // file-level zone maps: harvest these columns' min/max from the
+      // just-written parquet footers each flush (metadata-only, no data
+      // re-scan) into a `_zonemaps` sidecar next to the manifest —
+      // ManifestReader.readWhere then skips whole files a predicate can't
+      // match. Keep the list small (stats size is files × cols); Nil = off.
+      zoneMapCols: Seq[String] = Nil,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -219,19 +225,24 @@ object Deliver {
     // 1. data files (PUT #1) → batch-scoped staging prefix; overwrite mode
     // discards a crashed attempt's stage on replay
     val stage = fs.makeQualified(new HPath(lake, f"_staging/batch-$batchId%010d"))
-    ok.write.mode("overwrite")
-      .option("compression", "snappy")
-      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
-      .partitionBy(partCols: _*)
-      .parquet(stage.toString)
+    withInt64Timestamps(ok.sparkSession) {
+      ok.write.mode("overwrite")
+        .option("compression", "snappy")
+        .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+        .partitionBy(partCols: _*)
+        .parquet(stage.toString)
+    }
 
     // 2. promote: move each staged parquet into its lake partition dir.
     val added = promoteStage(fs, hconf, lake, stage, batchId, cfg)
 
-    // 3. manifest (PUT #2, only after data success — README.md:419-430):
-    // incremental per-batch listing; every Nth batch folds the chain into a
-    // snapshot so reader/compaction work stays O(batch + chain/N)
+    // 3. zone maps (advisory, before the manifest so a published manifest's
+    // files always have their stats visible), then the manifest (PUT #2,
+    // only after data success — README.md:419-430): incremental per-batch
+    // listing; every Nth batch folds the chain into a snapshot so
+    // reader/compaction work stays O(batch + chain/N)
     cfg.manifestDir.foreach { mdir =>
+      writeZoneMaps(hconf, mdir, batchId, added, cfg)
       writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir)
     }
 
@@ -393,11 +404,13 @@ object Deliver {
           col("env.metadata.op").as("op"), col("processed_at"),
           col("year"), col("month"), col("day"), col("hour"))
         val okC = if (cfg.compact) ok.coalesce(1) else ok
-        okC.write.mode("overwrite")
-          .option("compression", "snappy")
-          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
-          .partitionBy("year", "month", "day", "hour")
-          .parquet(new HPath(stage, s"table=$t").toString)
+        withInt64Timestamps(okC.sparkSession) {
+          okC.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+            .partitionBy("year", "month", "day", "hour")
+            .parquet(new HPath(stage, s"table=$t").toString)
+        }
         frame.where(!col("__ok"))
           .select(rawCols :+ lit("decode_failed").as("reason"): _*)
       }
@@ -405,6 +418,7 @@ object Deliver {
       val added = if (fs.exists(stage)) promoteStage(fs, hconf, lake, stage, batchId, cfg)
         else Seq.empty
       cfg.manifestDir.foreach { mdir =>
+        writeZoneMaps(hconf, mdir, batchId, added, cfg)
         writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir)
       }
 
@@ -430,6 +444,34 @@ object Deliver {
       clearIntent(fs, lake, batchId)
     } finally tabled.unpersist()
   }
+
+  /** Lake writes use parquet-standard INT64 micros timestamps (scoped —
+    * the session conf's INT96 default is deprecated in the parquet spec
+    * and carries NO usable min/max statistics, which would silently
+    * disable zone-map pruning on every timestamp column). Set/restore
+    * around the write: the micro-batch body runs serially per query.
+    */
+  private[graft] def withInt64Timestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Harvest footer stats for this flush's files into the `_zonemaps`
+    * sidecar (no-op when zoneMapCols is empty). Idempotent per batchId like
+    * the manifest; snapshot cadence mirrors manifestCompactEvery.
+    */
+  private def writeZoneMaps(hconf: org.apache.hadoop.conf.Configuration,
+      mdir: String, batchId: Long, added: Seq[String], cfg: Config): Unit =
+    if (cfg.zoneMapCols.nonEmpty) {
+      val zones = graft.sources.ZoneMaps.fromFooters(hconf, added, cfg.zoneMapCols)
+      graft.sources.ZoneMaps.write(hconf, mdir, batchId, zones, cfg.manifestCompactEvery)
+    }
 
   /** Write manifest-<id>.json (incremental: exactly `added`) or, when id is
     * a multiple of `compactEvery`, manifest-<id>.snap.json (snapshot: the

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZOrder
+import graft.sources.ZoneMaps
+
+/** Dev tool: measure zone-map skipping on a Z-order-clustered lineitem at
+  * scale — files kept vs total and wall for a 2-D corner predicate, scanned
+  * three ways: plain parquet scan of the unclustered table, full scan of
+  * the clustered copy (row-group stats only), and the zone-map-pruned scan
+  * (file skipping before listing). Not part of the driver contract.
+  *
+  * Usage: runMain graft.tools.ZoneScale <sfDir> [nFiles] [runs]
+  */
+object ZoneScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nFiles = if (args.length > 1) args(1).toInt else 64
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zonescale-").toString
+
+    val t0 = System.nanoTime()
+    ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), dir, nFiles)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val Array(maxPart, maxSupp) = li.agg(max("l_partkey"), max("l_suppkey"))
+      .head.toSeq.map(_.asInstanceOf[Long] / 8).toArray
+    val pred = col("l_partkey") <= maxPart && col("l_suppkey") <= maxSupp
+
+    def time(body: => Long): (Double, Long) = {
+      body // warm
+      val rs = (1 to runs).map { _ =>
+        val s = System.nanoTime(); val n = body
+        ((System.nanoTime() - s) / 1e9, n)
+      }
+      (rs.map(_._1).sorted.apply(runs / 2), rs.head._2)
+    }
+    val (wPlain, nPlain) = time(li.where(pred).count())
+    val clustered = spark.read.parquet(dir)
+    val (wFull, nFull) = time(clustered.where(pred).count())
+    val (wZone, nZone) = time(ZoneMaps.scanWhere(spark, dir, pred).count())
+    val (kept, total) = ZoneMaps.pruneStats(spark, dir, pred)
+    require(nPlain == nFull && nFull == nZone,
+      s"row-count divergence: plain=$nPlain full=$nFull zone=$nZone")
+
+    println(f"ZONESCALE sf=$sfDir rows=${li.count()} files=$total kept=$kept " +
+      f"build=$buildSec%.2fs plain=$wPlain%.3fs clusteredFull=$wFull%.3fs " +
+      f"zonePruned=$wZone%.3fs matchRows=$nZone")
+    spark.stop()
+  }
+}

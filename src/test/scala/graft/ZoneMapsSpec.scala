@@ -1,0 +1,194 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.{ManifestReader, ShardedLog, ZoneMaps}
+import graft.streaming.Deliver
+
+/** File-level zone maps: exact footer harvest, sidecar persistence, and
+  * predicate pruning that may only ever SKIP provably-empty files.
+  */
+class ZoneMapsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def writeOneFile(df: DataFrame, dir: String): String = {
+    Deliver.withInt64Timestamps(spark) {
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(hconf)
+    graft.streaming.FsOps.walkParquet(fs, new org.apache.hadoop.fs.Path(dir),
+      skipHidden = true).map(p => fs.makeQualified(p).toString).head
+  }
+
+  test("footer harvest is exact across types (long/double/string/ts/date/bool/nulls)") {
+    val dir = tmpDir("graft-zm-types-")
+    val df = Seq(
+      (3L, 1.5, "apple", Timestamp.valueOf("2024-01-01 00:00:00"),
+        Date.valueOf("2024-01-01"), true, Option(7L)),
+      (9L, -2.25, "pear", Timestamp.valueOf("2024-06-15 12:30:00"),
+        Date.valueOf("2024-03-05"), false, None),
+      (5L, 0.0, "banana", Timestamp.valueOf("2024-03-01 06:00:00"),
+        Date.valueOf("2024-02-02"), true, Option(2L))
+    ).toDF("l", "d", "s", "ts", "dt", "b", "opt")
+    val f = writeOneFile(df, dir)
+    val z = ZoneMaps.fromFooters(hconf, Seq(f))(f)
+
+    assert(z("l") == ZoneMaps.ColZone("long", Some(3L), Some(9L), Some(0L), 3L))
+    assert(z("d") == ZoneMaps.ColZone("double", Some(-2.25), Some(1.5), Some(0L), 3L))
+    assert(z("s").t == "bytes")
+    assert(new String(z("s").lo.get.asInstanceOf[Array[Byte]], "UTF-8") == "apple")
+    assert(new String(z("s").hi.get.asInstanceOf[Array[Byte]], "UTF-8") == "pear")
+    // timestamps must land in the micros domain — this pins that the lake
+    // writer produces INT64 timestamp stats zone maps can use (INT96 would
+    // harvest nothing and silently disable ts pruning)
+    assert(z.contains("ts"), s"no ts stats harvested — writer emitted a " +
+      s"non-INT64 timestamp physical type; cols seen: ${z.keySet}")
+    assert(z("ts") == ZoneMaps.ColZone("micros",
+      Some(Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L),
+      Some(Timestamp.valueOf("2024-06-15 12:30:00").getTime * 1000L), Some(0L), 3L))
+    assert(z("dt").t == "days")
+    assert(z("dt").lo.get == Date.valueOf("2024-01-01").toLocalDate.toEpochDay)
+    assert(z("b") == ZoneMaps.ColZone("bool", Some(false), Some(true), Some(0L), 3L))
+    assert(z("opt") == ZoneMaps.ColZone("long", Some(2L), Some(7L), Some(1L), 3L))
+  }
+
+  test("render/parse roundtrip preserves every zone exactly") {
+    val zones: ZoneMaps.FileZones = Map(
+      "file:/a/p1.parquet" -> Map(
+        "l" -> ZoneMaps.ColZone("long", Some(-5L), Some(10L), Some(2L), 100L),
+        "d" -> ZoneMaps.ColZone("double", Some(-0.5), Some(1.25e300), None, 100L),
+        "s" -> ZoneMaps.ColZone("bytes",
+          Some("añ\"{}".getBytes("UTF-8")), Some("zz".getBytes("UTF-8")), Some(0L), 100L),
+        "allnull" -> ZoneMaps.ColZone("micros", None, None, Some(100L), 100L)),
+      "file:/a/p2.parquet" -> Map(
+        "b" -> ZoneMaps.ColZone("bool", Some(true), Some(true), Some(0L), 7L)))
+    val back = ZoneMaps.parse(ZoneMaps.render(zones))
+    assert(back.keySet == zones.keySet)
+    for ((url, cols) <- zones; (c, z) <- cols) {
+      val bz = back(url)(c)
+      assert(bz.t == z.t && bz.nulls == z.nulls && bz.rows == z.rows)
+      (z.lo, bz.lo) match {
+        case (Some(a: Array[Byte]), Some(b: Array[Byte])) => assert(a.sameElements(b))
+        case (a, b) => assert(a == b)
+      }
+    }
+  }
+
+  test("pruning never changes results and skips provably-empty files") {
+    val dir = tmpDir("graft-zm-prune-")
+    // 8 files with disjoint known ranges of k, overlapping v
+    (0 until 8).foreach { i =>
+      writeOneFile(Seq.tabulate(100)(j =>
+        (i * 100L + j, s"u${i * 100 + j}%04d", (j % 10).toDouble)).toDF("k", "u", "v"),
+        s"$dir/f$i")
+    }
+    def parity(pred: Column): Unit = {
+      val viaZones = ZoneMaps.scanWhere(spark, dir, pred)
+        .select("k").as[Long].collect().sorted.toSeq
+      val full = spark.read.parquet((0 until 8).map(i => s"$dir/f$i"): _*)
+        .where(pred).select("k").as[Long].collect().sorted.toSeq
+      assert(viaZones == full, s"zone-pruned scan diverged under $pred")
+    }
+    parity(col("k") === 250L)
+    parity(col("k") < 150L)
+    parity(col("k") >= 700L)
+    parity(col("k").between(190L, 310L))
+    parity(col("k") === 250L || col("k") === 650L)
+    parity(col("k") > 100000L) // prunes everything
+    parity(col("v") === 3.0) // unclustered column: keeps everything, still right
+    parity(col("u").startsWith("u02"))
+    parity(col("u") >= "u0700")
+
+    // effectiveness: a point predicate on the clustered column keeps 1 of 8
+    val (kept, total) = ZoneMaps.pruneStats(spark, dir, col("k") === 250L)
+    assert(total == 8 && kept == 1, s"expected 1/8 kept, got $kept/$total")
+    // and an impossible one keeps 0
+    assert(ZoneMaps.pruneStats(spark, dir, col("k") > 100000L)._1 == 0)
+    // unclustered point predicate keeps all 8 (v spans every file)
+    assert(ZoneMaps.pruneStats(spark, dir, col("v") === 3.0)._1 == 8)
+  }
+
+  test("unknown shapes, domain mismatches, and all-null columns stay safe") {
+    val dir = tmpDir("graft-zm-safe-")
+    writeOneFile(Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "dead"), s"$dir/f0")
+    writeOneFile(Seq((10L, Option("alive"))).toDF("k", "dead"), s"$dir/f1")
+
+    // unsupported conjunct (arithmetic) → no pruning, correct result
+    assert(ZoneMaps.pruneStats(spark, dir, col("k") + 1 === 2L)._1 == 2)
+    assert(ZoneMaps.scanWhere(spark, dir, col("k") + 1 === 2L).count() == 1)
+    // string literal against a long column: whatever coercion the analyzer
+    // picks, results must match the plain scan (pruning may or may not fire)
+    assert(ZoneMaps.scanWhere(spark, dir, col("k") === "1").count() ==
+      spark.read.parquet(s"$dir/f0", s"$dir/f1").where(col("k") === "1").count())
+    // all-null column: equality prunes the all-null file, IS NULL keeps it
+    assert(ZoneMaps.pruneStats(spark, dir, col("dead") === "alive")._1 == 1)
+    assert(ZoneMaps.pruneStats(spark, dir, col("dead").isNull)._1 == 1)
+    assert(ZoneMaps.scanWhere(spark, dir, col("dead").isNull).count() == 2)
+    // IS NOT NULL prunes the all-null file
+    assert(ZoneMaps.pruneStats(spark, dir, col("dead").isNotNull)._1 == 1)
+    // NaN literal never prunes
+    assert(ZoneMaps.pruneStats(spark, dir, col("k") === Double.NaN)._1 == 2)
+    // an all-pruned scan still returns the right (empty) result and schema
+    val none = ZoneMaps.scanWhere(spark, dir, col("k") > 999L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "dead"))
+  }
+
+  test("deliver writes the sidecar; readWhere prunes by ts and matches read().where()") {
+    val base = tmpDir("graft-zm-deliver-")
+    val payloadSchema = StructType(Seq(
+      StructField("data", StructType(Seq(
+        StructField("id", LongType), StructField("status", StringType),
+        StructField("value", DoubleType), StructField("ts", TimestampType),
+        StructField("event_id", LongType)))),
+      StructField("metadata", StructType(Seq(StructField("op", StringType))))))
+    val events = graft.queries.Registry.tbl(spark, sfDir, "events").limit(600)
+    ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+    val q = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+        zoneMapCols = Seq("ts", "event_id"),
+        trigger = Trigger.AvailableNow(),
+        clock = Some(Timestamp.valueOf("2025-11-07 14:32:09.13"))))
+    q.awaitTermination()
+
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/manifest/_zonemaps")),
+      "deliver must write the _zonemaps sidecar when zoneMapCols is set")
+
+    val cut = events.agg(expr("percentile_approx(ts, 0.9)")).head.getTimestamp(0)
+    val pred = col("ts") >= lit(cut)
+    val viaZones = ManifestReader.readWhere(spark, s"$base/manifest", pred)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val full = ManifestReader.read(spark, s"$base/manifest").where(pred)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(viaZones == full && full.nonEmpty)
+
+    // hour-partitioned lake + a top-decile ts cut ⇒ most files prune
+    val (kept, total) = ManifestReader.pruneStats(spark, s"$base/manifest", pred)
+    assert(total > 4, s"need a multi-file lake for this gate, got $total")
+    assert(kept < total, s"ts predicate pruned nothing ($kept/$total)")
+    assert(kept <= total / 2, s"top-decile ts cut should prune most files ($kept/$total)")
+
+    // a lake without sidecars (pre-zone-map manifest) reads fine, prunes nothing
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/manifest/_zonemaps"), true)
+    val (k2, t2) = ManifestReader.pruneStats(spark, s"$base/manifest", pred)
+    assert(k2 == t2)
+    assert(ManifestReader.readWhere(spark, s"$base/manifest", pred)
+      .select("event_id").as[Long].collect().sorted.toSeq == full)
+
+    // refreshZoneMaps rebuilds the sidecar from live footers (the
+    // post-maintenance path) and pruning returns
+    ManifestReader.refreshZoneMaps(spark, s"$base/manifest", Seq("ts", "event_id"))
+    val (k3, t3) = ManifestReader.pruneStats(spark, s"$base/manifest", pred)
+    assert(k3 == kept && t3 == total,
+      s"refreshed sidecar should restore pruning: $k3/$t3 vs $kept/$total")
+  }
+}
