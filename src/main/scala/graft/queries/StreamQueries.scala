@@ -1174,6 +1174,41 @@ object StreamQueries {
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
         | date_trunc('second', MIN(ts)) AS min_ts,
         | date_trunc('second', MAX(ts)) AS max_ts, TRUE AS pruned
-        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin))
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin)),
+
+    // ---- bloom-pruned point lookup (r11): one user's events out of a
+    // time-partitioned lake — the reference's Athena point query
+    // (README.md:463-471, BASELINE ~2 s) and the case zone maps CANNOT
+    // prune (a hashed user id straddles every file's [min,max]). The sink
+    // writes parquet bloom filters for `id`; readWhere(blooms = true)
+    // disproves membership from bloom bytes alone. The oracle pins a ≥4×
+    // file-count reduction (`bloom_effective`) alongside the row values.
+    Q("q119_bloom_point_lookup", (s, d) => {
+      val base = tmp("graft-q119-")
+      ShardedLog.put(ShardedLog.fromEvents(tbl(s, d, "events")), s"$base/log")
+      val q = Deliver.start(ShardedLog.readStream(s, s"$base/log"), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck",
+          manifestDir = Some(s"$base/manifest"),
+          zoneMapCols = Seq("ts", "event_id"),
+          bloomFilterCols = Seq("id"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+      // probe: the user of the first event — deterministic at every SF
+      val probe = tbl(s, d, "events").orderBy(col("event_id"))
+        .select(col("user_id")).head.getLong(0)
+      val pred = col("id") === probe
+      val (kept, total) = graft.sources.ManifestReader
+        .pruneStats(s, s"$base/manifest", pred, blooms = true)
+      graft.sources.ManifestReader.readWhere(s, s"$base/manifest", pred, blooms = true)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_events"),
+          min(col("status")).as("first_status"))
+        .withColumn("bloom_effective", lit(kept > 0 && kept * 4 <= total))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+        | MIN(event_type) AS first_status, TRUE AS bloom_effective
+        |FROM events
+        |WHERE user_id = (SELECT user_id FROM events ORDER BY event_id LIMIT 1)""".stripMargin))
   )
 }

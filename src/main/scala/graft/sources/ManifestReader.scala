@@ -69,23 +69,25 @@ object ManifestReader {
     * at all: the decision reads a manifest-sized sidecar, no data I/O.
     */
   def readWhere(spark: SparkSession, manifestDir: String,
-      filter: org.apache.spark.sql.Column): DataFrame = {
-    val (kept, files, base) = pruned(spark, manifestDir, filter)
+      filter: org.apache.spark.sql.Column, blooms: Boolean = false): DataFrame = {
+    val (kept, files, base) = pruned(spark, manifestDir, filter, blooms)
     val read = if (kept.nonEmpty) kept else files.take(1)
     spark.read.option("basePath", base).parquet(read: _*).where(filter)
   }
 
   /** (files kept, files total) under zone-map pruning — effectiveness
-    * observability for tests and ops.
+    * observability for tests and ops. `blooms` adds the parquet-bloom
+    * equality stage (see [[ZoneMaps.bloomPrune]]).
     */
   def pruneStats(spark: SparkSession, manifestDir: String,
-      filter: org.apache.spark.sql.Column): (Int, Int) = {
-    val (kept, files, _) = pruned(spark, manifestDir, filter)
+      filter: org.apache.spark.sql.Column, blooms: Boolean = false): (Int, Int) = {
+    val (kept, files, _) = pruned(spark, manifestDir, filter, blooms)
     (kept.size, files.size)
   }
 
   private def pruned(spark: SparkSession, manifestDir: String,
-      filter: org.apache.spark.sql.Column): (Seq[String], Seq[String], String) = {
+      filter: org.apache.spark.sql.Column,
+      blooms: Boolean = false): (Seq[String], Seq[String], String) = {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
     val zones = ZoneMaps.load(spark.sessionState.newHadoopConf(), manifestDir)
@@ -97,8 +99,44 @@ object ManifestReader {
           seg.contains('=') && !seg.startsWith("=")).reverse
         .mkString("/")
     }
-    val kept = ZoneMaps.pruneColumn(spark, base, filter, zones, files)
+    val kept = ZoneMaps.pruneColumn(spark, base, filter, zones, files, blooms)
     (kept, files, base)
+  }
+
+  /** The manifest lake as a pruning TABLE: a DataFrame whose every scan —
+    * `.where`, SQL over a temp view, join keys pushed by Catalyst — skips
+    * files through the `_zonemaps` sidecar (and parquet blooms when
+    * `blooms`) inside Spark's own planning, via a custom FileIndex (the
+    * Delta TahoeFileIndex shape). Prefer this over [[readWhere]] when the
+    * lake feeds arbitrary downstream query shapes: the pruning decision
+    * re-evaluates per scan against whatever filters Catalyst derives.
+    */
+  def asTable(spark: SparkSession, manifestDir: String,
+      blooms: Boolean = false): DataFrame = {
+    val files = latestManifestFiles(spark, manifestDir)
+    require(files.nonEmpty, s"no manifest in $manifestDir")
+    val hconf = spark.sessionState.newHadoopConf()
+    val zones = ZoneMaps.load(hconf, manifestDir)
+    val base = recordedBasePath(spark, manifestDir).getOrElse(
+      new HPath(manifestDir).getParent.toString)
+    val prune = (dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        urls: Seq[String]) => {
+      val pred = dataFilters.reduce(
+        org.apache.spark.sql.catalyst.expressions.And)
+      // FileIndex urls and manifest urls may differ in scheme spelling
+      // (file:/ vs file:///) — normalize through Path like the compactor
+      def norm(u: String) = new HPath(u).toString
+      val zByNorm = zones.map { case (k, v) => norm(k) -> v }
+      val zoneKept = urls.filter(u =>
+        !zByNorm.get(norm(u)).exists(z => ZoneMaps.provesEmpty(pred, z)))
+      val kept =
+        if (!blooms) zoneKept
+        else ZoneMaps.bloomPrune(hconf, zoneKept, pred)._1
+      kept.toSet
+    }
+    org.apache.spark.sql.graftbridge.ZoneMapFileIndex.table(spark,
+      files.map(new org.apache.hadoop.fs.Path(_)),
+      new org.apache.hadoop.fs.Path(base), prune)
   }
 
   /** Rebuild the zone-map sidecar from the CURRENT visible file set's

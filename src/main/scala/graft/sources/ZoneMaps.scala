@@ -469,6 +469,118 @@ object ZoneMaps {
 
   // ------------------------------------------------------------ direct scan
 
+  // ----------------------------------------------------------- bloom prune
+
+  /** Equality constraints a bloom filter can test: (column, candidate
+    * values in the zone domain). Extracted from top-level conjuncts only —
+    * an OR alternative could be satisfied elsewhere, so it never
+    * constrains.
+    */
+  private def equalityConstraints(pred: Expression): Seq[(String, Seq[(Any, String)])] =
+    pred match {
+      case And(l, r) => equalityConstraints(l) ++ equalityConstraints(r)
+      case EqualTo(Attr(a), Lit(v, t)) => Seq(a -> Seq((v, t)))
+      case EqualTo(Lit(v, t), Attr(a)) => Seq(a -> Seq((v, t)))
+      case In(Attr(a), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.collect { case Lit(v, t) => (v, t) }
+        // a NULL in the list contributes no match anyway; all-null list → skip
+        if (lits.nonEmpty) Seq(a -> lits) else Seq.empty
+      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+        val lits = vs.toSeq.flatMap(v => internal(v, a.dataType))
+        if (lits.nonEmpty) Seq(a.name -> lits) else Seq.empty
+      case _ => Seq.empty
+    }
+
+  /** Second-stage pruning for point predicates: consult the parquet BLOOM
+    * FILTERS of `files` (written via `parquet.bloom.filter.enabled#col`)
+    * for equality conjuncts. This is the case zone maps cannot help — a
+    * high-cardinality key spread uniformly across files has every file's
+    * [min,max] straddling every probe — and it reads only each file's
+    * footer + bloom bytes (a few KB–1 MB), never row groups. A file is
+    * pruned only when EVERY row group carries a bloom for the column and
+    * NO candidate value can be present. Missing blooms, unsupported
+    * physical types, and non-equality conjuncts keep the file.
+    */
+  def bloomPrune(conf: Configuration, files: Seq[String],
+      pred: Expression): (Seq[String], Seq[String]) = {
+    val constraints = equalityConstraints(pred)
+    if (constraints.isEmpty || files.isEmpty) return (files, Seq.empty)
+    val pool = Executors.newFixedThreadPool(math.min(files.size, 16))
+    try {
+      val futs = files.map { f =>
+        pool.submit(new Callable[(String, Boolean)] {
+          def call() = (f, bloomProvesEmpty(conf, f, constraints))
+        })
+      }
+      val res = futs.map(_.get())
+      (res.collect { case (f, false) => f }, res.collect { case (f, true) => f })
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(10, TimeUnit.SECONDS)
+    }
+  }
+
+  /** True when some constraint's every candidate value is absent from
+    * every row group's bloom for that column in `file`.
+    */
+  private def bloomProvesEmpty(conf: Configuration, file: String,
+      constraints: Seq[(String, Seq[(Any, String)])]): Boolean = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      constraints.exists { case (colName, candidates) =>
+        // per-block: every candidate must be provably absent, and every
+        // block must carry a bloom — one bloomless row group keeps the file
+        blocks.nonEmpty && blocks.forall { b =>
+          val bloomReader = reader.getBloomFilterDataReader(b)
+          b.getColumns.asScala.find(_.getPath.toDotString == colName).exists { cmeta =>
+            val bloom = bloomReader.readBloomFilter(cmeta)
+            bloom != null && candidates.forall { case (v, t) =>
+              bloomHash(bloom, cmeta, v, t) match {
+                case Some(h) => !bloom.findHash(h)
+                case None => false // untestable value → might be present
+              }
+            }
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Hash a zone-domain value with the file column's physical
+    * representation; None when the domains can't meet (then the value
+    * might still exist under some conversion we don't model — keep).
+    * Exception: a micros probe that doesn't divide into a MILLIS column
+    * is representable-nowhere, but that file-level proof belongs to
+    * min/max, not the bloom — we stay conservative here.
+    */
+  private def bloomHash(bloom: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      cmeta: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      v: Any, t: String): Option[Long] = {
+    val pt = cmeta.getPrimitiveType
+    (pt.getPrimitiveTypeName, v, t) match {
+      case (INT64, l: Long, "long") => Some(bloom.hash(l))
+      case (INT64, l: Long, "micros") =>
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some(bloom.hash(l))
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS &&
+                l % 1000L == 0 =>
+            Some(bloom.hash(l / 1000L))
+          case _ => None
+        }
+      case (INT32, l: Long, "long" | "days") if l >= Int.MinValue && l <= Int.MaxValue =>
+        Some(bloom.hash(l.toInt))
+      case (DOUBLE, d: Double, "double") => Some(bloom.hash(d))
+      case (BINARY, b: Array[Byte], "bytes") =>
+        Some(bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
+      case _ => None
+    }
+  }
+
   /** Prune `files` under a resolved `pred`, keeping any file without a
     * disproving zone. Returns (kept, pruned) — pruned only ever contains
     * files whose stats PROVE emptiness under the predicate.
@@ -477,12 +589,18 @@ object ZoneMaps {
       files: Seq[String]): (Seq[String], Seq[String]) =
     files.partition(f => !zones.get(f).exists(z => provesEmpty(pred, z)))
 
-  /** Resolve `filter` against the lake schema, then prune. */
+  /** Resolve `filter` against the lake schema, then prune: min/max zones
+    * always, parquet blooms for equality conjuncts when `blooms` is set
+    * (a footer+bloom read per surviving file — still no row-group I/O).
+    */
   def pruneColumn(spark: SparkSession, basePath: String, filter: Column,
-      zones: FileZones, files: Seq[String]): Seq[String] =
+      zones: FileZones, files: Seq[String], blooms: Boolean = false): Seq[String] =
     resolvedPredicate(spark, basePath, files.head, filter) match {
       case None => files
-      case Some(pred) => prune(pred, zones, files)._1
+      case Some(pred) =>
+        val (kept, _) = prune(pred, zones, files)
+        if (!blooms) kept
+        else bloomPrune(spark.sessionState.newHadoopConf(), kept, pred)._1
     }
 
   /** Standalone zone-map scan of a plain parquet directory (no manifest):
@@ -491,8 +609,9 @@ object ZoneMaps {
     * [[ManifestReader.readWhere]] which reads persisted sidecars instead
     * of touching footers per query.
     */
-  def scanWhere(spark: SparkSession, dir: String, filter: Column): DataFrame = {
-    val (kept, files, base) = scanPruned(spark, dir, filter)
+  def scanWhere(spark: SparkSession, dir: String, filter: Column,
+      blooms: Boolean = false): DataFrame = {
+    val (kept, files, base) = scanPruned(spark, dir, filter, blooms)
     // an all-pruned scan still reads one file: .where() filters it to zero
     // rows and the schema (incl. partition columns) stays authentic
     val read = if (kept.nonEmpty) kept else files.take(1)
@@ -502,13 +621,14 @@ object ZoneMaps {
   /** File-count effect of pruning `dir` under `filter` — (kept, total),
     * for effectiveness assertions and ops visibility.
     */
-  def pruneStats(spark: SparkSession, dir: String, filter: Column): (Int, Int) = {
-    val (kept, files, _) = scanPruned(spark, dir, filter)
+  def pruneStats(spark: SparkSession, dir: String, filter: Column,
+      blooms: Boolean = false): (Int, Int) = {
+    val (kept, files, _) = scanPruned(spark, dir, filter, blooms)
     (kept.size, files.size)
   }
 
   private def scanPruned(spark: SparkSession, dir: String,
-      filter: Column): (Seq[String], Seq[String], String) = {
+      filter: Column, blooms: Boolean): (Seq[String], Seq[String], String) = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new HPath(dir)
     val fs = root.getFileSystem(hconf)
@@ -517,6 +637,6 @@ object ZoneMaps {
     require(files.nonEmpty, s"no parquet files under $dir")
     val base = fs.makeQualified(root).toString
     val zones = fromFooters(hconf, files)
-    (pruneColumn(spark, base, filter, zones, files), files, base)
+    (pruneColumn(spark, base, filter, zones, files, blooms), files, base)
   }
 }

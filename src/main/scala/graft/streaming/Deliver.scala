@@ -54,6 +54,13 @@ object Deliver {
       // ManifestReader.readWhere then skips whole files a predicate can't
       // match. Keep the list small (stats size is files × cols); Nil = off.
       zoneMapCols: Seq[String] = Nil,
+      // parquet bloom filters for these columns (written into each data
+      // file): the point-lookup complement to zone maps — an equality
+      // probe on a high-cardinality key spread across files has every
+      // file's [min,max] straddling it, but readWhere(blooms = true)
+      // disproves membership from the bloom bytes alone. Costs write CPU
+      // + up to parquet.bloom.filter.max.bytes per column chunk.
+      bloomFilterCols: Seq[String] = Nil,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -226,9 +233,12 @@ object Deliver {
     // discards a crashed attempt's stage on replay
     val stage = fs.makeQualified(new HPath(lake, f"_staging/batch-$batchId%010d"))
     withInt64Timestamps(ok.sparkSession) {
-      ok.write.mode("overwrite")
-        .option("compression", "snappy")
-        .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      cfg.bloomFilterCols.foldLeft(
+        ok.write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("maxRecordsPerFile", cfg.maxRecordsPerFile)) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
         .partitionBy(partCols: _*)
         .parquet(stage.toString)
     }
@@ -405,9 +415,12 @@ object Deliver {
           col("year"), col("month"), col("day"), col("hour"))
         val okC = if (cfg.compact) ok.coalesce(1) else ok
         withInt64Timestamps(okC.sparkSession) {
-          okC.write.mode("overwrite")
-            .option("compression", "snappy")
-            .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+          cfg.bloomFilterCols.foldLeft(
+            okC.write.mode("overwrite")
+              .option("compression", "snappy")
+              .option("maxRecordsPerFile", cfg.maxRecordsPerFile)) { (w, c) =>
+            w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          }
             .partitionBy("year", "month", "day", "hour")
             .parquet(new HPath(stage, s"table=$t").toString)
         }

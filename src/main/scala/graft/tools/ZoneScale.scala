@@ -60,6 +60,32 @@ object ZoneScale {
     println(f"ZONESCALE sf=$sfDir rows=${li.count()} files=$total kept=$kept " +
       f"build=$buildSec%.2fs plain=$wPlain%.3fs clusteredFull=$wFull%.3fs " +
       f"zonePruned=$wZone%.3fs matchRows=$nZone")
+
+    // bloom tier: find ONE record by key out of the whole table — the
+    // reference's Athena point query. Keys are spread uniformly (worst
+    // case for min/max), blooms isolate the file(s) holding the probe.
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "value")
+    val bdir = java.nio.file.Files.createTempDirectory("graft-bloomscale-").toString
+    val bFiles = math.max(nFiles * 4, 256)
+    val tb = System.nanoTime()
+    graft.streaming.Deliver.withInt64Timestamps(spark) {
+      ev.repartition(bFiles, col("user_id")) // key-hash spread, NOT sorted
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .parquet(bdir)
+    }
+    val bloomBuild = (System.nanoTime() - tb) / 1e9
+    val probeId = ev.orderBy(col("event_id")).select("event_id")
+      .limit(1).head.getLong(0) + ev.count() / 2 // a mid-table key
+    val bPred = col("event_id") === probeId
+    val (wScan, nScan) = time(spark.read.parquet(bdir).where(bPred).count())
+    val (wBloom, nBloom) = time(ZoneMaps.scanWhere(spark, bdir, bPred, blooms = true).count())
+    val (bKept, bTotal) = ZoneMaps.pruneStats(spark, bdir, bPred, blooms = true)
+    require(nScan == nBloom, s"bloom divergence: $nScan vs $nBloom")
+    println(f"BLOOMSCALE sf=$sfDir rows=${ev.count()} files=$bTotal kept=$bKept " +
+      f"build=$bloomBuild%.2fs fullScan=$wScan%.3fs bloomPruned=$wBloom%.3fs " +
+      f"matchRows=$nBloom")
     spark.stop()
   }
 }

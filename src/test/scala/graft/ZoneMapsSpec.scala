@@ -142,6 +142,94 @@ class ZoneMapsSpec extends SparkSuite {
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "dead"))
   }
 
+  test("bloom pruning kills point probes min/max cannot (and never changes results)") {
+    val dir = tmpDir("graft-zm-bloom-")
+    // 8 files, ids SHUFFLED across files: every file's [min,max] straddles
+    // every probe — the exact case where zone maps prune nothing
+    val rnd = new scala.util.Random(13)
+    val ids = rnd.shuffle((0L until 800L).toVector)
+    ids.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      Deliver.withInt64Timestamps(spark) {
+        chunk.map(id => (id, s"u$id", id * 2.5)).toDF("id", "u", "v").coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#id", "true")
+          .option("parquet.bloom.filter.enabled#u", "true")
+          .parquet(s"$dir/f$i")
+      }
+    }
+    val probe = ids(123)
+    // min/max keeps all 8; blooms keep only the file(s) holding the id
+    assert(ZoneMaps.pruneStats(spark, dir, col("id") === probe)._1 == 8)
+    val (keptB, totalB) = ZoneMaps.pruneStats(spark, dir, col("id") === probe, blooms = true)
+    assert(totalB == 8 && keptB <= 2, s"bloom should isolate the probe, kept $keptB/8")
+    assert(keptB >= 1, "bloom must never prune the file that holds the value")
+    // parity with and without blooms, hit and miss, long and string
+    def parity(pred: org.apache.spark.sql.Column): Unit = {
+      val a = ZoneMaps.scanWhere(spark, dir, pred, blooms = true)
+        .select("id").as[Long].collect().sorted.toSeq
+      val b = spark.read.parquet((0 until 8).map(i => s"$dir/f$i"): _*)
+        .where(pred).select("id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"bloom scan diverged under $pred")
+    }
+    parity(col("id") === probe)
+    parity(col("id") === 123456L) // absent everywhere → all pruned
+    parity(col("u") === s"u$probe")
+    parity(col("id").isin(ids(5), ids(700), 999999L))
+    // a range conjunct alongside the equality still works
+    parity(col("id") === probe && col("v") >= 0.0)
+    // absent value prunes ALL files via blooms
+    assert(ZoneMaps.pruneStats(spark, dir, col("id") === 123456L, blooms = true)._1 == 0)
+    // a file written WITHOUT blooms is never pruned by the bloom stage
+    // (its id range straddles the probe so the zone stage keeps it too)
+    Deliver.withInt64Timestamps(spark) {
+      Seq((0L, "u0", 1.0), (799L, "u799", 1.0)).toDF("id", "u", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/f9")
+    }
+    val (k9, t9) = ZoneMaps.pruneStats(spark, dir, col("id") === probe, blooms = true)
+    assert(t9 == 9 && k9 >= 2, "bloomless file must survive the bloom stage")
+  }
+
+  test("asTable prunes inside Spark's own scan planning (FileIndex path)") {
+    val dir = tmpDir("graft-zm-astable-")
+    (0 until 8).foreach { i =>
+      writeOneFile(Seq.tabulate(100)(j => (i * 100L + j, (j % 10).toDouble))
+        .toDF("k", "v"), s"$dir/f$i")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val files = graft.streaming.FsOps.walkParquet(fs,
+      new org.apache.hadoop.fs.Path(dir), skipHidden = true)
+      .map(p => fs.makeQualified(p).toString).sorted
+    // hand-written manifest + sidecar (the deliver path is covered below)
+    graft.streaming.FsOps.atomicWrite(hconf, fs,
+      new org.apache.hadoop.fs.Path(s"$dir/_m/manifest-0000000001.json"),
+      graft.streaming.ManifestChain.render(files,
+        Some(fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString))
+        .getBytes("UTF-8"))
+    ZoneMaps.write(hconf, s"$dir/_m", 1L,
+      ZoneMaps.fromFooters(hconf, files, Seq("k")), 10)
+
+    val t = ManifestReader.asTable(spark, s"$dir/_m")
+    assert(t.count() == 800)
+    val q = t.where(col("k").between(190L, 310L))
+    assert(q.select(sum("k")).head.getLong(0) ==
+      (190L to 310L).sum)
+    // the SCAN itself lists fewer files — pruning happened inside planning
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val listed = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .map(_.files.size).sum
+    assert(listed == 3, s"k in [190,310] spans exactly files f1,f2,f3; got $listed")
+    // SQL over a temp view rides the same index
+    t.createOrReplaceTempView("zm_astable")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM zm_astable WHERE k = 250")
+      .head.getLong(0) == 1L)
+    // an unfiltered scan is untouched
+    assert(t.count() == 800)
+  }
+
   test("deliver writes the sidecar; readWhere prunes by ts and matches read().where()") {
     val base = tmpDir("graft-zm-deliver-")
     val payloadSchema = StructType(Seq(
