@@ -113,7 +113,7 @@ object PqIndex {
     * bigger-but-bounded rerank, never an all-pairs one.
     * Single sort: the boundary min reuses the rank window's partitioning.
     */
-  private def bandCut(adc: DataFrame, k: Int, refine: Int, band: Double,
+  private[operators] def bandCut(adc: DataFrame, k: Int, refine: Int, band: Double,
       bandCap: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("nid"))
@@ -158,7 +158,7 @@ object PqIndex {
     * the candidate sliver only, reproduce the engine-stable rounded-rank
     * top-k every ANN path shares.
     */
-  private def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+  private[operators] def rerank(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
       norm2(col("embedding")).as("qn")))

@@ -387,6 +387,23 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
 
+    // ---- SQ8 scalar-quantized ANN (r11): per-dimension byte codes —
+    // the scan-tier dial between full precision (8 B/dim) and PQ
+    // (m bytes/vector). 8× fewer scan bytes with per-dim resolution
+    // intact, so the contract is a TIGHTER recall floor than PQ's
+    // (0.9 vs 0.5) against the same brute-force truth.
+    Q("q120_sq8_ann", (s, d) => {
+      import graft.operators.SqAnn
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val approx = SqAnn.sq8Ann(queries, corpus, k = 5)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.9)
+    }, Some(recallOracle)),
+
     // ---- PERSISTED IVF-PQ index (q100's layout + q105's compression):
     // codes and vectors land partitioned by coarse cell; a serving probe
     // reads nprobe cells of CODES (partition-pruned), ADC-ranks, and

@@ -56,8 +56,27 @@ object PqRecall {
 
     val fixedCut = recall(bandCap = 1)
     val bandAdaptive = recall(bandCap = 32)
+
+    // SQ8 tier (r11): same truth, same contract — near-exact recall is the
+    // claim (per-dim resolution intact at 1 B/dim), so report wall too
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (sq8Hits, sq8Wall) = timed {
+      graft.operators.SqAnn.sq8Ann(queries, corpus, k)
+        .select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"), "left_semi").count()
+    }
+    val (pqHits, pqWall) = timed {
+      PqIndex.pqAnn(queries, corpus, k, dim = dim, m = 8, ksub = 64, refine = 8)
+        .select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"), "left_semi").count()
+    }
     println(s"""{"sf":"$sfDir","n_corpus":$nCorpus,"n_queries":$nQ,"k":$k,""" +
-      s""""recall_fixed_cut":$fixedCut,"recall_band_adaptive":$bandAdaptive}""")
+      s""""recall_fixed_cut":$fixedCut,"recall_band_adaptive":$bandAdaptive,""" +
+      f""""recall_sq8":${sq8Hits.toDouble / (nQ.toLong * k)}%.4f,""" +
+      f""""wall_sq8":$sq8Wall%.2f,"wall_pq":$pqWall%.2f}""")
     spark.stop()
   }
 }
