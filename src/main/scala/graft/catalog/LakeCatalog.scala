@@ -102,4 +102,18 @@ object LakeCatalog {
     spark.streams.addListener(l)
     l
   }
+
+  /** Register a manifest lake as a SQL view whose scans prune through the
+    * `_zonemaps` sidecar (and parquet blooms when `blooms`): the
+    * zone-map-aware twin of [[registerLake]] for lakes with a manifest —
+    * SQL gets exactly-once manifest visibility AND file skipping, with
+    * Catalyst deriving the filters per query (see
+    * [[graft.sources.ManifestReader.asTable]]). Re-register after new
+    * deliveries to pick up the latest chain (views snapshot the file set,
+    * matching the manifest reader's read-committed semantics).
+    */
+  def registerPrunedView(spark: SparkSession, view: String,
+      manifestDir: String, blooms: Boolean = false): Unit =
+    graft.sources.ManifestReader.asTable(spark, manifestDir, blooms)
+      .createOrReplaceTempView(view)
 }

@@ -79,6 +79,14 @@ class ZOrderSpec extends SparkSuite {
     assert(kBoth <= math.min(kPart, kSupp))
   }
 
+  test("the z-value projection stays inside WholeStageCodegen (no fallback)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val df = li.select(ZOrder.zValue(li, Seq("l_partkey", "l_suppkey")).as("z"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("interleave_bits"),
+      s"expected the interleave/bucket projection inside a codegen stage:\n$plan")
+  }
+
   test("compact with zorderBy rewrites the lake and repairs the zone-map sidecar") {
     import org.apache.hadoop.fs.{Path => HPath}
     import graft.streaming.{Compact, FsOps, ManifestChain}

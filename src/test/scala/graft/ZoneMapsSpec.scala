@@ -226,6 +226,10 @@ class ZoneMapsSpec extends SparkSuite {
     t.createOrReplaceTempView("zm_astable")
     assert(spark.sql("SELECT COUNT(*) AS n FROM zm_astable WHERE k = 250")
       .head.getLong(0) == 1L)
+    // ... and the catalog registration path is the same machinery
+    graft.catalog.LakeCatalog.registerPrunedView(spark, "zm_view", s"$dir/_m")
+    assert(spark.sql("SELECT SUM(k) AS s FROM zm_view WHERE k BETWEEN 190 AND 310")
+      .head.getLong(0) == (190L to 310L).sum)
     // an unfiltered scan is untouched
     assert(t.count() == 800)
   }
