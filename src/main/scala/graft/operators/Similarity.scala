@@ -157,7 +157,7 @@ object Similarity {
     * region of embedding space; the hash draw stays representative at any
     * scale.
     */
-  private def fitSample(vec: DataFrame, maxFitRows: Int): DataFrame =
+  private[operators] def fitSample(vec: DataFrame, maxFitRows: Int): DataFrame =
     vec.orderBy(xxhash64(col("id")), col("id")).limit(maxFitRows)
 
   /** Per-query top-k on a (qid, nid, sim) table — rounded-sim ranking with

@@ -1,11 +1,15 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PqFunctions.l2_normalize
 import graft.functions.SqFunctions
 import graft.functions.SqFunctions.Sq8Grid
+import graft.functions.VectorFunctions.{l2Distance, norm2, toDouble}
 
 /** SQ8 scalar-quantized ANN: the scan-tier memory dial between full
   * precision (8 bytes/dim) and PQ (m bytes/vector) — per-dimension byte
@@ -71,5 +75,103 @@ object SqAnn {
         SqFunctions.sq8Adc(col("code"), col("qn8"), grid).as("adc"))
     PqIndex.rerank(PqIndex.bandCut(adc, k, refine, grid.band, bandCap),
       queries, corpus, k)
+  }
+
+  /** Build and persist an IVF-SQ8 index — the [[PqIndex.buildPqIvfIndex]]
+    * layout with byte codes instead of PQ codes:
+    *
+    *  - `centroids/` — coarse cell centroids (tiny);
+    *  - `sqmeta/` — one row: (offsets, scales, band, dim, nlist), the
+    *    geometry/commit point, written LAST (delete-first rebuild
+    *    discipline — a crash mid-rebuild leaves a loud missing-path, never
+    *    old geometry certifying new codes);
+    *  - `codes/` — (nid, code) partitioned by cell: the 1-byte/dim scan
+    *    tier (8× fewer bytes than the double-array corpus);
+    *  - `vectors/` — (nid, ne, nn) partitioned by cell: the exact-rerank
+    *    tier, read only for ADC survivors.
+    *
+    * Delta dirs (`codes_deltas/`, `vectors_deltas/`) are read by the serve
+    * path through the same [[Similarity.readWithDeltas]] protocol as
+    * IVF-PQ, so incremental ingest composes identically.
+    */
+  def buildSqIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+      seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col("id"), col("embedding"))
+    val grid = fitGrid(c0, "embedding", maxFitRows)
+    val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
+    val coarse = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features")
+      .fit(Similarity.fitSample(cVec, maxFitRows))
+    Similarity.deleteIndexData(spark, indexDir,
+      Seq("sqmeta", "codes", "vectors", "centroids"))
+    val assigned = coarse.transform(cVec)
+      .withColumn("code",
+        SqFunctions.sq8Encode(l2_normalize(col("embedding")), grid))
+      .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
+        norm2(toDouble(col("embedding"))).as("nn"),
+        col("code"), col(coarse.getPredictionCol).as("cell"))
+      .cache()
+    assigned.select(col("nid"), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    assigned.select(col("nid"), col("ne"), col("nn"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+    assigned.unpersist()
+    val centroids = coarse.clusterCenters.zipWithIndex.map { case (ctr, i) =>
+      (i, ctr.toArray.toSeq)
+    }.toSeq
+    spark.createDataFrame(centroids).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    spark.createDataFrame(Seq(
+        (grid.offsets.toSeq, grid.scales.toSeq, grid.band, grid.dim, nlist)))
+      .toDF("offsets", "scales", "band", "dim", "nlist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sqmeta")
+  }
+
+  /** Serve a probe batch from a persisted IVF-SQ8 index: nprobe nearest
+    * cells per query (partition-pruned CODES read), byte-code ADC rank,
+    * band-adaptive cut, exact rerank from the vectors tier — the
+    * [[PqIndex.pqIvfQuery]] plan with the SQ8 scan tier. Wrong-dim probes
+    * are refused against the persisted geometry.
+    */
+  def sqIvfQuery(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4, refine: Int = 4, bandCap: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/sqmeta").head()
+    val grid = new Sq8Grid(
+      meta.getAs[scala.collection.Seq[Double]]("offsets").toArray,
+      meta.getAs[scala.collection.Seq[Double]]("scales").toArray)
+    Similarity.requireProbeDim(queries, meta.getAs[Int]("dim"), indexDir)
+    val band = meta.getAs[Double]("band")
+    val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val qe0 = toDouble(col("embedding"))
+    val qe = queries.select(col("qid"), qe0.as("qe"), norm2(qe0).as("qn"),
+      l2_normalize(col("embedding")).as("qn8"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+    val probePlan = qe.crossJoin(centDf)
+      .withColumn("cdist", l2Distance(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .where(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("qn8"), col("cell"))
+    val probeRows = probePlan.collect().toSeq
+    val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows), probePlan.schema)
+    val codes = Similarity.readWithDeltas(spark, s"$indexDir/codes",
+      s"$indexDir/codes_deltas", cells, Seq("nid", "code", "cell"))
+    val adc = codes.join(
+        broadcast(probes.select(col("qid"), col("qn8"), col("cell"))), Seq("cell"))
+      .select(col("qid"), col("nid"),
+        SqFunctions.sq8Adc(col("code"), col("qn8"), grid).as("adc"))
+    val cand = PqIndex.bandCut(adc, k, refine, band, bandCap)
+    val vectors = Similarity.readWithDeltas(spark, s"$indexDir/vectors",
+      s"$indexDir/vectors_deltas", cells, Seq("nid", "ne", "nn", "cell"))
+      .join(broadcast(cand), Seq("nid"))
+    val q = broadcast(probes.select(col("qid"), col("qe"), col("qn")).distinct())
+    val sims = vectors.join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (graft.functions.VectorFunctions.dot(col("qe"), col("ne")) /
+          (col("qn") * col("nn"))).as("sim"))
+    Similarity.topK(sims, k)
   }
 }

@@ -404,6 +404,26 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.9)
     }, Some(recallOracle)),
 
+    // ---- PERSISTED IVF-SQ8 index (r11): q106's layout with the SQ8 scan
+    // tier — probes read nprobe cells of 1-byte/dim CODES
+    // (partition-pruned), ADC-rank, rerank survivors exactly. Geometry
+    // (grid + dim + band) persists in sqmeta/; wrong-dim probes refused.
+    // nprobe-recall floor matches the IVF tiers' (cell miss, not
+    // quantization, is the recall risk — SQ8's scan tier is near-exact).
+    Q("q121_sq_ivf_index", (s, d) => {
+      import graft.operators.SqAnn
+      val base = Registry.tmpDir("graft-q121-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      SqAnn.buildSqIvfIndex(corpus, s"$base/index", nlist = 8)
+      val approx = SqAnn.sqIvfQuery(queries, s"$base/index", k = 5, nprobe = 3)
+      val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+    }, Some(recallOracle)),
+
     // ---- PERSISTED IVF-PQ index (q100's layout + q105's compression):
     // codes and vectors land partitioned by coarse cell; a serving probe
     // reads nprobe cells of CODES (partition-pruned), ADC-ranks, and

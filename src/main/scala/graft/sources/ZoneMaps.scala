@@ -110,6 +110,11 @@ object ZoneMaps {
     * row group's contribution would prune rows that exist).
     */
   private def chunkZone(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[ColZone] =
+    try chunkZoneUnsafe(c)
+    catch { case _: ArithmeticException => None } // millis→micros overflow
+
+  private def chunkZoneUnsafe(
       c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[ColZone] = {
     val st = c.getStatistics
     if (st == null) return None
@@ -173,6 +178,10 @@ object ZoneMaps {
 
   /** Millisecond-unit timestamps normalize to micros so one domain serves
     * both writer precisions.
+    */
+  /** Throws ArithmeticException on a millis value that overflows micros —
+    * [[chunkZone]] catches it and drops the column's stats (a bound we
+    * can't represent must never become a wrong bound).
     */
   private def normTs(
       c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData, v: Long): Long =

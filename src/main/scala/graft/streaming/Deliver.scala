@@ -482,8 +482,19 @@ object Deliver {
   private def writeZoneMaps(hconf: org.apache.hadoop.conf.Configuration,
       mdir: String, batchId: Long, added: Seq[String], cfg: Config): Unit =
     if (cfg.zoneMapCols.nonEmpty) {
-      val zones = graft.sources.ZoneMaps.fromFooters(hconf, added, cfg.zoneMapCols)
-      graft.sources.ZoneMaps.write(hconf, mdir, batchId, zones, cfg.manifestCompactEvery)
+      // the sidecar is ADVISORY: a harvest failure (pathological
+      // timestamp overflowing micros normalization, corrupt footer) must
+      // degrade to no-pruning-for-this-batch, never fail the data flush
+      try {
+        val zones = graft.sources.ZoneMaps.fromFooters(hconf, added, cfg.zoneMapCols)
+        graft.sources.ZoneMaps.write(hconf, mdir, batchId, zones, cfg.manifestCompactEvery)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] WARNING: zone-map harvest failed for " +
+            s"batch $batchId (${e.getMessage}) — files delivered fine, " +
+            "readers just won't prune them; ManifestReader.refreshZoneMaps " +
+            "rebuilds the sidecar")
+      }
     }
 
   /** Write manifest-<id>.json (incremental: exactly `added`) or, when id is

@@ -56,6 +56,30 @@ class SqAnnSpec extends SparkSuite {
     assert(approx.size == exact.size)
   }
 
+  test("persisted IVF-SQ8: full-probe serve == brute force; wrong-dim refused") {
+    val base = tmpDir("graft-sqivf-")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding"))
+    SqAnn.buildSqIvfIndex(corpus, s"$base/index", nlist = 8)
+    // full probe (nprobe = nlist) removes the cell-miss risk: the result
+    // must reproduce brute force bit-for-bit (rerank is exact)
+    val full = SqAnn.sqIvfQuery(queries, s"$base/index", k = 5, nprobe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe IVF-SQ8 must equal brute force")
+    // wrong-dim probe refused against persisted geometry
+    val bad = queries.withColumn("embedding",
+      slice(col("embedding"), 1, 8))
+    val e = intercept[IllegalArgumentException] {
+      SqAnn.sqIvfQuery(bad, s"$base/index", k = 5)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("grid refuses ragged input; constant dims encode stably") {
     val grid = new Sq8Grid(Array(0.0, 0.0), Array(1e-12, 1.0 / 255))
     val df = Seq((1L, Seq(0.0, 0.5)), (2L, Seq(0.0, 1.0))).toDF("id", "e")
