@@ -222,6 +222,10 @@ class ZoneMapsSpec extends SparkSuite {
       .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
       .map(_.files.size).sum
     assert(listed == 3, s"k in [190,310] spans exactly files f1,f2,f3; got $listed")
+    // the custom FileIndex must not cost the ordinary parquet pushdown:
+    // row-group stats still see the predicate inside the kept files
+    assert(scans.head.metadata("PushedFilters").contains("k"),
+      scans.head.metadata.toString)
     // SQL over a temp view rides the same index
     t.createOrReplaceTempView("zm_astable")
     assert(spark.sql("SELECT COUNT(*) AS n FROM zm_astable WHERE k = 250")
