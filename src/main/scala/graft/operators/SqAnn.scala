@@ -35,8 +35,14 @@ object SqAnn {
     */
   def fitGrid(corpus: DataFrame, embCol: String = "embedding",
       maxFitRows: Int = 100000): Sq8Grid = {
-    val rows = corpus.select(l2_normalize(col(embCol)).as("e"))
-      .where(col("e").isNotNull).limit(maxFitRows).collect()
+    // hash-ordered sample (the fitSample discipline), NOT an ingest-order
+    // .limit prefix: a corpus written sorted/clustered would fit a grid
+    // spanning only the prefix's per-dim range, everything else would
+    // saturate at encode, and the saturated ADC error exceeds the
+    // closed-form band — silently voiding the rerank-cut guarantee
+    val rows = Similarity.fitSample(corpus, maxFitRows)
+      .select(l2_normalize(col(embCol)).as("e"))
+      .where(col("e").isNotNull).collect()
     require(rows.nonEmpty, "SQ8 fit: empty corpus")
     val dim = rows.head.getSeq[Double](0).size
     val lo = Array.fill(dim)(Double.MaxValue)

@@ -48,7 +48,19 @@ object ManifestReader {
     // segments. Peeling from the END of the common prefix keeps an
     // ancestor directory that happens to contain '=' out of partition
     // discovery; unpartitioned manifests peel nothing.
-    val base = recordedBasePath(spark, manifestDir).getOrElse {
+    spark.read.option("basePath", resolveBasePath(spark, manifestDir, files))
+      .parquet(files: _*)
+  }
+
+  /** The scan basePath: the writer-recorded lake root when the chain
+    * agrees on one, else the longest common parent of the listed files
+    * with trailing `name=value` partition segments peeled (the foreign-
+    * manifest heuristic) — ONE implementation for every read path, so a
+    * foreign manifest resolves identically through read/readWhere/asTable.
+    */
+  private def resolveBasePath(spark: SparkSession, manifestDir: String,
+      files: Seq[String]): String =
+    recordedBasePath(spark, manifestDir).getOrElse {
       val common = files
         .map(_.split('/').dropRight(1).toSeq) // parent dir segments
         .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
@@ -56,8 +68,6 @@ object ManifestReader {
           seg.contains('=') && !seg.startsWith("=")).reverse
         .mkString("/")
     }
-    spark.read.option("basePath", base).parquet(files: _*)
-  }
 
   /** Manifest scan with file-level zone-map pruning: resolve the visible
     * file set, drop every file whose persisted `_zonemaps` stats PROVE it
@@ -91,14 +101,7 @@ object ManifestReader {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
     val zones = ZoneMaps.load(spark.sessionState.newHadoopConf(), manifestDir)
-    val base = recordedBasePath(spark, manifestDir).getOrElse {
-      val common = files
-        .map(_.split('/').dropRight(1).toSeq)
-        .reduce((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
-      common.reverse.dropWhile(seg =>
-          seg.contains('=') && !seg.startsWith("=")).reverse
-        .mkString("/")
-    }
+    val base = resolveBasePath(spark, manifestDir, files)
     val kept = ZoneMaps.pruneColumn(spark, base, filter, zones, files, blooms)
     (kept, files, base)
   }
@@ -117,16 +120,17 @@ object ManifestReader {
     require(files.nonEmpty, s"no manifest in $manifestDir")
     val hconf = spark.sessionState.newHadoopConf()
     val zones = ZoneMaps.load(hconf, manifestDir)
-    val base = recordedBasePath(spark, manifestDir).getOrElse(
-      new HPath(manifestDir).getParent.toString)
+    val base = resolveBasePath(spark, manifestDir, files)
+    // FileIndex urls and manifest urls may differ in scheme spelling
+    // (file:/ vs file:///) — normalize through Path like the compactor;
+    // hoisted: the map is constant for the table's lifetime, listFiles
+    // runs per query scan
+    def norm(u: String) = new HPath(u).toString
+    val zByNorm = zones.map { case (k, v) => norm(k) -> v }
     val prune = (dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         urls: Seq[String]) => {
       val pred = dataFilters.reduce(
         org.apache.spark.sql.catalyst.expressions.And)
-      // FileIndex urls and manifest urls may differ in scheme spelling
-      // (file:/ vs file:///) — normalize through Path like the compactor
-      def norm(u: String) = new HPath(u).toString
-      val zByNorm = zones.map { case (k, v) => norm(k) -> v }
       val zoneKept = urls.filter(u =>
         !zByNorm.get(norm(u)).exists(z => ZoneMaps.provesEmpty(pred, z)))
       val kept =

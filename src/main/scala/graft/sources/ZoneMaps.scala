@@ -491,12 +491,20 @@ object ZoneMaps {
       case EqualTo(Attr(a), Lit(v, t)) => Seq(a -> Seq((v, t)))
       case EqualTo(Lit(v, t), Attr(a)) => Seq(a -> Seq((v, t)))
       case In(Attr(a), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val lits = vs.collect { case Lit(v, t) => (v, t) }
-        // a NULL in the list contributes no match anyway; all-null list → skip
-        if (lits.nonEmpty) Seq(a -> lits) else Seq.empty
+        // STRICT: every value must convert, or the constraint is abandoned
+        // — silently narrowing the candidate list would prune files that
+        // match the dropped value (Spark's NaN = NaN is TRUE, so a NaN we
+        // can't hash is a real candidate). The one exemption is a NULL
+        // literal: `x IN (1, NULL)` matches exactly what `x IN (1)` does.
+        val nonNull = vs.filterNot { case Literal(null, _) => true; case _ => false }
+        val lits = nonNull.collect { case Lit(v, t) => (v, t) }
+        if (lits.nonEmpty && lits.size == nonNull.size) Seq(a -> lits)
+        else Seq.empty
       case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
-        val lits = vs.toSeq.flatMap(v => internal(v, a.dataType))
-        if (lits.nonEmpty) Seq(a.name -> lits) else Seq.empty
+        val nonNull = vs.toSeq.filter(_ != null)
+        val lits = nonNull.flatMap(v => internal(v, a.dataType))
+        if (lits.nonEmpty && lits.size == nonNull.size) Seq(a.name -> lits)
+        else Seq.empty
       case _ => Seq.empty
     }
 
@@ -533,6 +541,14 @@ object ZoneMaps {
     * every row group's bloom for that column in `file`.
     */
   private def bloomProvesEmpty(conf: Configuration, file: String,
+      constraints: Seq[(String, Seq[(Any, String)])]): Boolean =
+    // conservative like every pruning stage: an unreadable footer/bloom
+    // (transient store error, corrupt foreign file) keeps the file — one
+    // bad file must degrade that file's pruning, not abort the whole scan
+    try bloomProvesEmptyUnsafe(conf, file, constraints)
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  private def bloomProvesEmptyUnsafe(conf: Configuration, file: String,
       constraints: Seq[(String, Seq[(Any, String)])]): Boolean = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file), conf))

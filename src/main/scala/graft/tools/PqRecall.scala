@@ -46,7 +46,12 @@ object PqRecall {
     val exact = Similarity.bruteForceKnn(queries, corpus, k)
       .select(col("qid"), col("nid")).localCheckpoint()
 
-    def recall(bandCap: Int): Double = {
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def recall(bandCap: Int): (Double, Double) = timed {
       val approx = PqIndex.pqAnn(queries, corpus, k, dim = dim,
         m = 8, ksub = 64, refine = 8, bandCap = bandCap)
         .select(col("qid"), col("nid"))
@@ -54,22 +59,14 @@ object PqRecall {
       hits.toDouble / (nQ.toLong * k)
     }
 
-    val fixedCut = recall(bandCap = 1)
-    val bandAdaptive = recall(bandCap = 32)
+    val (fixedCut, _) = recall(bandCap = 1)
+    // wall rides the recall run — no second full ANN execution per gate
+    val (bandAdaptive, pqWall) = recall(bandCap = 32)
 
     // SQ8 tier (r11): same truth, same contract — near-exact recall is the
     // claim (per-dim resolution intact at 1 B/dim), so report wall too
-    def timed[T](body: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = body
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
     val (sq8Hits, sq8Wall) = timed {
       graft.operators.SqAnn.sq8Ann(queries, corpus, k)
-        .select(col("qid"), col("nid"))
-        .join(exact, Seq("qid", "nid"), "left_semi").count()
-    }
-    val (pqHits, pqWall) = timed {
-      PqIndex.pqAnn(queries, corpus, k, dim = dim, m = 8, ksub = 64, refine = 8)
         .select(col("qid"), col("nid"))
         .join(exact, Seq("qid", "nid"), "left_semi").count()
     }

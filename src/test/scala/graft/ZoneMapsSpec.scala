@@ -187,6 +187,27 @@ class ZoneMapsSpec extends SparkSuite {
     }
     val (k9, t9) = ZoneMaps.pruneStats(spark, dir, col("id") === probe, blooms = true)
     assert(t9 == 9 && k9 >= 2, "bloomless file must survive the bloom stage")
+
+    // an IN list with a value the bloom can't hash (NaN — which Spark's
+    // NaN = NaN semantics make a REAL match) must abandon the constraint,
+    // not silently narrow it: the NaN rows live in a bloomed file that a
+    // narrowed probe list would prune
+    val dir2 = tmpDir("graft-zm-bloom-nan-")
+    Deliver.withInt64Timestamps(spark) {
+      Seq((1L, 2.5), (2L, 2.5)).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#v", "true").parquet(s"$dir2/f0")
+      Seq((3L, Double.NaN), (4L, Double.NaN)).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#v", "true").parquet(s"$dir2/f1")
+    }
+    val nanPred = col("v").isin(1.5, Double.NaN)
+    val got = ZoneMaps.scanWhere(spark, dir2, nanPred, blooms = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = spark.read.parquet(s"$dir2/f0", s"$dir2/f1")
+      .where(nanPred).select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && want == Seq(3L, 4L),
+      s"NaN IN-list candidates must not be bloom-pruned: got=$got want=$want")
   }
 
   test("asTable prunes inside Spark's own scan planning (FileIndex path)") {
