@@ -1209,6 +1209,44 @@ object StreamQueries {
         | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
         | MIN(event_type) AS first_status, TRUE AS bloom_effective
         |FROM events
-        |WHERE user_id = (SELECT user_id FROM events ORDER BY event_id LIMIT 1)""".stripMargin))
+        |WHERE user_id = (SELECT user_id FROM events ORDER BY event_id LIMIT 1)""".stripMargin)),
+
+    // ---- SQL over a zone-map-pruned VIEW (r11): the FileIndex path —
+    // Catalyst derives the filters, the custom index answers listFiles
+    // with fewer files, plain SQL gets the skipping with no special read
+    // API. `pruned` comes from the SCAN NODE's own listing (what Spark
+    // actually scheduled), pinned in the oracle.
+    Q("q122_pruned_view_sql", (s, d) => {
+      val base = tmp("graft-q122-")
+      ShardedLog.put(ShardedLog.fromEvents(tbl(s, d, "events")), s"$base/log")
+      val q = Deliver.start(ShardedLog.readStream(s, s"$base/log"), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck",
+          manifestDir = Some(s"$base/manifest"),
+          zoneMapCols = Seq("ts", "event_id"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+      LakeCatalog.registerPrunedView(s, "pruned_events_v", s"$base/manifest")
+      val df = s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          | CAST(COUNT(DISTINCT id) AS BIGINT) AS n_keys,
+          | MAX(event_id) AS max_eid
+          |FROM pruned_events_v
+          |WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin)
+      // sparkPlan, not executedPlan: AQE wraps the aggregate and hides the
+      // scan leaves from a tree collect (the PlanSpec multi-join recipe)
+      val scans = df.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      val listed = scans.headOption.map(sc => sc.relation.location
+        .listFiles(sc.partitionFilters, sc.dataFilters).map(_.files.size).sum)
+      val total = graft.sources.ManifestReader
+        .latestManifestFiles(s, s"$base/manifest").size
+      df.withColumn("pruned",
+        lit(listed.exists(l => l > 0 && l < total)))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        | MAX(event_id) AS max_eid, TRUE AS pruned
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin))
   )
 }
