@@ -86,6 +86,49 @@ object ZoneScale {
     println(f"BLOOMSCALE sf=$sfDir rows=${ev.count()} files=$bTotal kept=$bKept " +
       f"build=$bloomBuild%.2fs fullScan=$wScan%.3fs bloomPruned=$wBloom%.3fs " +
       f"matchRows=$nBloom")
+
+    // steady-state tier: a DELIVERED lake with the persisted `_zonemaps`
+    // sidecar — what readWhere costs per query once the stats exist,
+    // vs the manifest full scan (the sidecar read replaces the per-query
+    // footer harvest the standalone scanWhere pays above)
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      val payloadSchema = StructType(Seq(
+        StructField("data", StructType(Seq(
+          StructField("id", LongType), StructField("status", StringType),
+          StructField("value", DoubleType), StructField("ts", TimestampType),
+          StructField("event_id", LongType)))),
+        StructField("metadata", StructType(Seq(StructField("op", StringType))))))
+      val base = java.nio.file.Files.createTempDirectory("graft-zonelake-").toString
+      val evRaw = graft.queries.Registry.tbl(spark, sfDir, "events")
+      graft.sources.ShardedLog.put(
+        graft.sources.ShardedLog.fromEvents(evRaw), s"$base/log")
+      val tDel = System.nanoTime()
+      val qd = graft.streaming.Deliver.start(
+        graft.sources.ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+        graft.streaming.Deliver.Config(s"$base/lake", s"$base/ck",
+          manifestDir = Some(s"$base/manifest"),
+          zoneMapCols = Seq("ts", "event_id"),
+          trigger = Trigger.AvailableNow(),
+          clock = Some(java.sql.Timestamp.valueOf("2025-11-07 14:32:09.13"))))
+      qd.awaitTermination()
+      val deliverSec = (System.nanoTime() - tDel) / 1e9
+      val cutTs = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
+      val tsPred = col("ts") >= lit(cutTs)
+      val (wFullM, nFullM) = time(
+        graft.sources.ManifestReader.read(spark, s"$base/manifest")
+          .where(tsPred).count())
+      val (wZoneM, nZoneM) = time(
+        graft.sources.ManifestReader.readWhere(spark, s"$base/manifest", tsPred)
+          .count())
+      val (mKept, mTotal) = graft.sources.ManifestReader
+        .pruneStats(spark, s"$base/manifest", tsPred)
+      require(nFullM == nZoneM, s"readWhere divergence: $nFullM vs $nZoneM")
+      println(f"LAKESCALE sf=$sfDir files=$mTotal kept=$mKept " +
+        f"deliver=$deliverSec%.1fs manifestFull=$wFullM%.3fs " +
+        f"readWhere=$wZoneM%.3fs matchRows=$nZoneM")
+    }
     spark.stop()
   }
 }
