@@ -78,8 +78,7 @@ object PqIndex {
     (0 until m).foreach { j =>
       val sliced = sample.select(
         array_to_vector(slice(col("en"), j * dsub + 1, dsub)).as("__features"))
-      val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(iters)
-        .setFeaturesCol("__features").fit(sliced)
+      val model = Similarity.fitQuantizer(sliced, k, seed + j, iters)
       model.clusterCenters.zipWithIndex.foreach { case (ctr, c) =>
         val a = ctr.toArray
         System.arraycopy(a, 0, books, (j * k + c) * dsub, dsub)
@@ -205,8 +204,7 @@ object PqIndex {
     val (kEff, books, band) =
       fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
     val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
-    val coarse = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__features")
-      .fit(fitSample(cVec, maxFitRows))
+    val coarse = Similarity.fitQuantizer(fitSample(cVec, maxFitRows), nlist, seed)
     // rebuild discipline (Similarity.buildIvfIndex's delete-first rule):
     // the codebooks row is this index's geometry/commit point and is
     // written LAST — an in-place rebuild with changed dim/m that crashes
@@ -301,7 +299,9 @@ object PqIndex {
     require(deltaId >= 0, s"deltaId must be >= 0 (got $deltaId): negative ids " +
       "are reserved for compacted bases")
     val spark = newRows.sparkSession
-    val meta = spark.read.parquet(s"$indexDir/codebooks").head()
+    val meta = IndexMeta.cached(spark, s"$indexDir/codebooks") {
+      spark.read.parquet(s"$indexDir/codebooks").head()
+    }
     require(meta.schema.fieldNames.contains("dim"),
       s"PQ index at $indexDir predates the dim geometry column: appends " +
         "cannot be dim-validated against it — rebuild with buildPqIvfIndex first")
@@ -312,9 +312,9 @@ object PqIndex {
     val books = meta.getAs[scala.collection.Seq[Double]]("books").toArray
     Similarity.requireProbeDim(
       newRows.select(col("id").as("qid"), col("embedding")), dim, indexDir)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+    // the validated (dense 0..k-1) cached loader — assignCells' positional
+    // centroid literal mis-routes on a centroids table with holes
+    val cents = Similarity.centroidSeq(spark, indexDir)
     val assigned = Similarity.assignCells(
         newRows.select(col("id"), col("embedding")), cents)
       .withColumn("code", withCodeCol(col("embedding"), books, m, ksub))
@@ -382,7 +382,9 @@ object PqIndex {
           "buildPqIvfIndexSharded)"))
     // validate the batch ONCE against shard 0's persisted dim (all shards
     // of one build share it), then scatter with per-shard validation off
-    val meta0 = spark.read.parquet(s"$indexDir/shard=0/codebooks").head()
+    val meta0 = IndexMeta.cached(spark, s"$indexDir/shard=0/codebooks") {
+      spark.read.parquet(s"$indexDir/shard=0/codebooks").head()
+    }
     if (meta0.schema.fieldNames.contains("dim"))
       Similarity.requireProbeDim(queries, meta0.getAs[Int]("dim"), indexDir)
     else
@@ -437,8 +439,10 @@ object PqIndex {
       nprobe: Int, refine: Int, bandCap: Int,
       allowPreBandIndex: Boolean, validateProbe: Boolean): DataFrame = {
     val spark = queries.sparkSession
-    val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
-    val meta = spark.read.parquet(s"$indexDir/codebooks").head()
+    val centDf = broadcast(IndexMeta.cachedTable(spark, s"$indexDir/centroids"))
+    val meta = IndexMeta.cached(spark, s"$indexDir/codebooks") {
+      spark.read.parquet(s"$indexDir/codebooks").head()
+    }
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")
     // refuse a wrong-dim probe up front (the r10 geometry discipline —

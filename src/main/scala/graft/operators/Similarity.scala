@@ -95,6 +95,24 @@ object Similarity {
     math.min(4096L, math.max(8L,
       (corpusRows + targetCellRows - 1) / targetCellRows)).toInt
 
+  /** Coarse-quantizer KMeans fit — the one fit every ANN builder uses.
+    * Quantizer cells only need to CO-LOCATE neighbors, not converge, so
+    * the fit runs few Lloyd iterations from a random-sample init instead
+    * of the 20-iteration k-means|| default: every Lloyd iteration AND
+    * every k-means|| init step is a full distributed pass over the fit
+    * sample, so on a bounded sample the per-pass scheduling cost dominates
+    * the arithmetic — locally that made the fit ~70% of q100's wall
+    * (r11 bench adjudication), and on a cluster it is 20+ stage barriers
+    * where 8 suffice. Recall is gated independently: every serve path
+    * carries a machine-checked recall contract, and the AnnRecall /
+    * PqRecall / CapRecall scale tools re-measure after quantizer changes.
+    * Expects the features pre-vectorized in `__features`.
+    */
+  private[operators] def fitQuantizer(fitSet: DataFrame, k: Int, seed: Long,
+      iters: Int = 8): org.apache.spark.ml.clustering.KMeansModel =
+    new KMeans().setK(k).setSeed(seed).setMaxIter(iters).setInitMode("random")
+      .setFeaturesCol("__features").fit(fitSet)
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets within `probeBits` sign flips (multi-probe LSH —
     * near neighbors that straddle a hyperplane land one bit away, so
@@ -189,8 +207,7 @@ object Similarity {
     // scale-killer at 100 TB, and centroid quality saturates long before
     // 100k rows. The full corpus is still assigned to cells exactly once.
     val fitSet = fitSample(cVec, maxFitRows)
-    val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
-      .fit(fitSet)
+    val model = fitQuantizer(fitSet, nl, seed)
     val assigned = model.transform(cVec)
       .select(col("id").as("nid"), col("embedding").as("ne"),
         norm2(col("embedding")).as("nn"), col(model.getPredictionCol).as("cell"))
@@ -227,8 +244,7 @@ object Similarity {
     // with k > n is a hard internal error, and a sub-nlist corpus — e.g.
     // a small space-routed shard — quantizes losslessly at k = n anyway
     val nl = math.max(1L, math.min(nl0.toLong, fitSet.count())).toInt
-    val model = new KMeans().setK(nl).setSeed(seed).setFeaturesCol("__features")
-      .fit(fitSet)
+    val model = fitQuantizer(fitSet, nl, seed)
     fitSet.unpersist()
     // REBUILD discipline (the EmbeddingIndex.seed delete-first rule):
     // remove any existing corpus/centroids BEFORE the new geometry lands —
@@ -282,12 +298,14 @@ object Similarity {
     */
   def readIvfGeometry(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[(Int, Int, String)] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_geometry")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val r = spark.read.parquet(s"$indexDir/_geometry").head()
-      Some((r.getAs[Int]("dim"), r.getAs[Int]("nlist"), r.getAs[String]("metric")))
+    IndexMeta.cached(spark, s"$indexDir/_geometry") {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/_geometry")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val r = spark.read.parquet(s"$indexDir/_geometry").head()
+        Some((r.getAs[Int]("dim"), r.getAs[Int]("nlist"), r.getAs[String]("metric")))
+      }
     }
   }
 
@@ -378,16 +396,18 @@ object Similarity {
     * cell i), validated complete — a centroids table with holes would make
     * [[assignCells]]'s positional literal mis-route every row after the gap.
     */
-  private def centroidSeq(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidSeq(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Seq[Seq[Double]] = {
-    val rows = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy(col("cell")).collect()
-    rows.zipWithIndex.foreach { case (r, i) =>
-      require(r.getAs[Int]("cell") == i,
-        s"centroids table at $indexDir is not a dense 0..k-1 cell range " +
-          s"(position $i holds cell ${r.getAs[Int]("cell")}) — rebuild the index")
+    IndexMeta.cached(spark, s"$indexDir/centroids") {
+      val rows = spark.read.parquet(s"$indexDir/centroids")
+        .orderBy(col("cell")).collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        require(r.getAs[Int]("cell") == i,
+          s"centroids table at $indexDir is not a dense 0..k-1 cell range " +
+            s"(position $i holds cell ${r.getAs[Int]("cell")}) — rebuild the index")
+      }
+      rows.toSeq.map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
     }
-    rows.toSeq.map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
   }
 
   /** INCREMENTAL ingest into a persisted [[buildIvfIndex]] index: assign
@@ -560,7 +580,7 @@ object Similarity {
           "with buildIvfIndex or pass expectedDim")
         None
     }
-    val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val centDf = broadcast(IndexMeta.cachedTable(spark, s"$indexDir/centroids"))
     val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
       norm2(toDouble(col("embedding"))).as("qn"))
     // the probe plan runs ONCE: its rows (query batch × nprobe — small by
@@ -644,8 +664,11 @@ object Similarity {
       indexDir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/_sharding")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$indexDir/_sharding").head().getAs[Int]("n_shards"))
+    IndexMeta.cached(spark, s"$indexDir/_sharding") {
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(s"$indexDir/_sharding").head()
+        .getAs[Int]("n_shards"))
+    }
   }
 
   /** Build a ROUTED sharded IVF index: a top-level KMeans quantizer with
@@ -671,8 +694,7 @@ object Similarity {
     require(nShards > 1, s"nShards must be > 1 for a routed index, got $nShards")
     val spark = corpus.sparkSession
     val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
-    val router = new KMeans().setK(nShards).setSeed(seed).setFeaturesCol("__features")
-      .fit(fitSample(cVec, maxFitRows))
+    val router = fitQuantizer(fitSample(cVec, maxFitRows), nShards, seed)
     val routerCents = router.clusterCenters.map(_.toArray.toSeq).toSeq
     val routed = assignCells(corpus.select(col("id"), col("embedding")), routerCents)
       .withColumnRenamed("cell", "__shard")
@@ -721,7 +743,7 @@ object Similarity {
     // rank router centroids per query; the (qid, shard) routing table is
     // |Q|·r rows — driver-side by the serving contract, like the per-shard
     // probe plans it gates
-    val routerDf = broadcast(spark.read.parquet(s"$indexDir/_router"))
+    val routerDf = broadcast(IndexMeta.cachedTable(spark, s"$indexDir/_router"))
     val wShard = Window.partitionBy(col("qid")).orderBy(col("rdist"), col("shard"))
     val routing = queries
       .select(col("qid"), toDouble(col("embedding")).as("qe"))
@@ -874,9 +896,7 @@ object Similarity {
     // not converge — few Lloyd iterations give the same recall at a
     // fraction of the fit cost (which is O(sample·k·iters·dim) and k
     // autoscales with the corpus until maxClusters)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(quantizerIters)
-      .setFeaturesCol("__features")
-      .fit(fitSample(vec, maxFitRows))
+    val model = fitQuantizer(fitSample(vec, maxFitRows), k, seed, quantizerIters)
     // distance to OWN centroid via a cell-indexed literal (≤ maxClusters ×
     // dim doubles ≈ 0.5 MB) — no join, so the operator's only join stays
     // the banded pair join below

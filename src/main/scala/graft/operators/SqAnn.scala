@@ -39,23 +39,38 @@ object SqAnn {
     // .limit prefix: a corpus written sorted/clustered would fit a grid
     // spanning only the prefix's per-dim range, everything else would
     // saturate at encode, and the saturated ADC error exceeds the
-    // closed-form band — silently voiding the rerank-cut guarantee
-    val rows = Similarity.fitSample(corpus, maxFitRows)
+    // closed-form band — silently voiding the rerank-cut guarantee.
+    //
+    // The min/max itself is a DISTRIBUTED aggregation (r11 verdict ask #4):
+    // posexplode → hash-agg by dimension index runs with map-side partial
+    // aggregation over ≤ dim groups per task, so the shuffle is dim ×
+    // partitions rows and the driver receives exactly `dim` rows — where
+    // the old form collected maxFitRows FULL vectors (~600 MB at dim 768)
+    // to fold on one core.
+    val sampled = Similarity.fitSample(corpus, maxFitRows)
       .select(l2_normalize(col(embCol)).as("e"))
-      .where(col("e").isNotNull).collect()
-    require(rows.nonEmpty, "SQ8 fit: empty corpus")
-    val dim = rows.head.getSeq[Double](0).size
-    val lo = Array.fill(dim)(Double.MaxValue)
-    val hi = Array.fill(dim)(Double.MinValue)
-    rows.foreach { r =>
-      val e = r.getSeq[Double](0)
-      require(e.size == dim, s"SQ8 fit: ragged embedding (${e.size} vs $dim)")
-      var i = 0
-      while (i < dim) {
-        if (e(i) < lo(i)) lo(i) = e(i)
-        if (e(i) > hi(i)) hi(i) = e(i)
-        i += 1
-      }
+      .where(col("e").isNotNull)
+    val stats = sampled
+      .select(posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(stats.nonEmpty, "SQ8 fit: empty corpus")
+    val dim = stats.length
+    // equal per-dimension counts ⇔ every sampled vector has exactly `dim`
+    // entries (a short vector under-counts its missing trailing dims, a
+    // long one adds positions) — the ragged refusal, now provable from the
+    // same pass
+    val counts = stats.map(_.getAs[Long]("n")).distinct
+    require(counts.size == 1,
+      s"SQ8 fit: ragged embeddings (per-dim sample counts ${counts.min}..${counts.max})")
+    val lo = new Array[Double](dim)
+    val hi = new Array[Double](dim)
+    stats.foreach { r =>
+      val p = r.getAs[Int]("pos")
+      lo(p) = r.getAs[Double]("lo")
+      hi(p) = r.getAs[Double]("hi")
     }
     val scales = Array.tabulate(dim) { i =>
       val s = (hi(i) - lo(i)) / 255.0
@@ -106,9 +121,8 @@ object SqAnn {
     val c0 = corpus.select(col("id"), col("embedding"))
     val grid = fitGrid(c0, "embedding", maxFitRows)
     val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
-    val coarse = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__features")
-      .fit(Similarity.fitSample(cVec, maxFitRows))
+    val coarse = Similarity.fitQuantizer(
+      Similarity.fitSample(cVec, maxFitRows), nlist, seed)
     Similarity.deleteIndexData(spark, indexDir,
       Seq("sqmeta", "codes", "vectors", "centroids"))
     val assigned = coarse.transform(cVec)
@@ -143,13 +157,15 @@ object SqAnn {
   def sqIvfQuery(queries: DataFrame, indexDir: String, k: Int,
       nprobe: Int = 4, refine: Int = 4, bandCap: Int = 32): DataFrame = {
     val spark = queries.sparkSession
-    val meta = spark.read.parquet(s"$indexDir/sqmeta").head()
+    val meta = IndexMeta.cached(spark, s"$indexDir/sqmeta") {
+      spark.read.parquet(s"$indexDir/sqmeta").head()
+    }
     val grid = new Sq8Grid(
       meta.getAs[scala.collection.Seq[Double]]("offsets").toArray,
       meta.getAs[scala.collection.Seq[Double]]("scales").toArray)
     Similarity.requireProbeDim(queries, meta.getAs[Int]("dim"), indexDir)
     val band = meta.getAs[Double]("band")
-    val centDf = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val centDf = broadcast(IndexMeta.cachedTable(spark, s"$indexDir/centroids"))
     val qe0 = toDouble(col("embedding"))
     val qe = queries.select(col("qid"), qe0.as("qe"), norm2(qe0).as("qn"),
       l2_normalize(col("embedding")).as("qn8"))

@@ -524,11 +524,17 @@ object VectorQueries {
   private def recallContract(approx: org.apache.spark.sql.DataFrame,
       exact: org.apache.spark.sql.DataFrame,
       nQueries: Int, k: Int, minRecall: Double): org.apache.spark.sql.DataFrame = {
-    val hits = approx.select(col("qid"), col("nid"))
-      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
-    val total = exact.agg(count(lit(1)).as("n_exact"),
-      countDistinct(col("qid")).as("n_queries"))
-    hits.agg(count(lit(1)).as("n_hit")).crossJoin(total)
+    // single pass over each side: the exact top-k (a full brute-force scan)
+    // is marked by an outer join against the approx ids and aggregated
+    // once — the semi-join + separate total-agg form computed the exact
+    // side TWICE per contract check. Both sides are unique on (qid, nid)
+    // (top-k windows emit each neighbor once), so the outer join preserves
+    // the exact side's cardinality.
+    val marked = exact.select(col("qid"), col("nid")).join(
+      approx.select(col("qid"), col("nid"), lit(1).as("__hit")),
+      Seq("qid", "nid"), "left_outer")
+    marked.agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
       .select(col("n_queries"),
         lit(k).cast("int").as("k"),
         (col("n_hit") >= lit(minRecall) * col("n_exact")).as("recall_ok"))
