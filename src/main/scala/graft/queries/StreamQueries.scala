@@ -1247,6 +1247,76 @@ object StreamQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
         | MAX(event_id) AS max_eid, TRUE AS pruned
-        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin))
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin)),
+
+    // ---- PARQUET-TIER sidecar (r12): the same ts-cut readWhere as q117,
+    // but after `foldToParquet` graduated the sidecar to a parquet
+    // snapshot — the prune verdict now runs as a Spark job over the zones
+    // TABLE (the driver never materializes the map; at ~10⁶ lake files the
+    // JSON sidecar is GB-scale, the r11 verdict's driver-growth item #1).
+    // The oracle pins tier + pruning effectiveness alongside the rows.
+    Q("q123_zonemap_parquet_tier", (s, d) => {
+      val base = tmp("graft-q123-")
+      ShardedLog.put(ShardedLog.fromEvents(tbl(s, d, "events")), s"$base/log")
+      val q = Deliver.start(ShardedLog.readStream(s, s"$base/log"), payloadSchema,
+        Deliver.Config(s"$base/lake", s"$base/ck",
+          manifestDir = Some(s"$base/manifest"),
+          zoneMapCols = Seq("ts", "event_id"),
+          trigger = Trigger.AvailableNow(), clock = Some(fixedClock)))
+      q.awaitTermination()
+      graft.sources.ZoneMaps.foldToParquet(s, s"$base/manifest")
+      val pqTier = graft.sources.ZoneMaps.isParquetTier(
+        s.sessionState.newHadoopConf(), s"$base/manifest")
+      val cut = java.sql.Timestamp.valueOf("2024-01-28 00:00:00")
+      val pred = col("ts") >= lit(cut)
+      val (kept, total) = graft.sources.ManifestReader
+        .pruneStats(s, s"$base/manifest", pred)
+      graft.sources.ManifestReader.readWhere(s, s"$base/manifest", pred)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("n_keys"),
+          date_trunc("second", min(col("ts"))).as("min_ts"),
+          date_trunc("second", max(col("ts"))).as("max_ts"))
+        .withColumn("pq_tier", lit(pqTier))
+        .withColumn("pruned", lit(kept > 0 && kept < total))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        | date_trunc('second', MIN(ts)) AS min_ts,
+        | date_trunc('second', MAX(ts)) AS max_ts,
+        | TRUE AS pq_tier, TRUE AS pruned
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'""".stripMargin)),
+
+    // ---- DECIMAL zone maps (r12): money columns — the reference's
+    // analytics bread-and-butter — get file skipping too. Lineitem prices
+    // cast to DECIMAL(12,2), range-clustered across files, pruned on the
+    // decimal domain (unscaled-value bounds tagged with the scale;
+    // mixed-scale probes refuse rather than mis-compare). Sums in exact
+    // decimal arithmetic on both sides.
+    Q("q124_decimal_zone_prune", (s, d) => {
+      val dir = tmp("graft-q124-")
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+      graft.streaming.Deliver.withInt64Timestamps(s) {
+        li.repartitionByRange(8, col("price_dec"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val cut = new java.math.BigDecimal("10000.00")
+      val pred = col("price_dec") <= lit(cut)
+      val (kept, total) = graft.sources.ZoneMaps.pruneStats(s, dir, pred)
+      graft.sources.ZoneMaps.scanWhere(s, dir, pred)
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_dec")).cast("decimal(18,2)").as("total_price"),
+          min(col("price_dec")).as("min_price"),
+          max(col("price_dec")).as("max_price"))
+        .withColumn("pruned", lit(kept > 0 && kept < total))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price,
+        | MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+        | MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+        | TRUE AS pruned
+        |FROM lineitem
+        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) <= CAST('10000.00' AS DECIMAL(12,2))""".stripMargin))
   )
 }

@@ -100,9 +100,17 @@ object ManifestReader {
       blooms: Boolean = false): (Seq[String], Seq[String], String) = {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
-    val zones = ZoneMaps.load(spark.sessionState.newHadoopConf(), manifestDir)
     val base = resolveBasePath(spark, manifestDir, files)
-    val kept = ZoneMaps.pruneColumn(spark, base, filter, zones, files, blooms)
+    // tier-aware: a parquet-snapshot sidecar is pruned distributively (the
+    // driver never materializes the zones map), a JSON chain through the
+    // driver map — one decision point for readWhere/pruneStats/asTable
+    val kept = ZoneMaps.resolvedPredicate(spark, base, files.head, filter) match {
+      case None => files
+      case Some(pred) =>
+        val zoneKept = ZoneMaps.pruneResolved(spark, manifestDir, pred, files)
+        if (!blooms) zoneKept
+        else ZoneMaps.bloomPruneScaled(spark, zoneKept, pred)._1
+    }
     (kept, files, base)
   }
 
@@ -119,28 +127,44 @@ object ManifestReader {
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
     val hconf = spark.sessionState.newHadoopConf()
-    val zones = ZoneMaps.load(hconf, manifestDir)
     val base = resolveBasePath(spark, manifestDir, files)
-    // FileIndex urls and manifest urls may differ in scheme spelling
-    // (file:/ vs file:///) — normalize through Path like the compactor;
-    // hoisted: the map is constant for the table's lifetime, listFiles
-    // runs per query scan
-    def norm(u: String) = new HPath(u).toString
-    val zByNorm = zones.map { case (k, v) => norm(k) -> v }
+    // zones resolve PER SCAN through ZoneMaps.pruneResolved (signature-
+    // cached, tier-aware): a flush after registration is pruned with its
+    // own fresh sidecar stats, not a registration-time snapshot
     val prune = (dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         urls: Seq[String]) => {
       val pred = dataFilters.reduce(
         org.apache.spark.sql.catalyst.expressions.And)
-      val zoneKept = urls.filter(u =>
-        !zByNorm.get(norm(u)).exists(z => ZoneMaps.provesEmpty(pred, z)))
+      val zoneKept = ZoneMaps.pruneResolved(spark, manifestDir, pred, urls)
       val kept =
         if (!blooms) zoneKept
-        else ZoneMaps.bloomPrune(hconf, zoneKept, pred)._1
+        else ZoneMaps.bloomPruneScaled(spark, zoneKept, pred)._1
       kept.toSet
+    }
+    // LIVE file set (r11 verdict ask #3): re-resolve the manifest chain
+    // when the manifest directory's listing changes — a view over a
+    // delivering lake sees post-registration flushes without
+    // re-registration. The chain signature is one FS listing per scan;
+    // the (Spark-job) manifest parse re-runs only on change.
+    val dirPath = new HPath(manifestDir)
+    val fs = dirPath.getFileSystem(hconf)
+    def sig(): String = ManifestChain.chainFiles(fs, dirPath)
+      .map(_.getName).sorted.mkString(";")
+    val lastSig = new java.util.concurrent.atomic.AtomicReference[String](sig())
+    val resolve: () => Option[Seq[org.apache.hadoop.fs.Path]] = () => {
+      val now = sig()
+      if (now == lastSig.get()) None
+      else {
+        val fl = latestManifestFiles(spark, manifestDir)
+          .map(new org.apache.hadoop.fs.Path(_))
+        lastSig.set(now) // only after a successful resolve — a failed parse
+        // must not mark the change consumed
+        Some(fl)
+      }
     }
     org.apache.spark.sql.graftbridge.ZoneMapFileIndex.table(spark,
       files.map(new org.apache.hadoop.fs.Path(_)),
-      new org.apache.hadoop.fs.Path(base), prune)
+      new org.apache.hadoop.fs.Path(base), prune, Some(resolve))
   }
 
   /** Rebuild the zone-map sidecar from the CURRENT visible file set's
@@ -156,8 +180,14 @@ object ManifestReader {
     val dir = new HPath(manifestDir)
     val fs = dir.getFileSystem(hconf)
     val maxBatch = ManifestChain.list(fs, dir).map(_._1).maxOption.getOrElse(0L)
-    ZoneMaps.write(hconf, manifestDir, maxBatch + 1,
-      zones, compactEvery = 1) // force a .snap.json fold
+    // snapshot AT maxBatch, not maxBatch+1: an equal-id snapshot wins over
+    // the incremental (whose zones this refresh already folded in via the
+    // live file set), while maxBatch+1 would permanently SHADOW the NEXT
+    // streaming batch's incremental sidecar — and if that batch hit
+    // snapshot cadence, its fold (upToExclusive = batchId) would silently
+    // discard this refresh's freshly-harvested stats for compacted files
+    ZoneMaps.write(hconf, manifestDir, maxBatch,
+      zones, compactEvery = 1) // force a snapshot fold
     files.size
   }
 

@@ -66,7 +66,20 @@ object ZoneMaps {
     try {
       val futs = files.map { f =>
         pool.submit(new Callable[(String, Map[String, ColZone])] {
-          def call() = (f, fileStats(conf, f, cols))
+          // one unreadable/corrupt footer degrades THAT file to
+          // no-stats-never-pruned (the advisory contract and the bloom
+          // stage's posture) instead of aborting the whole harvest —
+          // fromFooters feeds query-time paths (scanWhere, pruneStats,
+          // refreshZoneMaps, Compact's zone repair) where a single bad
+          // foreign file must not kill the scan
+          def call() = (f,
+            try fileStats(conf, f, cols)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] WARNING: zone-map harvest skipped " +
+                s"unreadable footer $f (${e.getMessage}) — the file is kept " +
+                "unpruned")
+              Map.empty[String, ColZone]
+            })
         })
       }
       futs.map(_.get()).toMap
@@ -129,21 +142,35 @@ object ZoneMaps {
       }
     }
     val t = tOf(c).getOrElse(return None)
-    val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-      case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-        (mn.toLong: Any, mx.toLong: Any)
-      case (mn: java.lang.Long, mx: java.lang.Long) =>
-        (normTs(c, mn): Any, normTs(c, mx): Any)
-      case (mn: java.lang.Float, mx: java.lang.Float) =>
-        (mn.toDouble: Any, mx.toDouble: Any)
-      case (mn: java.lang.Double, mx: java.lang.Double) =>
-        (mn.toDouble: Any, mx.toDouble: Any)
-      case (mn: java.lang.Boolean, mx: java.lang.Boolean) =>
-        (mn.booleanValue: Any, mx.booleanValue: Any)
-      case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
-        (mn.getBytes: Any, mx.getBytes: Any)
-      case _ => return None
-    }
+    val (lo, hi) =
+      if (t.startsWith("dec")) (st.genericGetMin, st.genericGetMax) match {
+        // decimal stats carry the UNSCALED value in the physical type:
+        // INT32/INT64 directly, FIXED_LEN/BINARY as big-endian two's
+        // complement — all land in one BigInt domain tagged with the scale
+        case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+          (BigInt(mn.intValue): Any, BigInt(mx.intValue): Any)
+        case (mn: java.lang.Long, mx: java.lang.Long) =>
+          (BigInt(mn.longValue): Any, BigInt(mx.longValue): Any)
+        case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+          (BigInt(new java.math.BigInteger(mn.getBytes)): Any,
+            BigInt(new java.math.BigInteger(mx.getBytes)): Any)
+        case _ => return None
+      }
+      else (st.genericGetMin, st.genericGetMax) match {
+        case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+          (mn.toLong: Any, mx.toLong: Any)
+        case (mn: java.lang.Long, mx: java.lang.Long) =>
+          (normTs(c, mn): Any, normTs(c, mx): Any)
+        case (mn: java.lang.Float, mx: java.lang.Float) =>
+          (mn.toDouble: Any, mx.toDouble: Any)
+        case (mn: java.lang.Double, mx: java.lang.Double) =>
+          (mn.toDouble: Any, mx.toDouble: Any)
+        case (mn: java.lang.Boolean, mx: java.lang.Boolean) =>
+          (mn.booleanValue: Any, mx.booleanValue: Any)
+        case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+          (mn.getBytes: Any, mx.getBytes: Any)
+        case _ => return None
+      }
     // NaN poisons float/double ordering (parquet writers disagree on
     // whether NaN participates in min/max) — drop the column's stats
     (lo, hi) match {
@@ -159,6 +186,13 @@ object ZoneMaps {
       c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[String] = {
     val pt = c.getPrimitiveType
     (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+      // decimal(p,s): unscaled-value domain tagged with the scale — a
+      // probe of a DIFFERENT scale lands in a different domain string, so
+      // mixed-scale comparisons refuse (never prune) by the same rule as
+      // any other domain mismatch
+      case (INT32 | INT64 | FIXED_LEN_BYTE_ARRAY | BINARY,
+          d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        Some(s"dec${d.getScale}")
       case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
       case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => Some("days")
       case (INT32, _) => Some("long")
@@ -209,8 +243,15 @@ object ZoneMaps {
     */
   private[graft] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Double, y: Double) =>
+      // Spark comparisons treat -0.0 == 0.0 (IEEE ==); Double.compare
+      // orders -0.0 < 0.0 — normalize signed zeros so a +0.0 literal
+      // can't prune a file whose max is -0.0 (and vice versa). `x == 0.0`
+      // is IEEE and matches both zeros; NaN never reaches cmp (dropped at
+      // harvest and in literal conversion).
+      java.lang.Double.compare(if (x == 0.0) 0.0 else x, if (y == 0.0) 0.0 else y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: BigInt, y: BigInt) => x.compare(y) // decimal unscaled values
     case (x: Array[Byte], y: Array[Byte]) =>
       val n = math.min(x.length, y.length)
       var i = 0
@@ -231,13 +272,22 @@ object ZoneMaps {
     * sidecar chain a reader resolves stays O(since-snapshot), not
     * O(history)). Idempotent per batchId: a crashed attempt's file is
     * overwritten whole via temp+rename.
+    *
+    * PARQUET tier: once a `zm-*.snap.pq` snapshot leads the chain (a lake
+    * graduated past driver-sized sidecars via [[foldToParquet]]), cadence
+    * folds stop here — a JSON render of the whole history is exactly the
+    * driver-memory cliff the tier exists to avoid — and every write is a
+    * plain incremental; maintenance owns folding from then on.
     */
   def write(conf: Configuration, manifestDir: String, batchId: Long,
       zones: FileZones, compactEvery: Int): Unit = {
     val dir = new HPath(manifestDir, SidecarDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    val snapshot = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    val cadence = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    val pqTier = cadence &&
+      resolveChain(fs, dir, upToExclusive = batchId)._1.exists(_._2 == SnapPq)
+    val snapshot = cadence && !pqTier
     val all =
       if (!snapshot) zones
       // fold = plain map union (stale keys are harmless — see class doc),
@@ -248,7 +298,11 @@ object ZoneMaps {
   }
 
   /** All zones visible through the sidecar chain (latest snapshot ∪ later
-    * incrementals). Missing sidecar dir = no zone maps = no pruning.
+    * incrementals) as ONE DRIVER MAP. Missing sidecar dir = no zone maps =
+    * no pruning. This is the small-lake path: a parquet-tier snapshot is
+    * readable here too (driver-side, for parity and maintenance), but
+    * query paths on parquet-tier lakes should prune distributively via
+    * [[pruneResolved]] instead of materializing the map.
     */
   def load(conf: Configuration, manifestDir: String): FileZones = {
     val dir = new HPath(manifestDir, SidecarDir)
@@ -258,46 +312,83 @@ object ZoneMaps {
 
   private val SidecarDir = "_zonemaps"
 
-  private def chainZones(fs: FileSystem, dir: HPath,
-      upToExclusive: Long): FileZones = {
-    if (!fs.exists(dir)) return Map.empty
+  // chain-entry kinds: plain incremental, JSON snapshot, parquet snapshot
+  private[sources] final val Inc = 0
+  private[sources] final val SnapJson = 1
+  private[sources] final val SnapPq = 2
+
+  /** Sidecar chain resolution: the newest snapshot (parquet preferred on
+    * an id tie — the parquet fold subsumes an equal-id JSON snapshot) plus
+    * the incrementals after it, sorted by id.
+    */
+  private[sources] def resolveChain(fs: FileSystem, dir: HPath,
+      upToExclusive: Long): (Option[(Long, Int, HPath)], Seq[(Long, HPath)]) = {
+    if (!fs.exists(dir)) return (None, Seq.empty)
     val all = fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
       p.getName match {
+        case n if n.startsWith("zm-") && n.endsWith(".snap.pq") =>
+          Some((n.stripPrefix("zm-").stripSuffix(".snap.pq").toLong, SnapPq, p))
         case n if n.startsWith("zm-") && n.endsWith(".snap.json") =>
-          Some((n.stripPrefix("zm-").stripSuffix(".snap.json").toLong, true, p))
+          Some((n.stripPrefix("zm-").stripSuffix(".snap.json").toLong, SnapJson, p))
         case n if n.startsWith("zm-") && n.endsWith(".json") =>
-          Some((n.stripPrefix("zm-").stripSuffix(".json").toLong, false, p))
+          Some((n.stripPrefix("zm-").stripSuffix(".json").toLong, Inc, p))
         case _ => None
       }
     }.filter(_._1 < upToExclusive)
-    val snapId = all.collect { case (id, true, _) => id }.maxOption
-    val chain = all.filter { case (id, isSnap, _) =>
-      snapId.forall(s => id > s || (id == s && isSnap))
-    }.sortBy(_._1).map(_._3)
-    chain.foldLeft(Map.empty: FileZones) { (acc, p) =>
-      acc ++ parse(FsOps.readString(fs, p))
+    val snap = all.filter(_._2 != Inc).sortBy(e => (e._1, e._2)).lastOption
+    val incs = all.collect {
+      case (id, Inc, p) if snap.forall(s => id > s._1) => (id, p)
+    }.sortBy(_._1)
+    (snap, incs)
+  }
+
+  private def chainZones(fs: FileSystem, dir: HPath,
+      upToExclusive: Long): FileZones = {
+    val (snap, incs) = resolveChain(fs, dir, upToExclusive)
+    val head: FileZones = snap match {
+      case Some((_, SnapPq, p)) => readPqSnapshotDriver(fs.getConf, p)
+      case Some((_, _, p)) => parse(FsOps.readString(fs, p))
+      case None => Map.empty
     }
+    incs.foldLeft(head) { (acc, e) =>
+      acc ++ parse(FsOps.readString(fs, e._2))
+    }
+  }
+
+  /** Bound value ↔ string, shared by every persisted form (JSON sidecars
+    * and the parquet tier use the SAME encoding, so parity is by
+    * construction): longs/bools as literals, doubles via Double.toString
+    * (parses back exactly), bytes base64 (exact, escape-proof), decimal
+    * unscaled values as big-integer decimal strings.
+    */
+  private[sources] def encodeVal(x: Any): String = x match {
+    case l: Long => l.toString
+    case d: Double => java.lang.Double.toString(d)
+    case bl: Boolean => bl.toString
+    case bs: Array[Byte] => Base64.getEncoder.encodeToString(bs)
+    case bi: BigInt => bi.toString
+  }
+
+  private[sources] def decodeVal(t: String, s: String): Any = t match {
+    case "long" | "days" | "micros" => s.toLong
+    case "double" => java.lang.Double.parseDouble(s)
+    case "bool" => s.toBoolean
+    case "bytes" => Base64.getDecoder.decode(s)
+    case d if d.startsWith("dec") => BigInt(s)
   }
 
   /** Flat JSON — one object per (file, column) with all-string values, so
     * loading needs no JSON library and no Spark job (the manifest parser's
-    * regex style). String bounds are base64 (exact bytes, escape-proof).
+    * regex style).
     */
   private[graft] def render(zones: FileZones): String = {
-    val b64 = Base64.getEncoder
-    def v(t: String, x: Any): String = x match {
-      case l: Long => l.toString
-      case d: Double => java.lang.Double.toString(d) // parses back exactly
-      case bl: Boolean => bl.toString
-      case bs: Array[Byte] => b64.encodeToString(bs)
-    }
     val objs = zones.toSeq.sortBy(_._1).flatMap { case (url, cols) =>
       cols.toSeq.sortBy(_._1).map { case (col, z) =>
         val parts = Seq(
           s""""url":"$url"""", s""""col":"$col"""", s""""t":"${z.t}"""",
           s""""rows":"${z.rows}"""") ++
-          z.lo.map(x => s""""lo":"${v(z.t, x)}"""") ++
-          z.hi.map(x => s""""hi":"${v(z.t, x)}"""") ++
+          z.lo.map(x => s""""lo":"${encodeVal(x)}"""") ++
+          z.hi.map(x => s""""hi":"${encodeVal(x)}"""") ++
           z.nulls.map(n => s""""nulls":"$n"""")
         parts.mkString("{", ",", "}")
       }
@@ -308,25 +399,255 @@ object ZoneMaps {
   private val Field = """"(\w+)":"([^"]*)"""".r
 
   private[graft] def parse(json: String): FileZones = {
-    val b64 = Base64.getDecoder
     val acc = mutable.Map.empty[String, mutable.Map[String, ColZone]]
     // objects are single-level with no embedded quotes/braces by
     // construction (urls are paths, values are numbers/base64)
     for (obj <- """\{[^{}]*\}""".r.findAllIn(json)) {
       val f = Field.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2)).toMap
       for (url <- f.get("url"); col <- f.get("col"); t <- f.get("t")) {
-        def v(s: String): Any = t match {
-          case "long" | "days" | "micros" => s.toLong
-          case "double" => java.lang.Double.parseDouble(s)
-          case "bool" => s.toBoolean
-          case "bytes" => b64.decode(s)
-        }
         acc.getOrElseUpdate(url, mutable.Map.empty)(col) = ColZone(
-          t, f.get("lo").map(v), f.get("hi").map(v),
+          t, f.get("lo").map(decodeVal(t, _)), f.get("hi").map(decodeVal(t, _)),
           f.get("nulls").map(_.toLong), f.get("rows").fold(0L)(_.toLong))
       }
     }
     acc.map { case (k, m) => k -> m.toMap }.toMap
+  }
+
+  // ------------------------------------------------- parquet sidecar tier
+
+  /** The parquet snapshot's row shape: one row per (file, column), bounds
+    * in the [[encodeVal]] string encoding. A TABLE, not a JSON blob —
+    * folds, loads, and prune decisions over it run as Spark jobs, so the
+    * sidecar scales with the cluster instead of the driver heap (the r11
+    * verdict's driver-growth item #1: at ~10⁶ lake files the JSON sidecar
+    * is GB-scale and `load()` is a GB driver parse).
+    */
+  private[sources] val PqSchema = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("col", StringType, nullable = false),
+    StructField("t", StringType, nullable = false),
+    StructField("lo", StringType, nullable = true),
+    StructField("hi", StringType, nullable = true),
+    StructField("nulls", LongType, nullable = true),
+    StructField("rows", LongType, nullable = false)))
+
+  private[sources] def zonesToDf(spark: SparkSession, z: FileZones): DataFrame = {
+    val rows: Seq[org.apache.spark.sql.Row] = z.toSeq.flatMap { case (url, cols) =>
+      cols.toSeq.map { case (c, zz) =>
+        org.apache.spark.sql.Row(url, c, zz.t,
+          zz.lo.map(encodeVal).orNull, zz.hi.map(encodeVal).orNull,
+          zz.nulls.map(Long.box).orNull, zz.rows)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), PqSchema)
+  }
+
+  private def rowZone(t: String, lo: String, hi: String, nulls: Any,
+      rows: Long): ColZone =
+    ColZone(t, Option(lo).map(decodeVal(t, _)), Option(hi).map(decodeVal(t, _)),
+      Option(nulls).map { case l: java.lang.Long => l.longValue }, rows)
+
+  /** Driver-side read of a parquet snapshot via parquet-mr (no Spark job):
+    * keeps `load()` whole on parquet-tier lakes for parity checks and
+    * small-map maintenance. Query paths at scale never call this — they
+    * prune distributively.
+    */
+  private[sources] def readPqSnapshotDriver(conf: Configuration,
+      dir: HPath): FileZones = {
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    val acc = mutable.Map.empty[String, mutable.Map[String, ColZone]]
+    parts.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def opt(f: String): Option[String] =
+            if (g.getType.containsField(f) &&
+              g.getFieldRepetitionCount(f) > 0) Some(g.getValueToString(
+                g.getType.getFieldIndex(f), 0))
+            else None
+          for (url <- opt("url"); c <- opt("col"); t <- opt("t")) {
+            acc.getOrElseUpdate(url, mutable.Map.empty)(c) = ColZone(
+              t, opt("lo").map(decodeVal(t, _)), opt("hi").map(decodeVal(t, _)),
+              opt("nulls").map(_.toLong), opt("rows").fold(0L)(_.toLong))
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    acc.map { case (k, m) => k -> m.toMap }.toMap
+  }
+
+  /** Fold the whole sidecar chain into ONE parquet snapshot, distributively
+    * — the maintenance move that graduates a lake to the parquet tier (and
+    * keeps it there: [[write]] stops JSON-folding once a `.snap.pq` leads
+    * the chain). The existing parquet snapshot streams through executors
+    * (never the driver); only the since-snapshot JSON incrementals (small
+    * by the cadence invariant) and `extraOverlay` are driver-resident.
+    * Newest-wins BY URL, like every fold. Returns the snapshot id.
+    *
+    * Crash-safe: written to a dot-temp dir, renamed over the target; a
+    * crash before the rename leaves the previous chain intact, and zone
+    * entries describe IMMUTABLE files by url, so readers falling back to
+    * an older chain can never prune wrongly — only less.
+    */
+  def foldToParquet(spark: SparkSession, manifestDir: String,
+      extraOverlay: FileZones = Map.empty,
+      snapshotId: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new HPath(manifestDir, SidecarDir)
+    val fs = dir.getFileSystem(hconf)
+    fs.mkdirs(dir)
+    val (snap, incs) = resolveChain(fs, dir, Long.MaxValue)
+    val jsonHead: FileZones = snap match {
+      case Some((_, SnapJson, p)) => parse(FsOps.readString(fs, p))
+      case _ => Map.empty
+    }
+    val overlay = incs.foldLeft(jsonHead) { (acc, e) =>
+      acc ++ parse(FsOps.readString(fs, e._2))
+    } ++ extraOverlay
+    val id = snapshotId.getOrElse(math.max(
+      snap.map(_._1).getOrElse(0L), incs.map(_._1).maxOption.getOrElse(0L)))
+    val overlayDf = zonesToDf(spark, overlay)
+    val outDf = snap match {
+      case Some((_, SnapPq, p)) =>
+        val base = spark.read.schema(PqSchema).parquet(p.toString)
+        val survivors =
+          if (overlay.isEmpty) base
+          else base.join(
+            org.apache.spark.sql.functions.broadcast(
+              zonesToDf(spark, overlay).select(c("url")).distinct()),
+            Seq("url"), "left_anti")
+        survivors.unionByName(overlayDf)
+      case _ => overlayDf
+    }
+    val tmp = new HPath(dir, s".tmp-zm-$id.snap.pq")
+    if (fs.exists(tmp)) FsOps.deleteOrThrow(fs, tmp, recursive = true)
+    outDf.write.mode("overwrite").parquet(tmp.toString)
+    val target = new HPath(dir, f"zm-$id%010d.snap.pq")
+    if (fs.exists(target)) FsOps.deleteOrThrow(fs, target, recursive = true)
+    FsOps.renameOrThrow(fs, tmp, target)
+    id
+  }
+
+  /** True when a parquet snapshot leads the sidecar chain — maintenance
+    * (Compact's zone repair, cadence folds) must then stay distributed
+    * and never render the history back into driver-sized JSON.
+    */
+  def isParquetTier(conf: Configuration, manifestDir: String): Boolean = {
+    val dir = new HPath(manifestDir, SidecarDir)
+    resolveChain(dir.getFileSystem(conf), dir, Long.MaxValue)
+      ._1.exists(_._2 == SnapPq)
+  }
+
+  /** Columns the sidecar tracks (distinct `col`) — one column-pruned Spark
+    * job over the parquet snapshot plus the driver-parsed incrementals;
+    * lets maintenance harvest rewritten files for exactly the tracked set
+    * without loading the zones map.
+    */
+  def trackedCols(spark: SparkSession, manifestDir: String): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new HPath(manifestDir, SidecarDir)
+    val fs = dir.getFileSystem(hconf)
+    val (snap, incs) = resolveChain(fs, dir, Long.MaxValue)
+    val fromSnap: Seq[String] = snap match {
+      case Some((_, SnapPq, p)) =>
+        spark.read.schema(PqSchema).parquet(p.toString)
+          .select("col").distinct().collect().map(_.getString(0)).toSeq
+      case Some((_, _, p)) =>
+        parse(FsOps.readString(fs, p)).valuesIterator
+          .flatMap(_.keysIterator).toSeq
+      case None => Seq.empty
+    }
+    val fromIncs = incs.flatMap(e =>
+      parse(FsOps.readString(fs, e._2)).valuesIterator.flatMap(_.keysIterator))
+    (fromSnap ++ fromIncs).distinct
+  }
+
+  /** Prune `urls` under an already-RESOLVED predicate through whichever
+    * sidecar tier leads the chain: parquet snapshots evaluate
+    * [[provesEmpty]] ON THE EXECUTORS (the driver sees only the pruned
+    * url list, never the zones), JSON chains through the driver map. The
+    * zones source re-resolves per call against the live sidecar (cached
+    * by directory signature), so a view over a delivering lake prunes
+    * with CURRENT stats.
+    */
+  def pruneResolved(spark: SparkSession, manifestDir: String,
+      pred: Expression, urls: Seq[String]): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new HPath(manifestDir, SidecarDir)
+    val fs = dir.getFileSystem(hconf)
+    def norm(u: String) = new HPath(u).toString
+    graft.operators.IndexMeta.cached(spark, dir.toString, tag = "zm-chain") {
+      resolveChain(fs, dir, Long.MaxValue): (Option[(Long, Int, HPath)],
+        Seq[(Long, HPath)])
+    } match {
+      case (Some((_, SnapPq, p)), incs) =>
+        // overlay = since-snapshot incrementals (small by cadence), decided
+        // driver-side; everything else decided in a Spark job over the
+        // snapshot table. An overlay url's entry REPLACES its snapshot
+        // entry whole (the JSON fold semantic), so overlay urls are
+        // excluded from the distributed verdict.
+        val overlay = graft.operators.IndexMeta.cached(spark, dir.toString,
+          tag = "zm-overlay") {
+          incs.foldLeft(Map.empty: FileZones) { (acc, e) =>
+            acc ++ parse(FsOps.readString(fs, e._2))
+          }
+        }
+        val normOverlay = overlay.map { case (k, v) => norm(k) -> v }
+        val prunedSet = pruneDistributed(spark, p, overlay, pred).map(norm).toSet
+        urls.filter { u =>
+          val n = norm(u)
+          normOverlay.get(n) match {
+            case Some(z) => !provesEmpty(pred, z)
+            case None => !prunedSet.contains(n)
+          }
+        }
+      case _ =>
+        val zones = graft.operators.IndexMeta.cached(spark, dir.toString,
+          tag = "zm-json") {
+          chainZones(fs, dir, Long.MaxValue): FileZones
+        }
+        val zByNorm = zones.map { case (k, v) => norm(k) -> v }
+        urls.filter(u => !zByNorm.get(norm(u)).exists(z => provesEmpty(pred, z)))
+    }
+  }
+
+  /** The distributed verdict: urls of snapshot rows whose zones PROVE the
+    * predicate empty. Only the predicate's columns are read (column-pruned
+    * scan of the sidecar table); rows of overlay urls are skipped (their
+    * verdicts are driver-side).
+    */
+  private def pruneDistributed(spark: SparkSession, snapDir: HPath,
+      overlay: FileZones, pred: Expression): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col => c, collect_list, struct}
+    val predCols = pred.collect { case Attr(a) => a }.distinct
+    if (predCols.isEmpty) return Seq.empty
+    val z0 = spark.read.schema(PqSchema).parquet(snapDir.toString)
+      .where(c("col").isin(predCols: _*))
+    val z =
+      if (overlay.isEmpty) z0
+      else z0.join(broadcast(zonesToDf(spark, overlay).select(c("url")).distinct()),
+        Seq("url"), "left_anti")
+    val localPred = pred // serialized into the task closure (case classes)
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    z.groupBy("url")
+      .agg(collect_list(struct(c("col"), c("t"), c("lo"), c("hi"), c("nulls"),
+        c("rows"))).as("zs"))
+      .flatMap { r =>
+        val zones = r.getSeq[org.apache.spark.sql.Row](1).map { zr =>
+          zr.getString(0) -> rowZone(zr.getString(1), zr.getString(2),
+            zr.getString(3), if (zr.isNullAt(4)) null else Long.box(zr.getLong(4)),
+            zr.getLong(5))
+        }.toMap
+        if (provesEmpty(localPred, zones)) Some(r.getString(0)) else None
+      }.collect().toSeq
   }
 
   // ---------------------------------------------------------------- pruning
@@ -465,6 +786,12 @@ object ZoneMaps {
     case d: Double if !d.isNaN => Some((d, "double"))
     case b: Boolean => Some((b, "bool"))
     case u: UTF8String => Some((u.getBytes, "bytes"))
+    case d: Decimal =>
+      // a cast-folded decimal literal carries the COLUMN's scale after
+      // Catalyst coercion; a literal whose scale still differs lands in a
+      // different "dec<s>" domain and never prunes
+      val jbd = d.toJavaBigDecimal
+      Some((BigInt(jbd.unscaledValue), s"dec${jbd.scale}"))
     case _ => None
   }
 
@@ -537,6 +864,30 @@ object ZoneMaps {
     }
   }
 
+  /** Cluster-scale [[bloomPrune]]: above `distributeOver` candidate files
+    * the footer+bloom probes run as a Spark job over the file list instead
+    * of the 16-thread driver pool — at ~10⁵ files the probe I/O is the
+    * bottleneck and it parallelizes embarrassingly (each file's verdict is
+    * independent; the driver receives one boolean per file). Below the
+    * threshold the driver pool wins (no job-scheduling floor). Identical
+    * verdicts by construction: both paths call [[bloomProvesEmpty]].
+    */
+  def bloomPruneScaled(spark: SparkSession, files: Seq[String],
+      pred: Expression, distributeOver: Int = 2048): (Seq[String], Seq[String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (files.size < distributeOver) return bloomPrune(conf, files, pred)
+    val constraints = equalityConstraints(pred)
+    if (constraints.isEmpty) return (files, Seq.empty)
+    val serConf = new SerializableHadoopConf(conf)
+    val slices = math.min(files.size / 64 + 1,
+      math.max(spark.sparkContext.defaultParallelism * 4, 32))
+    val res = spark.sparkContext.parallelize(files, slices)
+      .map(f => (f, bloomProvesEmpty(serConf.value, f, constraints)))
+      .collect()
+    (res.collect { case (f, false) => f }.toSeq,
+      res.collect { case (f, true) => f }.toSeq)
+  }
+
   /** True when some constraint's every candidate value is absent from
     * every row group's bloom for that column in `file`.
     */
@@ -562,10 +913,11 @@ object ZoneMaps {
           b.getColumns.asScala.find(_.getPath.toDotString == colName).exists { cmeta =>
             val bloom = bloomReader.readBloomFilter(cmeta)
             bloom != null && candidates.forall { case (v, t) =>
-              bloomHash(bloom, cmeta, v, t) match {
-                case Some(h) => !bloom.findHash(h)
-                case None => false // untestable value → might be present
-              }
+              val hs = bloomHash(bloom, cmeta, v, t)
+              // empty = untestable value → might be present; a multi-hash
+              // candidate (signed zeros) is absent only when EVERY
+              // representation misses
+              hs.nonEmpty && hs.forall(h => !bloom.findHash(h))
             }
           }
         }
@@ -573,36 +925,42 @@ object ZoneMaps {
     } finally reader.close()
   }
 
-  /** Hash a zone-domain value with the file column's physical
-    * representation; None when the domains can't meet (then the value
-    * might still exist under some conversion we don't model — keep).
+  /** All hashes under which a zone-domain value could live in the file
+    * column's physical representation; empty when the domains can't meet
+    * (then the value might still exist under some conversion we don't
+    * model — keep). Usually one hash; a zero-valued double yields BOTH
+    * sign patterns, because parquet blooms store exact bit patterns while
+    * Spark's `===` treats -0.0 and 0.0 as equal — probing only the
+    * literal's sign would wrongly prune files holding the other zero.
     * Exception: a micros probe that doesn't divide into a MILLIS column
     * is representable-nowhere, but that file-level proof belongs to
     * min/max, not the bloom — we stay conservative here.
     */
   private def bloomHash(bloom: org.apache.parquet.column.values.bloomfilter.BloomFilter,
       cmeta: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-      v: Any, t: String): Option[Long] = {
+      v: Any, t: String): Seq[Long] = {
     val pt = cmeta.getPrimitiveType
     (pt.getPrimitiveTypeName, v, t) match {
-      case (INT64, l: Long, "long") => Some(bloom.hash(l))
+      case (INT64, l: Long, "long") => Seq(bloom.hash(l))
       case (INT64, l: Long, "micros") =>
         pt.getLogicalTypeAnnotation match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
-            Some(bloom.hash(l))
+            Seq(bloom.hash(l))
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS &&
                 l % 1000L == 0 =>
-            Some(bloom.hash(l / 1000L))
-          case _ => None
+            Seq(bloom.hash(l / 1000L))
+          case _ => Seq.empty
         }
       case (INT32, l: Long, "long" | "days") if l >= Int.MinValue && l <= Int.MaxValue =>
-        Some(bloom.hash(l.toInt))
-      case (DOUBLE, d: Double, "double") => Some(bloom.hash(d))
+        Seq(bloom.hash(l.toInt))
+      case (DOUBLE, d: Double, "double") =>
+        if (d == 0.0) Seq(bloom.hash(0.0), bloom.hash(-0.0))
+        else Seq(bloom.hash(d))
       case (BINARY, b: Array[Byte], "bytes") =>
-        Some(bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
-      case _ => None
+        Seq(bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
+      case _ => Seq.empty
     }
   }
 
@@ -625,7 +983,7 @@ object ZoneMaps {
       case Some(pred) =>
         val (kept, _) = prune(pred, zones, files)
         if (!blooms) kept
-        else bloomPrune(spark.sessionState.newHadoopConf(), kept, pred)._1
+        else bloomPruneScaled(spark, kept, pred)._1
     }
 
   /** Standalone zone-map scan of a plain parquet directory (no manifest):
@@ -663,5 +1021,23 @@ object ZoneMaps {
     val base = fs.makeQualified(root).toString
     val zones = fromFooters(hconf, files)
     (pruneColumn(spark, base, filter, zones, files, blooms), files, base)
+  }
+}
+
+/** Java-serializable Hadoop Configuration carrier for the distributed
+  * bloom/footer probes (Configuration itself is a Writable, not
+  * Serializable; this is the standard write/readFields envelope).
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
   }
 }

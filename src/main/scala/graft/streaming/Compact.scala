@@ -247,12 +247,25 @@ object Compact {
       // a snapshot at foldId (same id discipline as the manifest fold).
       // Runs on recovery's roll-forward path too — idempotent overwrite.
       import graft.sources.ZoneMaps
-      val existing = ZoneMaps.load(hconf, mdir)
-      if (existing.nonEmpty) {
-        val cols = existing.valuesIterator.flatMap(_.keysIterator).toSeq.distinct
-        val zmAll = existing ++ ZoneMaps.fromFooters(hconf, news.map(norm), cols)
-        FsOps.atomicWrite(hconf, mfs, new HPath(dir, s"_zonemaps/zm-" +
-          f"$foldId%010d.snap.json"), ZoneMaps.render(zmAll).getBytes("UTF-8"))
+      if (ZoneMaps.isParquetTier(hconf, mdir)) {
+        // parquet-tier repair stays DISTRIBUTED: harvest only the rewritten
+        // files (for the tracked columns) and fold them over the chain as
+        // a new parquet snapshot — rendering the history back into one
+        // driver-side JSON is the exact cliff the tier exists to avoid
+        val cols = ZoneMaps.trackedCols(spark, mdir)
+        if (cols.nonEmpty) {
+          val newZones = ZoneMaps.fromFooters(hconf, news.map(norm), cols)
+          ZoneMaps.foldToParquet(spark, mdir, extraOverlay = newZones,
+            snapshotId = Some(foldId))
+        }
+      } else {
+        val existing = ZoneMaps.load(hconf, mdir)
+        if (existing.nonEmpty) {
+          val cols = existing.valuesIterator.flatMap(_.keysIterator).toSeq.distinct
+          val zmAll = existing ++ ZoneMaps.fromFooters(hconf, news.map(norm), cols)
+          FsOps.atomicWrite(hconf, mfs, new HPath(dir, s"_zonemaps/zm-" +
+            f"$foldId%010d.snap.json"), ZoneMaps.render(zmAll).getBytes("UTF-8"))
+        }
       }
     }
     olds.foreach(o => FsOps.deleteOrThrow(fs, new HPath(o), recursive = false))

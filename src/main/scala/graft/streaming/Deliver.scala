@@ -462,18 +462,29 @@ object Deliver {
     * the session conf's INT96 default is deprecated in the parquet spec
     * and carries NO usable min/max statistics, which would silently
     * disable zone-map pruning on every timestamp column). Set/restore
-    * around the write: the micro-batch body runs serially per query.
+    * around the write, SYNCHRONIZED: two concurrent writers on one
+    * SparkSession (a Deliver stream beside Compact, or two streams)
+    * would otherwise interleave the toggles — leaving INT96 active
+    * during a lake write (silently stat-less files) or the override
+    * leaked past the block. A per-write DataFrameWriter option is NOT an
+    * alternative: Spark 4's ParquetUtils.prepareWrite unconditionally
+    * re-sets the job conf key from the session SQLConf, so the session
+    * toggle is the only control point — hence the lock. Lake writes of
+    * one process serialize across this boundary; the toggle covers only
+    * the write call, and per-stream writes are serial anyway.
     */
-  private[graft] def withInt64Timestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private val int64TsLock = new Object
+  private[graft] def withInt64Timestamps[T](spark: SparkSession)(body: => T): T =
+    int64TsLock.synchronized {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Harvest footer stats for this flush's files into the `_zonemaps`
     * sidecar (no-op when zoneMapCols is empty). Idempotent per batchId like

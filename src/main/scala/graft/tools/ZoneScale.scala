@@ -128,6 +128,77 @@ object ZoneScale {
       println(f"LAKESCALE sf=$sfDir files=$mTotal kept=$mKept " +
         f"deliver=$deliverSec%.1fs manifestFull=$wFullM%.3fs " +
         f"readWhere=$wZoneM%.3fs matchRows=$nZoneM")
+
+      // parquet-tier readWhere on the SAME lake: graduate the sidecar and
+      // re-measure — the prune verdict now runs as a Spark job, parity
+      // asserted against the JSON-tier rows
+      graft.sources.ZoneMaps.foldToParquet(spark, s"$base/manifest")
+      val (wZonePq, nZonePq) = time(
+        graft.sources.ManifestReader.readWhere(spark, s"$base/manifest", tsPred)
+          .count())
+      val (pKept, pTotal) = graft.sources.ManifestReader
+        .pruneStats(spark, s"$base/manifest", tsPred)
+      require(nZonePq == nZoneM, s"pq-tier divergence: $nZonePq vs $nZoneM")
+      require((pKept, pTotal) == (mKept, mTotal),
+        s"pq-tier prune drift: $pKept/$pTotal vs $mKept/$mTotal")
+      println(f"LAKESCALE_PQ sf=$sfDir files=$pTotal kept=$pKept " +
+        f"readWherePq=$wZonePq%.3fs matchRows=$nZonePq")
+    }
+
+    // SIDECAR scale tier (r12): a synthetic sidecar of `nFiles*16` urls ×
+    // 3 columns — big enough that the JSON tier's whole-chain driver parse
+    // is visibly the wrong shape — measuring load/prune wall and driver
+    // heap for the JSON driver map vs the parquet tier's distributed
+    // verdict, with the kept-set pinned identical.
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
+      import org.apache.spark.sql.types.TimestampType
+      import graft.sources.ZoneMaps.ColZone
+      val nUrls = math.max(nFiles * 16, 50000)
+      val mdir = java.nio.file.Files.createTempDirectory("graft-sidecar-scale-")
+        .toString
+      val hconf = spark.sessionState.newHadoopConf()
+      val status = "ok".getBytes("UTF-8")
+      val zones: graft.sources.ZoneMaps.FileZones = (0 until nUrls).map { i =>
+        val url = f"file:///fake/lake/day=${i / 2880}/part-$i%07d.parquet"
+        url -> Map(
+          "ts" -> ColZone("micros", Some(i * 1000000L), Some(i * 1000000L + 999999L),
+            Some(0L), 1000L),
+          "event_id" -> ColZone("long", Some(i * 100L), Some(i * 100L + 99L),
+            Some(0L), 1000L),
+          "status" -> ColZone("bytes", Some(status), Some(status), Some(0L), 1000L))
+      }.toMap
+      graft.sources.ZoneMaps.write(hconf, mdir, 0L, zones, compactEvery = 0)
+      val cut = (nUrls - nUrls / 100).toLong * 1000000L // keep ~1% of files
+      val pred = GreaterThanOrEqual(UnresolvedAttribute("ts"),
+        Literal(cut, TimestampType))
+      val urls = zones.keySet.toSeq.sorted
+      def heapMb(): Long = {
+        System.gc()
+        (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      }
+      val h0 = heapMb()
+      val tJson = System.nanoTime()
+      val keptJson = (1 to runs).map { _ =>
+        graft.operators.IndexMeta.invalidateAll() // force a cold load per run
+        graft.sources.ZoneMaps.pruneResolved(spark, mdir, pred, urls)
+      }.last
+      val wJson = (System.nanoTime() - tJson) / 1e9 / runs
+      val h1 = heapMb()
+      graft.sources.ZoneMaps.foldToParquet(spark, mdir)
+      val tPq = System.nanoTime()
+      val keptPq = (1 to runs).map { _ =>
+        graft.operators.IndexMeta.invalidateAll()
+        graft.sources.ZoneMaps.pruneResolved(spark, mdir, pred, urls)
+      }.last
+      val wPq = (System.nanoTime() - tPq) / 1e9 / runs
+      val h2 = heapMb()
+      require(keptPq.sorted == keptJson.sorted,
+        s"tier divergence: json kept ${keptJson.size} vs pq kept ${keptPq.size}")
+      println(f"SIDECARSCALE urls=$nUrls entries=${nUrls * 3} kept=${keptPq.size} " +
+        f"jsonPrune=$wJson%.3fs pqPrune=$wPq%.3fs " +
+        f"heapMb base=$h0 afterJson=$h1 afterPq=$h2")
     }
     spark.stop()
   }

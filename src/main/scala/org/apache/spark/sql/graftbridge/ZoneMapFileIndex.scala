@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
@@ -19,18 +19,54 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   * file only when the filters provably match no row of it. Partition
   * pruning is not its job — the parent [[InMemoryFileIndex]] already
   * handles `partitionFilters` from the directory layout.
+  *
+  * `resolve` (optional) makes the FILE SET LIVE: called per `listFiles`,
+  * it returns Some(files) when the backing table grew/changed (the caller
+  * owns the change check — typically a manifest-chain signature) and None
+  * when unchanged. On change, an inner index over the new list replaces
+  * the registration-time listing, so a registered view keeps seeing
+  * post-registration flushes. The DATA schema stays frozen at
+  * registration (normal table semantics); a resolve that changes the
+  * PARTITION layout is refused loudly rather than mis-read.
   */
 class ZoneMapFileIndex(
     spark: SparkSession,
     leafFiles: Seq[Path],
     basePath: Path,
-    prune: (Seq[Expression], Seq[String]) => Set[String])
+    prune: (Seq[Expression], Seq[String]) => Set[String],
+    resolve: Option[() => Option[Seq[Path]]] = None)
   extends InMemoryFileIndex(spark, leafFiles,
     Map("basePath" -> basePath.toString), userSpecifiedSchema = None) {
 
+  // the live delegate after the first post-registration change; this index
+  // itself serves until then
+  @volatile private var live: Option[InMemoryFileIndex] = None
+
+  // registration-time partition layout (super access is illegal inside the
+  // closures below; a plain val capture is not)
+  private val frozenPartitionSchema = super.partitionSchema
+
+  private def refreshIfChanged(): Unit = resolve.foreach { r =>
+    r().foreach { files =>
+      val idx = new InMemoryFileIndex(spark, files,
+        Map("basePath" -> basePath.toString), userSpecifiedSchema = None)
+      require(idx.partitionSchema.sameType(frozenPartitionSchema),
+        s"manifest file set under $basePath changed its PARTITION layout " +
+          s"(${frozenPartitionSchema.simpleString} -> " +
+          s"${idx.partitionSchema.simpleString}) after registration — " +
+          "re-register the view; a frozen-schema table cannot follow a " +
+          "layout change")
+      live = Some(idx)
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val dirs = super.listFiles(partitionFilters, dataFilters)
+    refreshIfChanged()
+    val dirs = live match {
+      case Some(idx) => idx.listFiles(partitionFilters, dataFilters)
+      case None => super.listFiles(partitionFilters, dataFilters)
+    }
     if (dataFilters.isEmpty) dirs
     else {
       val urls = dirs.flatMap(_.files.map(_.getPath.toString))
@@ -40,6 +76,34 @@ class ZoneMapFileIndex(
         .filter(_.files.nonEmpty)
     }
   }
+
+  override def allFiles(): Seq[FileStatus] = {
+    refreshIfChanged()
+    live match {
+      case Some(idx) => idx.allFiles()
+      case None => super.allFiles()
+    }
+  }
+
+  override def inputFiles: Array[String] = live match {
+    case Some(idx) => idx.inputFiles
+    case None => super.inputFiles
+  }
+
+  // join-strategy sizing must track the LIVE set, or a grown lake keeps
+  // getting broadcast at its registration-time size
+  override def sizeInBytes: Long = live match {
+    case Some(idx) => idx.sizeInBytes
+    case None => super.sizeInBytes
+  }
+
+  override def refresh(): Unit = {
+    refreshIfChanged()
+    live match {
+      case Some(idx) => idx.refresh()
+      case None => super.refresh()
+    }
+  }
 }
 
 object ZoneMapFileIndex {
@@ -47,10 +111,12 @@ object ZoneMapFileIndex {
   /** Assemble a DataFrame over `leafFiles` whose scans prune through
     * `prune`. Schema comes from the parquet footers + the directory
     * layout's partition columns, exactly like a plain parquet read.
+    * `resolve` (optional) keeps the file set live — see the class doc.
     */
   def table(spark: SparkSession, leafFiles: Seq[Path], basePath: Path,
-      prune: (Seq[Expression], Seq[String]) => Set[String]): DataFrame = {
-    val index = new ZoneMapFileIndex(spark, leafFiles, basePath, prune)
+      prune: (Seq[Expression], Seq[String]) => Set[String],
+      resolve: Option[() => Option[Seq[Path]]] = None): DataFrame = {
+    val index = new ZoneMapFileIndex(spark, leafFiles, basePath, prune, resolve)
     val format = new ParquetFileFormat
     val dataSchema = format.inferSchema(spark, Map.empty,
       index.allFiles()).getOrElse(
