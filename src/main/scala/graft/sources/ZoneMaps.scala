@@ -600,7 +600,8 @@ object ZoneMaps {
           }
         }
         val normOverlay = overlay.map { case (k, v) => norm(k) -> v }
-        val prunedSet = pruneDistributed(spark, p, overlay, pred).map(norm).toSet
+        val prunedSet = pruneDistributed(spark, p, overlay, pred, urls)
+          .map(norm).toSet
         urls.filter { u =>
           val n = norm(u)
           normOverlay.get(n) match {
@@ -624,12 +625,24 @@ object ZoneMaps {
     * verdicts are driver-side).
     */
   private def pruneDistributed(spark: SparkSession, snapDir: HPath,
-      overlay: FileZones, pred: Expression): Seq[String] = {
+      overlay: FileZones, pred: Expression, candidates: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col => c, collect_list, struct}
     val predCols = pred.collect { case Attr(a) => a }.distinct
     if (predCols.isEmpty) return Seq.empty
-    val z0 = spark.read.schema(PqSchema).parquet(snapDir.toString)
+    val z1 = spark.read.schema(PqSchema).parquet(snapDir.toString)
       .where(c("col").isin(predCols: _*))
+    // restrict the sidecar scan to the candidate urls (already partition-
+    // pruned by the caller): a partition-selective query then reads only
+    // its slice of the zones table. Raw-url semi-join — a scheme-spelling
+    // mismatch merely skips that row's verdict, which KEEPS the file
+    // (conservative by construction). Skipped above a size cap where the
+    // broadcast itself would be the bottleneck.
+    val z0 =
+      if (candidates.isEmpty || candidates.size > 200000) z1
+      else z1.join(
+        broadcast(spark.createDataset(candidates)(
+          org.apache.spark.sql.Encoders.STRING).toDF("url")),
+        Seq("url"), "left_semi")
     val z =
       if (overlay.isEmpty) z0
       else z0.join(broadcast(zonesToDf(spark, overlay).select(c("url")).distinct()),

@@ -110,6 +110,7 @@ object ZoneScale {
         graft.streaming.Deliver.Config(s"$base/lake", s"$base/ck",
           manifestDir = Some(s"$base/manifest"),
           zoneMapCols = Seq("ts", "event_id"),
+          bloomFilterCols = Seq("id"),
           trigger = Trigger.AvailableNow(),
           clock = Some(java.sql.Timestamp.valueOf("2025-11-07 14:32:09.13"))))
       qd.awaitTermination()
@@ -143,6 +144,26 @@ object ZoneScale {
         s"pq-tier prune drift: $pKept/$pTotal vs $mKept/$mTotal")
       println(f"LAKESCALE_PQ sf=$sfDir files=$pTotal kept=$pKept " +
         f"readWherePq=$wZonePq%.3fs matchRows=$nZonePq")
+
+      // bloom point probe at the FULL lake's file count: above the
+      // distributeOver threshold (2048 < 2880) the footer+bloom probes run
+      // as a Spark job — the prune decision off the driver hot path
+      // (r11 verdict ask #7)
+      val probeUser = evRaw.orderBy(col("event_id")).select("user_id")
+        .head.getLong(0)
+      val bloomPred = col("id") === probeUser
+      val (wBloomL, nBloomL) = time(
+        graft.sources.ManifestReader.readWhere(spark, s"$base/manifest",
+          bloomPred, blooms = true).count())
+      val (bKeptL, bTotalL) = graft.sources.ManifestReader
+        .pruneStats(spark, s"$base/manifest", bloomPred, blooms = true)
+      val (wPlainL, nPlainL) = time(
+        graft.sources.ManifestReader.read(spark, s"$base/manifest")
+          .where(bloomPred).count())
+      require(nBloomL == nPlainL, s"lake bloom divergence: $nBloomL vs $nPlainL")
+      println(f"LAKEBLOOM sf=$sfDir files=$bTotalL kept=$bKeptL " +
+        f"fullScan=$wPlainL%.3fs bloomPruned=$wBloomL%.3fs matchRows=$nBloomL " +
+        f"(distributed probe path: ${bTotalL > 2048})")
     }
 
     // SIDECAR scale tier (r12): a synthetic sidecar of `nFiles*16` urls ×

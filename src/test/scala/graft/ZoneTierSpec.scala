@@ -192,6 +192,35 @@ class ZoneTierSpec extends SparkSuite {
       "corrupt file must harvest as no-stats (kept, never pruned)")
   }
 
+  test("distributed bloom probing: verdicts identical to the driver pool") {
+    val dir = tmpDir("graft-zt-dbloom-")
+    spark.range(0, 4000).toDF("id")
+      .withColumn("k", col("id") * 7)
+      .repartition(16, col("id"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir)
+    val fs = new HPath(dir).getFileSystem(hconf)
+    val files = graft.streaming.FsOps.walkParquet(fs, new HPath(dir),
+      skipHidden = true).map(p => fs.makeQualified(p).toString)
+    // a present key and an absent one, as one IN constraint
+    val pred = {
+      val df = spark.read.parquet(dir)
+      df.where(col("k") === 7L * 1234L)
+        .queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.reduce(org.apache.spark.sql.catalyst.expressions.And)
+    }
+    val (kDriver, pDriver) = ZoneMaps.bloomPrune(hconf, files, pred)
+    // distributeOver = 1 forces the Spark-job path on the same file list
+    val (kDist, pDist) = ZoneMaps.bloomPruneScaled(spark, files, pred,
+      distributeOver = 1)
+    assert(kDist.sorted == kDriver.sorted && pDist.sorted == pDriver.sorted,
+      s"distributed bloom verdicts diverged: ${kDist.size}/${pDist.size} vs " +
+        s"${kDriver.size}/${pDriver.size}")
+    assert(pDriver.nonEmpty, "the probe should prune at least one bloomed file")
+  }
+
   test("decimal zones: harvest, prune, and mixed-scale refusal") {
     val dir = tmpDir("graft-zt-dec-")
     val df = spark.range(0, 1000).toDF("id")
