@@ -176,18 +176,29 @@ object ManifestReader {
       cols: Seq[String] = Nil): Int = {
     val hconf = spark.sessionState.newHadoopConf()
     val files = latestManifestFiles(spark, manifestDir)
-    val zones = ZoneMaps.fromFooters(hconf, files, cols)
+    // harvest distributes past ~2k files (a Spark job over the file list)
+    val zones = ZoneMaps.fromFootersScaled(spark, files, cols)
     val dir = new HPath(manifestDir)
     val fs = dir.getFileSystem(hconf)
     val maxBatch = ManifestChain.list(fs, dir).map(_._1).maxOption.getOrElse(0L)
-    // snapshot AT maxBatch, not maxBatch+1: an equal-id snapshot wins over
-    // the incremental (whose zones this refresh already folded in via the
-    // live file set), while maxBatch+1 would permanently SHADOW the NEXT
-    // streaming batch's incremental sidecar — and if that batch hit
-    // snapshot cadence, its fold (upToExclusive = batchId) would silently
-    // discard this refresh's freshly-harvested stats for compacted files
-    ZoneMaps.write(hconf, manifestDir, maxBatch,
-      zones, compactEvery = 1) // force a snapshot fold
+    if (ZoneMaps.isParquetTier(hconf, manifestDir)) {
+      // a graduated lake refreshes IN ITS TIER: fold the fresh harvest to
+      // a parquet snapshot — ZoneMaps.write would emit the whole live
+      // set's zones as one giant JSON incremental, the exact driver-sized
+      // artifact the tier exists to retire
+      ZoneMaps.foldToParquet(spark, manifestDir, extraOverlay = zones,
+        snapshotId = Some(maxBatch))
+    } else {
+      // snapshot AT maxBatch, not maxBatch+1: an equal-id snapshot wins
+      // over the incremental (whose zones this refresh already folded in
+      // via the live file set), while maxBatch+1 would permanently SHADOW
+      // the NEXT streaming batch's incremental sidecar — and if that batch
+      // hit snapshot cadence, its fold (upToExclusive = batchId) would
+      // silently discard this refresh's freshly-harvested stats for
+      // compacted files
+      ZoneMaps.write(hconf, manifestDir, maxBatch,
+        zones, compactEvery = 1) // force a snapshot fold
+    }
     files.size
   }
 

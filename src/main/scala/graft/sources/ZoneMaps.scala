@@ -89,6 +89,30 @@ object ZoneMaps {
     }
   }
 
+  /** Cluster-scale [[fromFooters]]: above `distributeOver` files the
+    * footer reads run as a Spark job (each file's harvest is independent;
+    * the driver receives one small stats map per file) — refresh and
+    * compaction-repair paths at ~10⁵⁺ files would otherwise serialize
+    * through the 16-thread driver pool. Identical stats by construction:
+    * both paths call [[fileStats]], with the same per-file degradation.
+    */
+  def fromFootersScaled(spark: SparkSession, files: Seq[String],
+      cols: Seq[String] = Nil, distributeOver: Int = 2048): FileZones = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (files.size < distributeOver) return fromFooters(conf, files, cols)
+    val serConf = new SerializableHadoopConf(conf)
+    val localCols = cols
+    val slices = math.min(files.size / 64 + 1,
+      math.max(spark.sparkContext.defaultParallelism * 4, 32))
+    spark.sparkContext.parallelize(files, slices)
+      .map { f =>
+        (f, try fileStats(serConf.value, f, localCols)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, ColZone] // same keep-unpruned degradation
+        })
+      }.collect().toMap
+  }
+
   /** Footer stats for one file. Columns whose physical/logical type has no
     * portable comparison domain (INT96, fixed-len, decimals, nested groups
     * below top level keep their dotted path) or whose stats any row group
@@ -321,10 +345,9 @@ object ZoneMaps {
     * an id tie — the parquet fold subsumes an equal-id JSON snapshot) plus
     * the incrementals after it, sorted by id.
     */
-  private[sources] def resolveChain(fs: FileSystem, dir: HPath,
-      upToExclusive: Long): (Option[(Long, Int, HPath)], Seq[(Long, HPath)]) = {
-    if (!fs.exists(dir)) return (None, Seq.empty)
-    val all = fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+  private def listSidecar(fs: FileSystem, dir: HPath): Seq[(Long, Int, HPath)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
       p.getName match {
         case n if n.startsWith("zm-") && n.endsWith(".snap.pq") =>
           Some((n.stripPrefix("zm-").stripSuffix(".snap.pq").toLong, SnapPq, p))
@@ -334,7 +357,12 @@ object ZoneMaps {
           Some((n.stripPrefix("zm-").stripSuffix(".json").toLong, Inc, p))
         case _ => None
       }
-    }.filter(_._1 < upToExclusive)
+    }
+  }
+
+  private[sources] def resolveChain(fs: FileSystem, dir: HPath,
+      upToExclusive: Long): (Option[(Long, Int, HPath)], Seq[(Long, HPath)]) = {
+    val all = listSidecar(fs, dir).filter(_._1 < upToExclusive)
     val snap = all.filter(_._2 != Inc).sortBy(e => (e._1, e._2)).lastOption
     val incs = all.collect {
       case (id, Inc, p) if snap.forall(s => id > s._1) => (id, p)
@@ -342,16 +370,52 @@ object ZoneMaps {
     (snap, incs)
   }
 
+  /** One chain piece, degradation-safe: a piece deleted by a concurrent
+    * [[pruneSidecar]] (it was shadowed anyway) or unreadable (transient
+    * store error) yields NO zones — fewer zones can only mean less
+    * pruning, never a wrong skip, by the advisory contract.
+    */
+  private[sources] def readZonesSafe(fs: FileSystem, p: HPath): FileZones =
+    try parse(FsOps.readString(fs, p))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARNING: sidecar piece $p unreadable " +
+          s"(${e.getMessage}) — its zones degrade to no-pruning")
+        Map.empty
+    }
+
   private def chainZones(fs: FileSystem, dir: HPath,
       upToExclusive: Long): FileZones = {
     val (snap, incs) = resolveChain(fs, dir, upToExclusive)
     val head: FileZones = snap match {
       case Some((_, SnapPq, p)) => readPqSnapshotDriver(fs.getConf, p)
-      case Some((_, _, p)) => parse(FsOps.readString(fs, p))
+      case Some((_, _, p)) => readZonesSafe(fs, p)
       case None => Map.empty
     }
     incs.foldLeft(head) { (acc, e) =>
-      acc ++ parse(FsOps.readString(fs, e._2))
+      acc ++ readZonesSafe(fs, e._2)
+    }
+  }
+
+  /** Delete sidecar pieces strictly SHADOWED by the current snapshot
+    * (lower-id files, and an equal-id piece of a lesser kind): chain
+    * resolution never reads them again, they only grow the listing. Safe
+    * under concurrency: a reader that already listed a deleted piece
+    * degrades through [[readZonesSafe]] to fewer zones (advisory), and
+    * zone entries describe immutable files. Returns pieces deleted.
+    */
+  def pruneSidecar(conf: Configuration, manifestDir: String): Int = {
+    val dir = new HPath(manifestDir, SidecarDir)
+    val fs = dir.getFileSystem(conf)
+    resolveChain(fs, dir, Long.MaxValue)._1 match {
+      case None => 0
+      case Some((sid, skind, _)) =>
+        val dead = listSidecar(fs, dir).filter { case (id, kind, _) =>
+          id < sid || (id == sid && kind < skind)
+        }
+        dead.foreach(d => FsOps.deleteOrThrow(fs, d._3,
+          recursive = d._2 == SnapPq))
+        dead.size
     }
   }
 
@@ -505,11 +569,11 @@ object ZoneMaps {
     fs.mkdirs(dir)
     val (snap, incs) = resolveChain(fs, dir, Long.MaxValue)
     val jsonHead: FileZones = snap match {
-      case Some((_, SnapJson, p)) => parse(FsOps.readString(fs, p))
+      case Some((_, SnapJson, p)) => readZonesSafe(fs, p)
       case _ => Map.empty
     }
     val overlay = incs.foldLeft(jsonHead) { (acc, e) =>
-      acc ++ parse(FsOps.readString(fs, e._2))
+      acc ++ readZonesSafe(fs, e._2)
     } ++ extraOverlay
     val id = snapshotId.getOrElse(math.max(
       snap.map(_._1).getOrElse(0L), incs.map(_._1).maxOption.getOrElse(0L)))
@@ -532,6 +596,9 @@ object ZoneMaps {
     val target = new HPath(dir, f"zm-$id%010d.snap.pq")
     if (fs.exists(target)) FsOps.deleteOrThrow(fs, target, recursive = true)
     FsOps.renameOrThrow(fs, tmp, target)
+    // retire the pieces this fold shadowed — the listing must not grow
+    // with fold count; racing readers degrade through readZonesSafe
+    pruneSidecar(hconf, manifestDir)
     id
   }
 
@@ -560,12 +627,12 @@ object ZoneMaps {
         spark.read.schema(PqSchema).parquet(p.toString)
           .select("col").distinct().collect().map(_.getString(0)).toSeq
       case Some((_, _, p)) =>
-        parse(FsOps.readString(fs, p)).valuesIterator
+        readZonesSafe(fs, p).valuesIterator
           .flatMap(_.keysIterator).toSeq
       case None => Seq.empty
     }
     val fromIncs = incs.flatMap(e =>
-      parse(FsOps.readString(fs, e._2)).valuesIterator.flatMap(_.keysIterator))
+      readZonesSafe(fs, e._2).valuesIterator.flatMap(_.keysIterator))
     (fromSnap ++ fromIncs).distinct
   }
 
@@ -596,7 +663,7 @@ object ZoneMaps {
         val overlay = graft.operators.IndexMeta.cached(spark, dir.toString,
           tag = "zm-overlay") {
           incs.foldLeft(Map.empty: FileZones) { (acc, e) =>
-            acc ++ parse(FsOps.readString(fs, e._2))
+            acc ++ readZonesSafe(fs, e._2)
           }
         }
         val normOverlay = overlay.map { case (k, v) => norm(k) -> v }

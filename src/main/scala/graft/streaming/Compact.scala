@@ -254,7 +254,7 @@ object Compact {
         // driver-side JSON is the exact cliff the tier exists to avoid
         val cols = ZoneMaps.trackedCols(spark, mdir)
         if (cols.nonEmpty) {
-          val newZones = ZoneMaps.fromFooters(hconf, news.map(norm), cols)
+          val newZones = ZoneMaps.fromFootersScaled(spark, news.map(norm), cols)
           ZoneMaps.foldToParquet(spark, mdir, extraOverlay = newZones,
             snapshotId = Some(foldId))
         }

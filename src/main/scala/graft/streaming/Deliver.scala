@@ -499,6 +499,25 @@ object Deliver {
       try {
         val zones = graft.sources.ZoneMaps.fromFooters(hconf, added, cfg.zoneMapCols)
         graft.sources.ZoneMaps.write(hconf, mdir, batchId, zones, cfg.manifestCompactEvery)
+        // parquet-tier lakes SELF-MAINTAIN: at the cadence the JSON chain
+        // would have folded, fold the parquet snapshot distributively
+        // (write() emits only incrementals once the tier is parquet —
+        // without this, overlay incrementals accumulate until external
+        // maintenance). Idempotent per batchId like the incremental.
+        val cadence = cfg.manifestCompactEvery > 0 && batchId > 0 &&
+          batchId % cfg.manifestCompactEvery == 0
+        if (cadence && graft.sources.ZoneMaps.isParquetTier(hconf, mdir)) {
+          SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+            case Some(s) =>
+              graft.sources.ZoneMaps.foldToParquet(s, mdir,
+                snapshotId = Some(batchId))
+              ()
+            case None =>
+              System.err.println("[graft] WARNING: no active SparkSession " +
+                s"for the batch-$batchId parquet-tier sidecar fold — " +
+                "incrementals accumulate until ZoneMaps.foldToParquet runs")
+          }
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] WARNING: zone-map harvest failed for " +

@@ -255,6 +255,27 @@ class ZoneTierSpec extends SparkSuite {
     assert(k3 == t3, s"mixed-scale probe must keep every file: $k3/$t3")
   }
 
+  test("refreshZoneMaps on a parquet-tier lake stays in the tier") {
+    val base = deliverLake("graft-zt-refreshpq-")
+    val mdir = s"$base/manifest"
+    ZoneMaps.foldToParquet(spark, mdir)
+    assert(ZoneMaps.isParquetTier(hconf, mdir))
+    ManifestReader.refreshZoneMaps(spark, mdir, Seq("ts", "event_id"))
+    assert(ZoneMaps.isParquetTier(hconf, mdir),
+      "a refresh must not degrade a graduated sidecar back to JSON")
+    val fs = new HPath(mdir).getFileSystem(hconf)
+    val names = fs.listStatus(new HPath(mdir, "_zonemaps"))
+      .map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith(".snap.json")),
+      s"refresh rendered a JSON snapshot on a parquet-tier lake: $names")
+    // cut at the data's own p90 so some rows (and their files) survive
+    val cut = graft.queries.Registry.tbl(spark, sfDir, "events").limit(600)
+      .agg(expr("percentile_approx(ts, 0.9)")).head.getTimestamp(0)
+    val (kept, total) = ManifestReader.pruneStats(spark, mdir,
+      col("ts") >= lit(cut))
+    assert(kept > 0 && kept < total, s"post-refresh pruning lost: $kept/$total")
+  }
+
   test("refreshZoneMaps snapshots at maxBatch: the NEXT batch's sidecar is not shadowed") {
     val base = deliverLake("graft-zt-refresh-")
     val mdir = s"$base/manifest"
