@@ -503,7 +503,12 @@ object ZoneMaps {
           zz.nulls.map(Long.box).orNull, zz.rows)
       }
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), PqSchema)
+    // slice so a LARGE zones map (a first-time graduation folds the whole
+    // JSON history through here) parallelizes the snapshot write and the
+    // downstream scan; typical overlays are one flush and stay one slice
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
+      PqSchema)
   }
 
   private def rowZone(t: String, lo: String, hi: String, nulls: Any,

@@ -33,6 +33,11 @@ object ZoneScale {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     val dir = java.nio.file.Files.createTempDirectory("graft-zonescale-").toString
 
+    // SPARK_GRAFT_SIDECAR_ONLY=1 runs just the synthetic sidecar tier
+    // (scaling-curve runs at several nUrls without re-paying the cluster/
+    // deliver tiers); SPARK_GRAFT_SIDECAR_URLS overrides its size
+    val sidecarOnly = sys.env.get("SPARK_GRAFT_SIDECAR_ONLY").contains("1")
+    if (!sidecarOnly) {
     val t0 = System.nanoTime()
     ZOrder.cluster(li, Seq("l_partkey", "l_suppkey"), dir, nFiles)
     val buildSec = (System.nanoTime() - t0) / 1e9
@@ -165,6 +170,7 @@ object ZoneScale {
         f"fullScan=$wPlainL%.3fs bloomPruned=$wBloomL%.3fs matchRows=$nBloomL " +
         f"(distributed probe path: ${bTotalL > 2048})")
     }
+    } // !sidecarOnly
 
     // SIDECAR scale tier (r12): a synthetic sidecar of `nFiles*16` urls ×
     // 3 columns — big enough that the JSON tier's whole-chain driver parse
@@ -176,7 +182,8 @@ object ZoneScale {
       import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
       import org.apache.spark.sql.types.TimestampType
       import graft.sources.ZoneMaps.ColZone
-      val nUrls = math.max(nFiles * 16, 50000)
+      val nUrls = sys.env.get("SPARK_GRAFT_SIDECAR_URLS").map(_.toInt)
+        .getOrElse(math.max(nFiles * 16, 50000))
       val mdir = java.nio.file.Files.createTempDirectory("graft-sidecar-scale-")
         .toString
       val hconf = spark.sessionState.newHadoopConf()
