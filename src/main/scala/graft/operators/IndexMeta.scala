@@ -52,14 +52,23 @@ private[graft] object IndexMeta {
     * vs as a validated Seq) — same dir + different tag = separate entries.
     */
   def cached[A <: AnyRef](spark: SparkSession, dir: String, tag: String = "")(
-      load: => A): A = {
+      load: => A): A =
+    cachedIf(spark, dir, tag)(load)(_ => true)
+
+  /** [[cached]], but the loaded value is STORED only when `keep(v)` —
+    * for loads whose worst case outgrows a COUNT-bounded LRU (e.g. a
+    * JSON-tier zone map: cache the common small ones, reload a GB-scale
+    * one per call rather than pinning it in driver heap).
+    */
+  def cachedIf[A <: AnyRef](spark: SparkSession, dir: String, tag: String)(
+      load: => A)(keep: A => Boolean): A = {
     val key = s"$tag@$dir"
     val sig = signature(spark, dir)
     val hit = cache.get(key)
     if (hit != null && hit._1 == sig) hit._2.asInstanceOf[A]
     else {
       val v = load
-      cache.put(key, (sig, v))
+      if (keep(v)) cache.put(key, (sig, v)) else cache.remove(key)
       v
     }
   }

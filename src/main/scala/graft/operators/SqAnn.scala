@@ -50,6 +50,14 @@ object SqAnn {
     val sampled = Similarity.fitSample(corpus, maxFitRows)
       .select(l2_normalize(col(embCol)).as("e"))
       .where(col("e").isNotNull)
+    // EMPTY arrays are invisible to posexplode (no positions, so the
+    // per-dim count check below can't see them) — refuse them explicitly,
+    // keeping the old per-row size refusal's coverage for the degenerate
+    // input that would otherwise be silently mis-encoded
+    val emptyCnt = sampled.where(size(col("e")) === 0).limit(1).count()
+    require(emptyCnt == 0,
+      "SQ8 fit: sample contains zero-length embedding(s) — filter or " +
+        "re-embed them before fitting")
     val stats = sampled
       .select(posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy("pos")

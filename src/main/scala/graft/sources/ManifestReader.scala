@@ -124,9 +124,18 @@ object ManifestReader {
     */
   def asTable(spark: SparkSession, manifestDir: String,
       blooms: Boolean = false): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val dirPath = new HPath(manifestDir)
+    val fs = dirPath.getFileSystem(hconf)
+    def sig(): String = ManifestChain.chainFiles(fs, dirPath)
+      .map(_.getName).sorted.mkString(";")
+    // signature BEFORE the listing: a flush landing between the two is
+    // then included in `files` AND still looks changed to the first scan
+    // (a harmless extra refresh) — sampled after, it would be consumed
+    // unseen and the view would miss it until the NEXT manifest change
+    val sig0 = sig()
     val files = latestManifestFiles(spark, manifestDir)
     require(files.nonEmpty, s"no manifest in $manifestDir")
-    val hconf = spark.sessionState.newHadoopConf()
     val base = resolveBasePath(spark, manifestDir, files)
     // zones resolve PER SCAN through ZoneMaps.pruneResolved (signature-
     // cached, tier-aware): a flush after registration is pruned with its
@@ -145,23 +154,21 @@ object ManifestReader {
     // when the manifest directory's listing changes — a view over a
     // delivering lake sees post-registration flushes without
     // re-registration. The chain signature is one FS listing per scan;
-    // the (Spark-job) manifest parse re-runs only on change.
-    val dirPath = new HPath(manifestDir)
-    val fs = dirPath.getFileSystem(hconf)
-    def sig(): String = ManifestChain.chainFiles(fs, dirPath)
-      .map(_.getName).sorted.mkString(";")
-    val lastSig = new java.util.concurrent.atomic.AtomicReference[String](sig())
-    val resolve: () => Option[Seq[org.apache.hadoop.fs.Path]] = () => {
-      val now = sig()
-      if (now == lastSig.get()) None
-      else {
-        val fl = latestManifestFiles(spark, manifestDir)
-          .map(new org.apache.hadoop.fs.Path(_))
-        lastSig.set(now) // only after a successful resolve — a failed parse
-        // must not mark the change consumed
-        Some(fl)
+    // the (Spark-job) manifest parse re-runs only on change, and the
+    // change is consumed via the COMMIT callback only after the new index
+    // installs — a failed parse/build/layout-check retries next scan
+    // instead of silently pinning the stale file set.
+    val lastSig = new java.util.concurrent.atomic.AtomicReference[String](sig0)
+    val resolve: () => Option[(Seq[org.apache.hadoop.fs.Path], () => Unit)] =
+      () => {
+        val now = sig()
+        if (now == lastSig.get()) None
+        else {
+          val fl = latestManifestFiles(spark, manifestDir)
+            .map(new org.apache.hadoop.fs.Path(_))
+          Some((fl, () => lastSig.set(now)))
+        }
       }
-    }
     org.apache.spark.sql.graftbridge.ZoneMapFileIndex.table(spark,
       files.map(new org.apache.hadoop.fs.Path(_)),
       new org.apache.hadoop.fs.Path(base), prune, Some(resolve))

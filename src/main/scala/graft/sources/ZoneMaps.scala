@@ -104,13 +104,19 @@ object ZoneMaps {
     val localCols = cols
     val slices = math.min(files.size / 64 + 1,
       math.max(spark.sparkContext.defaultParallelism * 4, 32))
-    spark.sparkContext.parallelize(files, slices)
+    val res = spark.sparkContext.parallelize(files, slices)
       .map { f =>
-        (f, try fileStats(serConf.value, f, localCols)
+        try (f, fileStats(serConf.value, f, localCols), true)
         catch { case scala.util.control.NonFatal(_) =>
-          Map.empty[String, ColZone] // same keep-unpruned degradation
-        })
-      }.collect().toMap
+          (f, Map.empty[String, ColZone], false) // keep-unpruned degradation
+        }
+      }.collect()
+    val skipped = res.collect { case (f, _, false) => f }
+    if (skipped.nonEmpty)
+      System.err.println(s"[graft] WARNING: zone-map harvest skipped " +
+        s"${skipped.size} unreadable footer(s) (first: ${skipped.head}) — " +
+        "those files are kept unpruned")
+    res.map(r => r._1 -> r._2).toMap
   }
 
   /** Footer stats for one file. Columns whose physical/logical type has no
@@ -308,7 +314,7 @@ object ZoneMaps {
     val dir = new HPath(manifestDir, SidecarDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    val cadence = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    val cadence = foldCadence(batchId, compactEvery)
     val pqTier = cadence &&
       resolveChain(fs, dir, upToExclusive = batchId)._1.exists(_._2 == SnapPq)
     val snapshot = cadence && !pqTier
@@ -335,6 +341,13 @@ object ZoneMaps {
   }
 
   private val SidecarDir = "_zonemaps"
+
+  /** The ONE fold-cadence rule: [[write]]'s snapshot points and the
+    * deliver sink's parquet-tier self-folds must agree batch-for-batch —
+    * a drifted copy would accumulate incrementals or double-fold.
+    */
+  def foldCadence(batchId: Long, compactEvery: Int): Boolean =
+    compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
 
   // chain-entry kinds: plain incremental, JSON snapshot, parquet snapshot
   private[sources] final val Inc = 0
@@ -682,10 +695,14 @@ object ZoneMaps {
           }
         }
       case _ =>
-        val zones = graft.operators.IndexMeta.cached(spark, dir.toString,
+        // cache only driver-comfortable maps: the LRU is COUNT-bounded, so
+        // pinning a huge un-graduated lake's whole map would reintroduce
+        // the driver-heap cliff the parquet tier retires — big maps reload
+        // per call (and the lake should run foldToParquet)
+        val zones = graft.operators.IndexMeta.cachedIf(spark, dir.toString,
           tag = "zm-json") {
           chainZones(fs, dir, Long.MaxValue): FileZones
-        }
+        }(z => z.valuesIterator.map(_.size.toLong).sum <= 50000L)
         val zByNorm = zones.map { case (k, v) => norm(k) -> v }
         urls.filter(u => !zByNorm.get(norm(u)).exists(z => provesEmpty(pred, z)))
     }
@@ -698,27 +715,35 @@ object ZoneMaps {
     */
   private def pruneDistributed(spark: SparkSession, snapDir: HPath,
       overlay: FileZones, pred: Expression, candidates: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{broadcast, col => c, collect_list, struct}
+    import org.apache.spark.sql.functions.{broadcast, col => c, collect_list, struct, udf}
     val predCols = pred.collect { case Attr(a) => a }.distinct
-    if (predCols.isEmpty) return Seq.empty
+    // nothing to prune (a fully partition-pruned scan passes no urls) —
+    // never pay a sidecar job whose verdicts nobody reads
+    if (predCols.isEmpty || candidates.isEmpty) return Seq.empty
+    // scheme-spelling normalization on BOTH join sides (file:/ vs
+    // file:/// — the FileIndex and the manifest writer may spell urls
+    // differently): an unnormalized semi-join would silently drop every
+    // snapshot row and disable pruning outright for registered views
+    val normUdf = udf((u: String) => new HPath(u).toString)
     val z1 = spark.read.schema(PqSchema).parquet(snapDir.toString)
       .where(c("col").isin(predCols: _*))
+      .withColumn("__nurl", normUdf(c("url")))
     // restrict the sidecar scan to the candidate urls (already partition-
     // pruned by the caller): a partition-selective query then reads only
-    // its slice of the zones table. Raw-url semi-join — a scheme-spelling
-    // mismatch merely skips that row's verdict, which KEEPS the file
-    // (conservative by construction). Skipped above a size cap where the
+    // its slice of the zones table. Skipped above a size cap where the
     // broadcast itself would be the bottleneck.
     val z0 =
-      if (candidates.isEmpty || candidates.size > 200000) z1
+      if (candidates.size > 200000) z1
       else z1.join(
-        broadcast(spark.createDataset(candidates)(
-          org.apache.spark.sql.Encoders.STRING).toDF("url")),
-        Seq("url"), "left_semi")
+        broadcast(spark.createDataset(
+          candidates.map(u => new HPath(u).toString))(
+          org.apache.spark.sql.Encoders.STRING).toDF("__nurl")),
+        Seq("__nurl"), "left_semi")
     val z =
       if (overlay.isEmpty) z0
-      else z0.join(broadcast(zonesToDf(spark, overlay).select(c("url")).distinct()),
-        Seq("url"), "left_anti")
+      else z0.join(broadcast(zonesToDf(spark, overlay).select(c("url"))
+          .withColumn("__nurl", normUdf(c("url"))).select(c("__nurl")).distinct()),
+        Seq("__nurl"), "left_anti")
     val localPred = pred // serialized into the task closure (case classes)
     implicit val enc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
@@ -726,10 +751,16 @@ object ZoneMaps {
       .agg(collect_list(struct(c("col"), c("t"), c("lo"), c("hi"), c("nulls"),
         c("rows"))).as("zs"))
       .flatMap { r =>
-        val zones = r.getSeq[org.apache.spark.sql.Row](1).map { zr =>
-          zr.getString(0) -> rowZone(zr.getString(1), zr.getString(2),
+        // per-(col) decode degradation, the advisory posture everywhere:
+        // an undecodable entry (unknown future domain, corrupt value)
+        // drops THAT column's zone — absent = never prune on it — instead
+        // of failing the task and turning metadata damage into a scan
+        // outage
+        val zones = r.getSeq[org.apache.spark.sql.Row](1).flatMap { zr =>
+          try Some(zr.getString(0) -> rowZone(zr.getString(1), zr.getString(2),
             zr.getString(3), if (zr.isNullAt(4)) null else Long.box(zr.getLong(4)),
-            zr.getLong(5))
+            zr.getLong(5)))
+          catch { case scala.util.control.NonFatal(_) => None }
         }.toMap
         if (provesEmpty(localPred, zones)) Some(r.getString(0)) else None
       }.collect().toSeq

@@ -504,9 +504,8 @@ object Deliver {
         // (write() emits only incrementals once the tier is parquet —
         // without this, overlay incrementals accumulate until external
         // maintenance). Idempotent per batchId like the incremental.
-        val cadence = cfg.manifestCompactEvery > 0 && batchId > 0 &&
-          batchId % cfg.manifestCompactEvery == 0
-        if (cadence && graft.sources.ZoneMaps.isParquetTier(hconf, mdir)) {
+        if (graft.sources.ZoneMaps.foldCadence(batchId, cfg.manifestCompactEvery) &&
+            graft.sources.ZoneMaps.isParquetTier(hconf, mdir)) {
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
             case Some(s) =>
               graft.sources.ZoneMaps.foldToParquet(s, mdir,

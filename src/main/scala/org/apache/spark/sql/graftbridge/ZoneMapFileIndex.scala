@@ -21,20 +21,23 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   * handles `partitionFilters` from the directory layout.
   *
   * `resolve` (optional) makes the FILE SET LIVE: called per `listFiles`,
-  * it returns Some(files) when the backing table grew/changed (the caller
-  * owns the change check — typically a manifest-chain signature) and None
-  * when unchanged. On change, an inner index over the new list replaces
-  * the registration-time listing, so a registered view keeps seeing
-  * post-registration flushes. The DATA schema stays frozen at
-  * registration (normal table semantics); a resolve that changes the
-  * PARTITION layout is refused loudly rather than mis-read.
+  * it returns Some((files, commit)) when the backing table grew/changed
+  * (the caller owns the change check — typically a manifest-chain
+  * signature) and None when unchanged. On change, an inner index over the
+  * new list replaces the registration-time listing, so a registered view
+  * keeps seeing post-registration flushes; `commit` runs only AFTER the
+  * new index installs successfully, so a failed refresh (listing error,
+  * layout change) is retried on the next scan instead of being consumed
+  * as seen. The DATA schema stays frozen at registration (normal table
+  * semantics); a resolve that changes the PARTITION layout is refused
+  * loudly rather than mis-read.
   */
 class ZoneMapFileIndex(
     spark: SparkSession,
     leafFiles: Seq[Path],
     basePath: Path,
     prune: (Seq[Expression], Seq[String]) => Set[String],
-    resolve: Option[() => Option[Seq[Path]]] = None)
+    resolve: Option[() => Option[(Seq[Path], () => Unit)]] = None)
   extends InMemoryFileIndex(spark, leafFiles,
     Map("basePath" -> basePath.toString), userSpecifiedSchema = None) {
 
@@ -47,7 +50,7 @@ class ZoneMapFileIndex(
   private val frozenPartitionSchema = super.partitionSchema
 
   private def refreshIfChanged(): Unit = resolve.foreach { r =>
-    r().foreach { files =>
+    r().foreach { case (files, commit) =>
       val idx = new InMemoryFileIndex(spark, files,
         Map("basePath" -> basePath.toString), userSpecifiedSchema = None)
       require(idx.partitionSchema.sameType(frozenPartitionSchema),
@@ -57,6 +60,7 @@ class ZoneMapFileIndex(
           "re-register the view; a frozen-schema table cannot follow a " +
           "layout change")
       live = Some(idx)
+      commit() // only now is the change consumed
     }
   }
 
@@ -85,16 +89,23 @@ class ZoneMapFileIndex(
     }
   }
 
-  override def inputFiles: Array[String] = live match {
-    case Some(idx) => idx.inputFiles
-    case None => super.inputFiles
+  override def inputFiles: Array[String] = {
+    refreshIfChanged()
+    live match {
+      case Some(idx) => idx.inputFiles
+      case None => super.inputFiles
+    }
   }
 
   // join-strategy sizing must track the LIVE set, or a grown lake keeps
-  // getting broadcast at its registration-time size
-  override def sizeInBytes: Long = live match {
-    case Some(idx) => idx.sizeInBytes
-    case None => super.sizeInBytes
+  // getting broadcast at its registration-time size — and Catalyst reads
+  // stats BEFORE any listFiles runs, so the refresh must happen here too
+  override def sizeInBytes: Long = {
+    refreshIfChanged()
+    live match {
+      case Some(idx) => idx.sizeInBytes
+      case None => super.sizeInBytes
+    }
   }
 
   override def refresh(): Unit = {
@@ -115,7 +126,7 @@ object ZoneMapFileIndex {
     */
   def table(spark: SparkSession, leafFiles: Seq[Path], basePath: Path,
       prune: (Seq[Expression], Seq[String]) => Set[String],
-      resolve: Option[() => Option[Seq[Path]]] = None): DataFrame = {
+      resolve: Option[() => Option[(Seq[Path], () => Unit)]] = None): DataFrame = {
     val index = new ZoneMapFileIndex(spark, leafFiles, basePath, prune, resolve)
     val format = new ParquetFileFormat
     val dataSchema = format.inferSchema(spark, Map.empty,

@@ -116,6 +116,24 @@ class ZoneTierSpec extends SparkSuite {
     assert(k3 >= 1 && k3 < t3, s"overlay pruning ineffective: $k3/$t3")
     assert(ManifestReader.readWhere(spark, mdir, probe)
       .select("event_id").as[Long].collect().toSeq == Seq(9999901L))
+
+    // a REGISTERED VIEW over the pq-tier lake must skip files through the
+    // scan node's own listing: the FileIndex spells urls its own way
+    // (file:/ vs file:///), so this pins the normalized semi-join in the
+    // distributed prune — unnormalized, every snapshot row drops out and
+    // pruning silently no-ops exactly here
+    LakeCatalog.registerPrunedView(spark, "zt_pq_view", mdir)
+    val vdf = spark.sql("SELECT count(*) c FROM zt_pq_view " +
+      "WHERE ts >= TIMESTAMP '2029-12-31 00:00:00'")
+    val scans = vdf.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    val listed = scans.headOption.map(sc => sc.relation.location
+      .listFiles(sc.partitionFilters, sc.dataFilters).map(_.files.size).sum)
+    val totalFiles = ManifestReader.latestManifestFiles(spark, mdir).size
+    assert(listed.exists(l => l >= 1 && l < totalFiles),
+      s"pq-tier view scan must list fewer files: $listed of $totalFiles")
+    assert(vdf.head.getLong(0) == 1L)
   }
 
   test("registered pruned view is LIVE: a post-registration flush is visible") {
