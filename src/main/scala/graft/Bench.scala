@@ -48,6 +48,30 @@ object Bench {
       RunMetrics(accWrite.get, accRead.get, accSpill.get)
     }
 
+    // Fixed-work CALIBRATION probe (r12 verdict ask #3): three rounds of
+    // phantom min-regressions (r10–r12) were box drift, not code — each
+    // sandbox round runs on different hardware/contention and raw
+    // wall-clock mins are incomparable across boxes. This deterministic
+    // CPU+shuffle microbenchmark (codegen'd hash fold + a 32-way
+    // repartition count — no I/O, no data dependence) measures THIS box's
+    // speed; the min-regression gate below normalizes by the ratio to the
+    // committed baseline's calibration, so a uniformly-slower box stays
+    // quiet while a single-query code regression still fires.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64, pmod, lit}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(20000000L).select(sum(xxhash64(col("id") * 7))).collect()
+        spark.range(2000000L)
+          .repartition(32, pmod(col("id"), lit(4096)))
+          .groupBy(pmod(col("id"), lit(4096))).count()
+          .agg(sum(col("count"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // unrecorded JIT warm-up
+      (1 to 3).map(_ => once()).min // min = least-contended estimate
+    }
+
     // Optional name filter (comma-separated prefixes) for partial-table SF
     // instances — e.g. data/sf10 carries only documents+embeddings, so the
     // scale runs bench just the corpus/ANN family there. Unset = full set.
@@ -60,6 +84,9 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // calibration AFTER warm-up (JIT-steady) and again after the suite:
+    // the min of the two is the box-speed estimate for the whole window
+    val calBefore = calibrate()
     // report steady-state latency: median of 3 runs per query — a single
     // run can absorb sandbox contention (round 3 recorded a 7× phantom
     // regression); the median rejects one-sided outliers while still
@@ -229,22 +256,40 @@ object Bench {
       }
     }
     regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
-    // MIN-regression gate (r11): a query whose best-of-n regresses >20%
-    // against the committed MINS_BASELINE.json while its shuffle bytes are
-    // UNCHANGED is flagged — min is the contention-free estimator, so a
-    // moved min with an identical plan is a real executor-side change
-    // (codegen, data volume, decode work), not harness noise.
+    // second calibration sample after the suite (the box may have heated
+    // up or quieted down mid-run); min of the two estimates the window
+    val calAfter = calibrate()
+    val cal = math.min(calBefore, calAfter)
+    // MIN-regression gate (r11, calibration-normalized r13): a query whose
+    // best-of-n regresses >20% against the committed MINS_BASELINE.json
+    // while its shuffle bytes are UNCHANGED is flagged — min is the
+    // contention-free estimator, so a moved min with an identical plan is
+    // a real executor-side change (codegen, data volume, decode work).
+    // The baseline carries the RECORDING box's calibration under
+    // "__calibration"; comparisons scale by this box's ratio to it
+    // (clamped to [0.5, 4] so a degenerate calibration sample can't blow
+    // the gate wide open or slam it shut), so box drift stays quiet while
+    // a single-query code regression still fires.
+    var calRatioOut = 1.0
+    var calBaseOut = -1.0
     val minRegressions: Seq[String] = {
       val f = new java.io.File("MINS_BASELINE.json")
       if (!f.exists()) Nil else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
         val baseline = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val calRatio = baseline.get("__calibration") match {
+          case Some(bc) if bc > 0 =>
+            calBaseOut = bc
+            math.min(4.0, math.max(0.5, cal / bc))
+          case _ => 1.0
+        }
+        calRatioOut = calRatio
         val shuffleGrew = regressions.map(_.split(":")(0).stripPrefix("\"")).toSet
         all.flatMap { case (k, _, ts, _) =>
           baseline.get(k).collect {
-            case b if ts.nonEmpty && b > 0 && ts.min > 1.2 * b && !shuffleGrew(k) =>
-              f""""$k: min ${ts.min}%.3f vs baseline $b%.3f (shuffle unchanged)""""
+            case b if ts.nonEmpty && b > 0 && ts.min > 1.2 * b * calRatio && !shuffleGrew(k) =>
+              f""""$k: min ${ts.min}%.3f vs baseline $b%.3f (shuffle unchanged, cal ratio $calRatio%.2f)""""
           }
         }
       }
@@ -267,7 +312,9 @@ object Bench {
     // inline pushes headline entries out of the capture window.
     val detail = s"""{"runs":$runs,"shuffle":$shuffleJson,""" +
       s""""shuffle_regressions":[${regressions.mkString(",")}],""" +
-      s""""min_regressions":[${minRegressions.mkString(",")}],"sf":"$sfDir"}"""
+      s""""min_regressions":[${minRegressions.mkString(",")}],""" +
+      s""""calibration":{"before":${d3(calBefore)},"after":${d3(calAfter)},""" +
+      s""""baseline":${d3(calBaseOut)},"ratio":${d3(calRatioOut)}},"sf":"$sfDir"}"""
     // cwd-relative by the same convention as the SHUFFLE_BASELINE.json read
     // above (the harness runs sbt from the repo root); the absolute path is
     // logged so a wrapper invoking from elsewhere can see where it landed
@@ -279,6 +326,7 @@ object Bench {
     System.err.println(s"[bench-detail] $detail")
     val headlineLine = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""queries":$qs,"mins":$mins,"loadavg":$loadavg,"procs":$procs,""" +
+      s""""calibration":${d3(cal)},"cal_ratio":${d3(calRatioOut)},""" +
       s""""shuffle_regression_count":${regressions.size},""" +
       s""""min_regression_count":${minRegressions.size},""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""

@@ -61,10 +61,21 @@ object SqAnn {
     val stats = sampled
       .select(posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy("pos")
+      // Spark's max() orders NaN ABOVE every double — one NaN value would
+      // make hi (hence scale and band) NaN and silently void the rerank-cut
+      // guarantee for that dimension. NaN embeddings are garbage input
+      // (they NaN through every similarity expression too): count them in
+      // the same pass and refuse loudly below, keeping the grid finite.
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        count(when(isnan(col("v")), lit(1))).as("nans"))
       .collect()
     require(stats.nonEmpty, "SQ8 fit: empty corpus")
+    val nanCnt = stats.map(_.getAs[Long]("nans")).sum
+    require(nanCnt == 0,
+      s"SQ8 fit: sample contains $nanCnt NaN embedding value(s) — a NaN " +
+        "dimension makes the quantization grid (and its error band) NaN, " +
+        "voiding the rerank-cut guarantee; filter or re-embed those rows")
     val dim = stats.length
     // equal per-dimension counts ⇔ every sampled vector has exactly `dim`
     // entries (a short vector under-counts its missing trailing dims, a

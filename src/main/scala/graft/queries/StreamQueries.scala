@@ -1317,6 +1317,79 @@ object StreamQueries {
         | MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
         | TRUE AS pruned
         |FROM lineitem
-        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) <= CAST('10000.00' AS DECIMAL(12,2))""".stripMargin))
+        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) <= CAST('10000.00' AS DECIMAL(12,2))""".stripMargin)),
+
+    // ---- DECIMAL bloom probes (r13): a point lookup on a money column —
+    // the case zone maps CANNOT help (files are hash-spread by order key,
+    // so every file's [min,max] straddles every price) — pruned from the
+    // parquet BLOOM bytes. The probe's unscaled value maps onto the
+    // column's physical representation (precision 12 → INT64); the oracle
+    // pins a ≥4× file-count reduction (`bloom_effective`) alongside the
+    // row values, the q119 discipline on the decimal domain.
+    Q("q125_decimal_bloom_lookup", (s, d) => {
+      val dir = tmp("graft-q125-")
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+      graft.streaming.Deliver.withInt64Timestamps(s) {
+        li.repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#price_dec", "true")
+          .parquet(dir)
+      }
+      // probe: the first lineitem's price — deterministic at every SF
+      val probe = li.orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("price_dec")).head.getDecimal(0)
+      val pred = col("price_dec") === lit(probe)
+      val (keptZ, total) = graft.sources.ZoneMaps.pruneStats(s, dir, pred)
+      val (kept, _) = graft.sources.ZoneMaps.pruneStats(s, dir, pred, blooms = true)
+      graft.sources.ZoneMaps.scanWhere(s, dir, pred, blooms = true)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("zones_blind", lit(keptZ == total))
+        .withColumn("bloom_effective", lit(kept > 0 && kept * 4 <= total))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        | TRUE AS zones_blind, TRUE AS bloom_effective
+        |FROM lineitem
+        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) =
+        |  (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        |   ORDER BY l_orderkey, l_linenumber LIMIT 1)""".stripMargin)),
+
+    // ---- NESTED-column zone pruning (r13): the CDC envelope shape — a
+    // lake that RETAINS the payload struct still gets file skipping on
+    // `payload.data.id`, because the harvest stores dotted leaf paths and
+    // the pruner flattens the resolved GetStructField chain onto them
+    // (before r13 struct-field predicates silently never pruned). Files
+    // range-clustered by the nested key; the oracle pins effectiveness.
+    Q("q126_nested_zone_prune", (s, d) => {
+      val dir = tmp("graft-q126-")
+      val env = tbl(s, d, "events")
+        .select(struct(
+            struct(col("user_id").as("id"), col("value")).as("data"),
+            col("event_type").as("op")).as("payload"),
+          col("event_id"))
+      graft.streaming.Deliver.withInt64Timestamps(s) {
+        env.repartitionByRange(8, col("payload.data.id"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      // cut at half the max id — deterministic and SQL-expressible
+      val cut = tbl(s, d, "events")
+        .agg(floor(max(col("user_id")) / lit(2.0)).cast("long")).head.getLong(0)
+      val pred = col("payload.data.id") >= lit(cut)
+      val (kept, total) = graft.sources.ZoneMaps.pruneStats(s, dir, pred)
+      graft.sources.ZoneMaps.scanWhere(s, dir, pred)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("payload.data.id")).as("n_keys"),
+          min(col("payload.data.id")).as("min_id"),
+          max(col("event_id")).as("max_eid"))
+        .withColumn("pruned", lit(kept > 0 && kept < total))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        | MIN(user_id) AS min_id, MAX(event_id) AS max_eid, TRUE AS pruned
+        |FROM events
+        |WHERE user_id >= (SELECT CAST(FLOOR(MAX(user_id) / 2.0) AS BIGINT) FROM events)""".stripMargin))
   )
 }

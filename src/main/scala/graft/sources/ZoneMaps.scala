@@ -572,10 +572,19 @@ object ZoneMaps {
     * by the cadence invariant) and `extraOverlay` are driver-resident.
     * Newest-wins BY URL, like every fold. Returns the snapshot id.
     *
-    * Crash-safe: written to a dot-temp dir, renamed over the target; a
-    * crash before the rename leaves the previous chain intact, and zone
-    * entries describe IMMUTABLE files by url, so readers falling back to
-    * an older chain can never prune wrongly — only less.
+    * Crash-safe: written to a dot-temp dir, then swapped in with the live
+    * snapshot renamed ASIDE first (never deleted before the replacement is
+    * in place — a crash between a delete and the rename-in would leave NO
+    * snapshot while pruneSidecar had already removed the shadowed pieces,
+    * silently losing every zone until a manual refresh). A crash inside
+    * the two-rename swap window leaves the aside copy, which the next
+    * fold restores; readers in that window degrade to no-pruning, never a
+    * wrong skip (zone entries describe IMMUTABLE files by url).
+    *
+    * An explicit `snapshotId` below the current chain head is CLAMPED up
+    * to it: a lower-id snapshot would be deleted by this fold's own
+    * pruneSidecar (id < max), silently discarding `extraOverlay` — the
+    * Compact-repair-racing-a-Deliver-self-fold case.
     */
   def foldToParquet(spark: SparkSession, manifestDir: String,
       extraOverlay: FileZones = Map.empty,
@@ -585,6 +594,7 @@ object ZoneMaps {
     val dir = new HPath(manifestDir, SidecarDir)
     val fs = dir.getFileSystem(hconf)
     fs.mkdirs(dir)
+    recoverAside(fs, dir)
     val (snap, incs) = resolveChain(fs, dir, Long.MaxValue)
     val jsonHead: FileZones = snap match {
       case Some((_, SnapJson, p)) => readZonesSafe(fs, p)
@@ -593,8 +603,9 @@ object ZoneMaps {
     val overlay = incs.foldLeft(jsonHead) { (acc, e) =>
       acc ++ readZonesSafe(fs, e._2)
     } ++ extraOverlay
-    val id = snapshotId.getOrElse(math.max(
-      snap.map(_._1).getOrElse(0L), incs.map(_._1).maxOption.getOrElse(0L)))
+    val chainMax = math.max(
+      snap.map(_._1).getOrElse(0L), incs.map(_._1).maxOption.getOrElse(0L))
+    val id = math.max(snapshotId.getOrElse(chainMax), chainMax)
     val overlayDf = zonesToDf(spark, overlay)
     val outDf = snap match {
       case Some((_, SnapPq, p)) =>
@@ -603,21 +614,42 @@ object ZoneMaps {
           if (overlay.isEmpty) base
           else base.join(
             org.apache.spark.sql.functions.broadcast(
-              zonesToDf(spark, overlay).select(c("url")).distinct()),
+              overlayDf.select(c("url")).distinct()),
             Seq("url"), "left_anti")
         survivors.unionByName(overlayDf)
       case _ => overlayDf
     }
     val tmp = new HPath(dir, s".tmp-zm-$id.snap.pq")
     if (fs.exists(tmp)) FsOps.deleteOrThrow(fs, tmp, recursive = true)
+    // the tmp write CONSUMES the live snapshot (the base scan executes
+    // here), so the swap below can safely move it aside
     outDf.write.mode("overwrite").parquet(tmp.toString)
     val target = new HPath(dir, f"zm-$id%010d.snap.pq")
-    if (fs.exists(target)) FsOps.deleteOrThrow(fs, target, recursive = true)
+    val aside = new HPath(dir, f".old-zm-$id%010d.snap.pq")
+    if (fs.exists(aside)) FsOps.deleteOrThrow(fs, aside, recursive = true)
+    if (fs.exists(target)) FsOps.renameOrThrow(fs, target, aside)
     FsOps.renameOrThrow(fs, tmp, target)
+    if (fs.exists(aside)) FsOps.deleteOrThrow(fs, aside, recursive = true)
     // retire the pieces this fold shadowed — the listing must not grow
     // with fold count; racing readers degrade through readZonesSafe
     pruneSidecar(hconf, manifestDir)
     id
+  }
+
+  /** Repair a fold interrupted inside its swap window: an aside copy with
+    * no live target means the crash hit between the two renames — restore
+    * it; with a live target the aside is stale — drop it.
+    */
+  private def recoverAside(fs: FileSystem, dir: HPath): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(".old-zm-") &&
+        p.getName.endsWith(".snap.pq"))
+      .foreach { aside =>
+        val target = new HPath(dir, aside.getName.stripPrefix(".old-"))
+        if (!fs.exists(target)) FsOps.renameOrThrow(fs, aside, target)
+        else FsOps.deleteOrThrow(fs, aside, recursive = true)
+      }
   }
 
   /** True when a parquet snapshot leads the sidecar chain — maintenance
@@ -739,10 +771,14 @@ object ZoneMaps {
           candidates.map(u => new HPath(u).toString))(
           org.apache.spark.sql.Encoders.STRING).toDF("__nurl")),
         Seq("__nurl"), "left_semi")
+    // the overlay's urls are already known driver-side and normalized —
+    // exclude them with a LocalRelation anti-join instead of re-
+    // parallelizing the whole overlay map into a job just to distinct it
     val z =
       if (overlay.isEmpty) z0
-      else z0.join(broadcast(zonesToDf(spark, overlay).select(c("url"))
-          .withColumn("__nurl", normUdf(c("url"))).select(c("__nurl")).distinct()),
+      else z0.join(broadcast(spark.createDataset(
+          overlay.keysIterator.map(u => new HPath(u).toString).toSeq.distinct)(
+          org.apache.spark.sql.Encoders.STRING).toDF("__nurl")),
         Seq("__nurl"), "left_anti")
     val localPred = pred // serialized into the task closure (case classes)
     implicit val enc: org.apache.spark.sql.Encoder[String] =
@@ -806,11 +842,11 @@ object ZoneMaps {
     case GreaterThanOrEqual(Lit(v, t), Attr(a)) => noneBelow(zones.get(a), t, v, strict = false)
     case In(Attr(a), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall { case Lit(v, t) => outside(zones.get(a), t, v, v); case _ => false }
-    case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+    case InSet(e @ Attr(a), vs) if vs.nonEmpty =>
       // the optimizer's large-IN form: values are internal representations
-      // typed by the attribute
-      vs.forall(v => internal(v, a.dataType)
-        .exists { case (d, t) => outside(zones.get(a.name), t, d, d) })
+      // typed by the attribute (or struct-field extraction)
+      vs.forall(v => internal(v, e.dataType)
+        .exists { case (d, t) => outside(zones.get(a), t, d, d) })
     case IsNull(Attr(a)) =>
       zones.get(a).exists(z => z.nulls.contains(0L) && z.rows > 0)
     case IsNotNull(Attr(a)) =>
@@ -877,12 +913,26 @@ object ZoneMaps {
     }
 
   /** Attribute name from either an unresolved user-built Column or a
-    * resolved plan attribute (both shapes reach the pruner).
+    * resolved plan attribute (both shapes reach the pruner). A resolved
+    * predicate on a STRUCT FIELD (`payload.data.id`, the CDC envelope
+    * shape) arrives as a GetStructField chain over the root attribute —
+    * flatten it to the dotted leaf path, which is exactly what the footer
+    * harvest records (`getPath.toDotString`); before r13 these silently
+    * never pruned (conservative, but the benefit was silently absent).
     */
   private object Attr {
     def unapply(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case u: UnresolvedAttribute => Some(u.nameParts.mkString("."))
+      case g: GetStructField =>
+        def chain(x: Expression, suffix: List[String]): Option[String] = x match {
+          case a: AttributeReference => Some((a.name :: suffix).mkString("."))
+          case u: UnresolvedAttribute =>
+            Some((u.nameParts.toList ++ suffix).mkString("."))
+          case gs: GetStructField => chain(gs.child, gs.extractFieldName :: suffix)
+          case _ => None // extraction off a non-column (function result): no zone
+        }
+        chain(g.child, List(g.extractFieldName))
       case _ => None
     }
   }
@@ -943,10 +993,10 @@ object ZoneMaps {
         val lits = nonNull.collect { case Lit(v, t) => (v, t) }
         if (lits.nonEmpty && lits.size == nonNull.size) Seq(a -> lits)
         else Seq.empty
-      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+      case InSet(e @ Attr(a), vs) if vs.nonEmpty =>
         val nonNull = vs.toSeq.filter(_ != null)
-        val lits = nonNull.flatMap(v => internal(v, a.dataType))
-        if (lits.nonEmpty && lits.size == nonNull.size) Seq(a.name -> lits)
+        val lits = nonNull.flatMap(v => internal(v, e.dataType))
+        if (lits.nonEmpty && lits.size == nonNull.size) Seq(a -> lits)
         else Seq.empty
       case _ => Seq.empty
     }
@@ -1076,9 +1126,51 @@ object ZoneMaps {
         else Seq(bloom.hash(d))
       case (BINARY, b: Array[Byte], "bytes") =>
         Seq(bloom.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
+      // decimals: the probe carries the UNSCALED value tagged with its
+      // scale; it maps onto the column's PHYSICAL representation only when
+      // the scales agree (same refusal rule as the zone domains). Spark
+      // writes precision ≤9 as INT32, ≤18 as INT64, larger as
+      // FIXED_LEN_BYTE_ARRAY big-endian two's complement (sign-extended to
+      // the declared length). Variable-length BINARY decimals stay
+      // unprobed: their byte length is writer-dependent, and a wrong
+      // representation would wrongly prune.
+      case (INT32, bi: BigInt, t) if t.startsWith("dec") =>
+        decScale(pt) match {
+          case Some(s) if s"dec$s" == t && bi.isValidInt =>
+            Seq(bloom.hash(bi.toInt))
+          case _ => Seq.empty
+        }
+      case (INT64, bi: BigInt, t) if t.startsWith("dec") =>
+        decScale(pt) match {
+          case Some(s) if s"dec$s" == t && bi.isValidLong =>
+            Seq(bloom.hash(bi.toLong))
+          case _ => Seq.empty
+        }
+      case (FIXED_LEN_BYTE_ARRAY, bi: BigInt, t) if t.startsWith("dec") =>
+        decScale(pt) match {
+          case Some(s) if s"dec$s" == t =>
+            val len = pt.getTypeLength
+            val raw = bi.toByteArray // minimal big-endian two's complement
+            if (raw.length > len) Seq.empty // unrepresentable → min/max's job
+            else {
+              val out = Array.fill[Byte](len)(
+                if (bi.signum < 0) 0xff.toByte else 0x00)
+              System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+              Seq(bloom.hash(
+                org.apache.parquet.io.api.Binary.fromConstantByteArray(out)))
+            }
+          case _ => Seq.empty
+        }
       case _ => Seq.empty
     }
   }
+
+  /** The scale of a decimal-annotated physical type, None otherwise. */
+  private def decScale(pt: org.apache.parquet.schema.PrimitiveType): Option[Int] =
+    pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
 
   /** Prune `files` under a resolved `pred`, keeping any file without a
     * disproving zone. Returns (kept, pruned) — pruned only ever contains

@@ -49,18 +49,27 @@ class ZoneMapFileIndex(
   // closures below; a plain val capture is not)
   private val frozenPartitionSchema = super.partitionSchema
 
-  private def refreshIfChanged(): Unit = resolve.foreach { r =>
-    r().foreach { case (files, commit) =>
-      val idx = new InMemoryFileIndex(spark, files,
-        Map("basePath" -> basePath.toString), userSpecifiedSchema = None)
-      require(idx.partitionSchema.sameType(frozenPartitionSchema),
-        s"manifest file set under $basePath changed its PARTITION layout " +
-          s"(${frozenPartitionSchema.simpleString} -> " +
-          s"${idx.partitionSchema.simpleString}) after registration — " +
-          "re-register the view; a frozen-schema table cannot follow a " +
-          "layout change")
-      live = Some(idx)
-      commit() // only now is the change consumed
+  // one refresh at a time: listFiles/allFiles/inputFiles/sizeInBytes can
+  // be hit by concurrent scans of one registered view, and an unguarded
+  // refresh would have each of them re-parse the manifest and build a
+  // duplicate InMemoryFileIndex (redundant file-listing jobs, interleaved
+  // live installs). The resolve() change check is one FS listing — cheap
+  // enough to serialize.
+  private val refreshLock = new Object
+  private def refreshIfChanged(): Unit = refreshLock.synchronized {
+    resolve.foreach { r =>
+      r().foreach { case (files, commit) =>
+        val idx = new InMemoryFileIndex(spark, files,
+          Map("basePath" -> basePath.toString), userSpecifiedSchema = None)
+        require(idx.partitionSchema.sameType(frozenPartitionSchema),
+          s"manifest file set under $basePath changed its PARTITION layout " +
+            s"(${frozenPartitionSchema.simpleString} -> " +
+            s"${idx.partitionSchema.simpleString}) after registration — " +
+            "re-register the view; a frozen-schema table cannot follow a " +
+            "layout change")
+        live = Some(idx)
+        commit() // only now is the change consumed
+      }
     }
   }
 

@@ -93,4 +93,17 @@ class SqAnnSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("fitGrid refuses NaN embeddings instead of fitting a NaN grid") {
+    // Spark's max() ranks NaN above every double: without the guard one
+    // NaN vector makes hi (hence scale and the closed-form band) NaN and
+    // every SQ8 code in that dimension garbage — the fit must fail loudly
+    val corpus = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(Float.NaN, 1.0f))).toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SqAnn.fitGrid(corpus, "embedding")
+    }
+    assert(e.getMessage.contains("NaN"), e.getMessage)
+  }
 }

@@ -210,6 +210,105 @@ class ZoneMapsSpec extends SparkSuite {
       s"NaN IN-list candidates must not be bloom-pruned: got=$got want=$want")
   }
 
+  test("decimal bloom probes: all three physical widths prune; wrong scale refuses") {
+    // Spark's decimal physical layout by precision: ≤9 → INT32, ≤18 →
+    // INT64, else FIXED_LEN_BYTE_ARRAY — each needs its own unscaled-value
+    // mapping in the bloom probe. Values SHUFFLED across files so zone
+    // min/max straddles every probe (the bloom-only case, like q125).
+    val dir = tmpDir("graft-zm-bloom-dec-")
+    val rnd = new scala.util.Random(7)
+    val vals = rnd.shuffle((0 until 400).map(i => BigDecimal(i) + BigDecimal("0.25")).toVector)
+    vals.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      Deliver.withInt64Timestamps(spark) {
+        chunk.map(v => (v.toString.hashCode.toLong, v)).toDF("id", "p")
+          .select(col("id"),
+            col("p").cast("decimal(9,2)").as("p32"),
+            col("p").cast("decimal(12,2)").as("p64"),
+            col("p").cast("decimal(20,2)").as("pfx"))
+          .coalesce(1).write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#p32", "true")
+          .option("parquet.bloom.filter.enabled#p64", "true")
+          .option("parquet.bloom.filter.enabled#pfx", "true")
+          .parquet(s"$dir/f$i")
+      }
+    }
+    val probe = vals(42)
+    for ((c, scale) <- Seq(("p32", "decimal(9,2)"), ("p64", "decimal(12,2)"),
+        ("pfx", "decimal(20,2)"))) {
+      val pred = col(c) === lit(probe.bigDecimal).cast(scale)
+      // zones are blind (shuffled layout), the bloom isolates the value
+      assert(ZoneMaps.pruneStats(spark, dir, pred)._1 == 4,
+        s"$c zones should straddle")
+      val (kept, total) = ZoneMaps.pruneStats(spark, dir, pred, blooms = true)
+      // ≤2: a bloom false positive may keep one extra file; ≥1: the file
+      // holding the value must never be pruned
+      assert(total == 4 && kept >= 1 && kept <= 2,
+        s"$c bloom should isolate: $kept/$total")
+      // result parity, hit and miss
+      val a = ZoneMaps.scanWhere(spark, dir, pred, blooms = true)
+        .select("id").as[Long].collect().sorted.toSeq
+      val b = spark.read.parquet((0 until 4).map(i => s"$dir/f$i"): _*)
+        .where(pred).select("id").as[Long].collect().sorted.toSeq
+      assert(a == b && a.nonEmpty, s"$c bloom scan diverged")
+      val missPred = col(c) === lit(new java.math.BigDecimal("99999.99")).cast(scale)
+      assert(ZoneMaps.pruneStats(spark, dir, missPred, blooms = true)._1 == 0,
+        s"$c absent value must bloom-prune every file")
+    }
+    // a probe whose literal lands in a DIFFERENT scale after coercion must
+    // refuse (never prune): scale-3 probe against the scale-2 column
+    val pred3 = col("p64") === lit(new java.math.BigDecimal("42.255"))
+    val (k3, t3) = ZoneMaps.pruneStats(spark, dir, pred3, blooms = true)
+    assert(k3 == t3, s"mixed-scale decimal probe must keep every file: $k3/$t3")
+  }
+
+  test("nested struct-field predicates prune through dotted zone paths") {
+    // the CDC envelope shape: payload.data.id range-clustered across files —
+    // the harvest stores dotted leaf paths; the pruner must flatten the
+    // resolved GetStructField chain onto them (before r13 it silently never
+    // pruned nested columns)
+    val dir = tmpDir("graft-zm-nested-")
+    (0 until 4).foreach { i =>
+      Deliver.withInt64Timestamps(spark) {
+        (i * 100 until (i + 1) * 100).map { v =>
+          (v.toLong, s"op$i")
+        }.toDF("id", "op")
+          .select(struct(struct(col("id"), (col("id") * 2).as("v")).as("data"),
+            col("op")).as("payload"), col("id").as("event_id"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$i")
+      }
+    }
+    def parity(pred: org.apache.spark.sql.Column): Unit = {
+      val a = ZoneMaps.scanWhere(spark, dir, pred)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      val b = spark.read.parquet((0 until 4).map(i => s"$dir/f$i"): _*)
+        .where(pred).select("event_id").as[Long].collect().sorted.toSeq
+      assert(a == b, s"nested prune diverged under $pred: $a vs $b")
+    }
+    // point lookup: only the holding file survives
+    val point = col("payload.data.id") === 150L
+    val (kept, total) = ZoneMaps.pruneStats(spark, dir, point)
+    assert(total == 4 && kept == 1, s"nested point prune: $kept/$total")
+    parity(point)
+    // range cut, two levels deep, and an IN list
+    val range = col("payload.data.id") >= 300L
+    assert(ZoneMaps.pruneStats(spark, dir, range)._1 == 1)
+    parity(range)
+    parity(col("payload.data.v") < 100L) // sibling leaf
+    parity(col("payload.data.id").isin(5L, 350L))
+    // a restricted harvest accepts the dotted leaf path as its column
+    // filter (the Deliver zoneMapCols shape for envelope lakes)
+    val hconf = spark.sessionState.newHadoopConf()
+    val files = (0 until 4).flatMap { i =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/f$i")
+      p.getFileSystem(hconf).listStatus(p).toSeq
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    }
+    val zones = ZoneMaps.fromFooters(hconf, files, cols = Seq("payload.data.id"))
+    assert(zones.nonEmpty &&
+      zones.valuesIterator.forall(_.keySet == Set("payload.data.id")),
+      "restricted harvest must track exactly the requested dotted leaf")
+  }
+
   test("asTable prunes inside Spark's own scan planning (FileIndex path)") {
     val dir = tmpDir("graft-zm-astable-")
     (0 until 8).foreach { i =>

@@ -315,4 +315,49 @@ class ZoneTierSpec extends SparkSuite {
     assert(kept >= 1 && kept < total,
       s"the new batch's zones must prune its probe to its own file(s): $kept/$total")
   }
+
+  test("re-fold at the same id never deletes the live snapshot first; swap-window crash recovers") {
+    val base = deliverLake("graft-zt-aside-")
+    val mdir = s"$base/manifest"
+    val id = ZoneMaps.foldToParquet(spark, mdir)
+    val before = ZoneMaps.load(hconf, mdir)
+    // re-fold at the SAME id (the retried-micro-batch self-fold): zones
+    // must survive bit-identically (keys, bounds)
+    val id2 = ZoneMaps.foldToParquet(spark, mdir, snapshotId = Some(id))
+    assert(id2 == id)
+    assert(ZoneMaps.load(hconf, mdir).keySet == before.keySet)
+    // simulate a crash INSIDE the swap window: target renamed aside, the
+    // rename-in never happened. The next fold must restore the aside copy
+    // and proceed — zones are not lost.
+    val fs = new HPath(mdir).getFileSystem(hconf)
+    val sidecar = new HPath(mdir, "_zonemaps")
+    val target = new HPath(sidecar, f"zm-$id%010d.snap.pq")
+    val aside = new HPath(sidecar, f".old-zm-$id%010d.snap.pq")
+    assert(fs.rename(target, aside))
+    assert(ZoneMaps.load(hconf, mdir).isEmpty, "window: no snapshot visible")
+    val id3 = ZoneMaps.foldToParquet(spark, mdir)
+    assert(id3 == id)
+    assert(ZoneMaps.load(hconf, mdir).keySet == before.keySet,
+      "the interrupted swap's zones must be recovered by the next fold")
+    assert(!fs.exists(aside), "the aside copy must be cleaned up")
+  }
+
+  test("an explicit fold id below the chain head is clamped, not self-pruned") {
+    val base = deliverLake("graft-zt-clamp-")
+    val mdir = s"$base/manifest"
+    val headId = ZoneMaps.foldToParquet(spark, mdir)
+    // a repair racing a later self-fold passes an OLDER foldId with fresh
+    // zones for a rewritten file: the snapshot must not be written below
+    // the chain head (its own pruneSidecar would delete it, discarding the
+    // overlay)
+    val extra: ZoneMaps.FileZones = Map(
+      "file:/fake/rewritten.parquet" -> Map(
+        "event_id" -> ZoneMaps.ColZone("long", Some(1L), Some(2L), Some(0L), 2L)))
+    val written = ZoneMaps.foldToParquet(spark, mdir, extraOverlay = extra,
+      snapshotId = Some(math.max(0L, headId - 5)))
+    assert(written >= headId, s"fold id $written must clamp to >= chain head $headId")
+    val zones = ZoneMaps.load(hconf, mdir)
+    assert(zones.contains("file:/fake/rewritten.parquet"),
+      "the repair overlay's zones must survive the clamped fold")
+  }
 }
