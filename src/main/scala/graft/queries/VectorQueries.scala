@@ -369,6 +369,41 @@ object VectorQueries {
       recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
     }, Some(recallOracle)),
 
+    // ---- ERASURE PROPAGATION into a persisted index (r13): GDPR erasure
+    // must reach every copy — [[graft.streaming.IndexErase]] copy-on-write
+    // rewrites exactly the cell files holding erased ids (the lake-erase
+    // two-phase protocol per component dir), geometry untouched. Pins:
+    // bytes GONE from the raw data partitions (not serve-filtered), no
+    // erased id ever served, and the surviving corpus still clears the
+    // recall contract against brute force over the survivors.
+    Q("q127_index_erasure", (s, d) => {
+      val base = Registry.tmpDir("graft-q127-")
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.buildIvfIndex(corpus, s"$base/index", nlist = 0)
+      val erased = corpus.where(pmod(col("id"), lit(7)) === 0).select(col("id"))
+      graft.streaming.IndexErase.eraseFromIvfIndex(s, s"$base/index", erased)
+      val bytesGone = s.read.parquet(s"$base/index/corpus")
+        .join(erased.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi")
+        .count() == 0L
+      val kept = corpus.join(erased, Seq("id"), "left_anti")
+      val approx = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5, nprobe = 4)
+      val servedErased = approx
+        .join(erased.withColumnRenamed("id", "nid"), Seq("nid"), "left_semi")
+        .count()
+      val exact = Similarity.bruteForceKnn(queries, kept, k = 5)
+      recallContract(approx, exact, nQueries = 10, k = 5, minRecall = 0.5)
+        .withColumn("no_erased_served", lit(servedErased == 0L))
+        .withColumn("bytes_gone", lit(bytesGone))
+    }, Some(
+      """SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        | CAST(5 AS INT) AS k, TRUE AS recall_ok,
+        | TRUE AS no_erased_served, TRUE AS bytes_gone
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // ---- product-quantized ANN (flat): the memory-bound tier — the
     // candidate scan reads m-byte PQ codes (32× smaller than the raw
     // vectors at these defaults), ADC ranks via m table lookups per pair,

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+/** Erasure propagation into PERSISTED indexes — the totality half of the
+  * GDPR story ([[Erase]] is the lake half; the reference's 365-day replay
+  * retention, README.md:83, implies erasure must reach every copy). A
+  * persisted ANN index stores erased ids' FULL VECTORS in its cell
+  * partitions and append deltas; the streaming dedup indexes keep their
+  * fingerprints, shingle arrays, and LSH signatures. Filtering at serve
+  * time is not erasure — the bytes must be gone from disk.
+  *
+  * Every component rewrite goes through [[Erase.eraseKeys]]: a key-pruned
+  * locate scan (`_metadata.file_path` semi-join — only files that actually
+  * hold a target key are opened or rewritten), then the crash-recoverable
+  * intent → promote → commit-marker protocol of [[Compact]] under the
+  * [[LockProvider]] seam, per component directory. Geometry (centroids,
+  * codebooks, grids, routers, sharding) is UNTOUCHED: erasing rows from a
+  * cell never changes what the quantizer certifies, and rewritten data
+  * files get fresh names so [[graft.operators.IndexMeta]]'s signature
+  * validation is unaffected (it only caches geometry dirs).
+  *
+  * Ordering contract: erase an id AFTER its last ingest. A concurrent
+  * append of OTHER ids composes (the append lands new files/deltas the
+  * locate scan either sees whole or not at all — pinned in
+  * IndexEraseSpec's live-append race); a concurrent REPLAY of a crashed
+  * batch that re-delivers the erased id re-introduces it — re-run the
+  * erase after the stream settles, exactly like the lake-side contract.
+  *
+  * A component whose every row is erased keeps its directory but loses its
+  * files; serving an index erased to literal emptiness fails loudly on the
+  * empty scan rather than returning silent empties.
+  */
+object IndexErase {
+
+  /** Per-component erase outcome: (component path, files retired, files
+    * rewritten). A component absent from the index (no deltas yet) reports
+    * (0, 0).
+    */
+  final case class Report(components: Seq[(String, Compact.Stats)]) {
+    def retired: Int = components.map(_._2.filesBefore).sum
+    def written: Int = components.map(_._2.filesAfter).sum
+  }
+
+  /** Erase `ids` from a [[Similarity.buildIvfIndex]] index (corpus + append
+    * deltas). Sharded and routed indexes (a `_sharding` row) recurse into
+    * every shard — id-hash routing means any shard can hold an id, and
+    * space-routed shards are resolved by content anyway.
+    */
+  def eraseFromIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
+      lock: LockProvider = FsLeaseLock): Report =
+    Similarity.readSharding(spark, indexDir) match {
+      case Some(n) => shardReport(n, sh =>
+        eraseFromIvfIndex(spark, s"$indexDir/shard=$sh", ids, lock))
+      case None => Report(Seq(
+        s"$indexDir/corpus" ->
+          eraseComponent(spark, s"$indexDir/corpus", "nid", ids, lock),
+        s"$indexDir/deltas" ->
+          eraseComponent(spark, s"$indexDir/deltas", "nid", ids, lock)))
+    }
+
+  /** Erase `ids` from a [[graft.operators.PqIndex.buildPqIvfIndex]] index:
+    * BOTH tiers (codes + vectors) and both delta families. Sharded indexes
+    * recurse. Codebooks/centroids are untouched.
+    */
+  def eraseFromPqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
+      lock: LockProvider = FsLeaseLock): Report =
+    Similarity.readSharding(spark, indexDir) match {
+      case Some(n) => shardReport(n, sh =>
+        eraseFromPqIvfIndex(spark, s"$indexDir/shard=$sh", ids, lock))
+      case None => Report(
+        Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
+          s"$indexDir/$c" ->
+            eraseComponent(spark, s"$indexDir/$c", "nid", ids, lock)))
+    }
+
+  /** Erase `ids` from a [[graft.operators.SqAnn.buildSqIvfIndex]] index —
+    * the PQ layout with byte codes; same four data components.
+    */
+  def eraseFromSqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
+      lock: LockProvider = FsLeaseLock): Report =
+    Report(Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
+      s"$indexDir/$c" ->
+        eraseComponent(spark, s"$indexDir/$c", "nid", ids, lock)))
+
+  /** Erase `ids` from a [[EmbeddingIndex]] (streaming sign-LSH near-dup
+    * index): every delta's (id, vector, norm, bucket) rows for the ids are
+    * rewritten away; `_geometry` is untouched.
+    */
+  def eraseFromEmbeddingIndex(spark: SparkSession, indexDir: String,
+      ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
+    Report(Seq(
+      indexDir -> eraseComponent(spark, indexDir, "id", ids, lock)))
+
+  /** Erase `ids` from a [[CorpusIndex.seedNear]]/startNear near-dup index:
+    * both the LSH band signatures and the shingle arrays.
+    */
+  def eraseFromNearIndex(spark: SparkSession, indexDir: String,
+      ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
+    Report(Seq(
+      s"$indexDir/bands" ->
+        eraseComponent(spark, s"$indexDir/bands", "id", ids, lock),
+      s"$indexDir/arrays" ->
+        eraseComponent(spark, s"$indexDir/arrays", "id", ids, lock)))
+
+  /** Erase FINGERPRINTS from a [[CorpusIndex]] exact-dedup index. The index
+    * stores fingerprints only (no doc ids), so the caller supplies the
+    * erased docs' fingerprints — compute them with
+    * `TextFunctions.fingerprint` over the erased texts, exactly as the
+    * index did. Note the dedup consequence: a future re-ingest of an
+    * erased document classifies as `new` again (correct under erasure —
+    * the corpus no longer contains it).
+    */
+  def eraseFingerprints(spark: SparkSession, indexDir: String,
+      fps: DataFrame, lock: LockProvider = FsLeaseLock): Report =
+    Report(Seq(
+      indexDir -> eraseComponent(spark, indexDir, "fp", fps, lock)))
+
+  /** One component directory (any hive-partitioned parquet tree — cell
+    * partitions, delta=N/cell=M deltas, flat delta dirs) through the lake
+    * erase machinery. A missing/empty component is a clean no-op.
+    */
+  private def eraseComponent(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame, lock: LockProvider): Compact.Stats =
+    Erase.eraseKeys(spark, dir, keyCol, keys, manifestDir = None, lock = lock)
+
+  private def shardReport(nShards: Int, f: Int => Report): Report =
+    Report((0 until nShards).flatMap(sh => f(sh).components))
+}
