@@ -717,8 +717,8 @@ object ZoneMaps {
           }
         }
         val normOverlay = overlay.map { case (k, v) => norm(k) -> v }
-        val prunedSet = pruneDistributed(spark, p, overlay, pred, urls)
-          .map(norm).toSet
+        val prunedSet = pruneDistributed(spark, p, overlay, pred, urls,
+          manifestDir).map(norm).toSet
         urls.filter { u =>
           val n = norm(u)
           normOverlay.get(n) match {
@@ -746,7 +746,8 @@ object ZoneMaps {
     * verdicts are driver-side).
     */
   private def pruneDistributed(spark: SparkSession, snapDir: HPath,
-      overlay: FileZones, pred: Expression, candidates: Seq[String]): Seq[String] = {
+      overlay: FileZones, pred: Expression, candidates: Seq[String],
+      manifestDir: String): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col => c, collect_list, struct, udf}
     val predCols = pred.collect { case Attr(a) => a }.distinct
     // nothing to prune (a fully partition-pruned scan passes no urls) —
@@ -762,15 +763,26 @@ object ZoneMaps {
       .withColumn("__nurl", normUdf(c("url")))
     // restrict the sidecar scan to the candidate urls (already partition-
     // pruned by the caller): a partition-selective query then reads only
-    // its slice of the zones table. Skipped above a size cap where the
-    // broadcast itself would be the bottleneck.
+    // its slice of the zones table. Above the broadcast cap, a lake whose
+    // MANIFEST has graduated to its own parquet tier semi-joins the zones
+    // table against the manifest url TABLE instead (a table-to-table join
+    // — no driver list broadcast; correct because the live set is a
+    // SUPERSET of the candidates, and extra verdicts are ignored by the
+    // caller's candidate filter). Without a manifest table the scan stays
+    // unrestricted, the pre-r13 behavior.
     val z0 =
-      if (candidates.size > 200000) z1
-      else z1.join(
-        broadcast(spark.createDataset(
-          candidates.map(u => new HPath(u).toString))(
-          org.apache.spark.sql.Encoders.STRING).toDF("__nurl")),
-        Seq("__nurl"), "left_semi")
+      if (candidates.size <= 200000)
+        z1.join(
+          broadcast(spark.createDataset(
+            candidates.map(u => new HPath(u).toString))(
+            org.apache.spark.sql.Encoders.STRING).toDF("__nurl")),
+          Seq("__nurl"), "left_semi")
+      else graft.sources.ManifestReader.manifestTable(spark, manifestDir) match {
+        case Some(mf) =>
+          z1.join(mf.withColumn("__nurl", normUdf(c("url"))).select(c("__nurl")),
+            Seq("__nurl"), "left_semi")
+        case None => z1
+      }
     // the overlay's urls are already known driver-side and normalized —
     // exclude them with a LocalRelation anti-join instead of re-
     // parallelizing the whole overlay map into a job just to distinct it

@@ -220,7 +220,7 @@ object Compact {
     manifestDir.foreach { mdir =>
       val dir = new HPath(mdir)
       val mfs = dir.getFileSystem(hconf)
-      val ids = ManifestChain.list(mfs, dir).map(_._1)
+      val ids = ManifestChain.listTiered(mfs, dir).map(_._1)
       // Snapshot id = the max id actually folded, NOT max+1: a LIVE
       // delivery stream's next incremental is manifest-(max+1); a snapshot
       // claiming that id would make chainFiles drop the incremental — a
@@ -232,13 +232,23 @@ object Compact {
       // normalize through Path: "file:///x" and "file:/x" are the same file
       // but different strings — manifests from mixed producers may use either
       def norm(u: String) = new HPath(u).toString
+      // the folded snapshot keeps the lake root the delivery stream recorded
+      val base = Some(fs.makeQualified(lake).toString)
+      if (ManifestChain.isParquetTier(mfs, dir)) {
+        // graduated manifest folds IN ITS TIER, distributively: the url
+        // table streams through executors with the retire/promote edits
+        // applied — rendering the history back into one driver JSON is
+        // the exact cliff the tier exists to avoid
+        graft.sources.ManifestReader.foldManifestToParquet(spark, mdir,
+          snapshotId = Some(foldId), drop = olds, add = news,
+          addBase = base)
+      } else {
       val oldSet = olds.map(norm).toSet
       val urls = ((ManifestChain.chainUrls(mfs, dir, Long.MaxValue)
         .map(norm).filterNot(oldSet) ++ news.map(norm)).distinct.sorted)
-      // the folded snapshot keeps the lake root the delivery stream recorded
-      val base = Some(fs.makeQualified(lake).toString)
       FsOps.atomicWrite(hconf, mfs, new HPath(dir, f"manifest-$foldId%010d.snap.json"),
         ManifestChain.render(urls, base).getBytes("UTF-8"))
+      }
       // Zone-map repair: the rewritten files are new urls with no sidecar
       // stats — without this, every compaction quietly degrades pruning
       // (never correctness) on exactly the files it touched. Fold the

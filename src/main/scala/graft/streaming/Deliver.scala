@@ -539,7 +539,16 @@ object Deliver {
     val dir = new HPath(mdir)
     val fs = dir.getFileSystem(hconf)
     fs.mkdirs(dir)
-    val snapshot = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    val cadence = compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0
+    // PARQUET tier: once a manifest-*.snap.pq leads the chain (a lake
+    // graduated via ManifestReader.foldManifestToParquet), JSON folding
+    // stops — a JSON render of the whole url history is the driver-sized
+    // artifact the tier retires, and a JSON fold blind to the parquet
+    // head would DROP its urls. Every write is a plain incremental; the
+    // tier self-folds at the same cadence below (after the incremental is
+    // durable, so a failed fold never loses the batch's urls).
+    val pqTier = cadence && ManifestChain.isParquetTier(fs, dir)
+    val snapshot = cadence && !pqTier
     val name = f"manifest-$batchId%010d" + (if (snapshot) ".snap.json" else ".json")
     val lakeRoot = new HPath(lakeDir)
     val base = lakeRoot.getFileSystem(hconf).makeQualified(lakeRoot).toString
@@ -580,6 +589,29 @@ object Deliver {
         put(f"manifest-$batchId%010d.json", added)
       }
     }
+    // parquet-tier self-fold at cadence — AFTER the incremental above is
+    // durable (a failed fold leaves the chain intact and incrementals
+    // accumulate until the next cadence or external maintenance). Same
+    // session-resolution shape as the zone sidecar's self-fold.
+    if (pqTier) {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+        case Some(s) =>
+          try {
+            graft.sources.ManifestReader.foldManifestToParquet(s, mdir,
+              snapshotId = Some(batchId))
+            ()
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARNING: batch-$batchId parquet-tier " +
+              s"manifest fold failed (${e.getMessage}) — the chain is intact; " +
+              "incrementals accumulate until the next fold")
+          }
+        case None =>
+          System.err.println("[graft] WARNING: no active SparkSession for " +
+            s"the batch-$batchId parquet-tier manifest fold — incrementals " +
+            "accumulate until ManifestReader.foldManifestToParquet runs")
+      }
+    }
   }
 }
 
@@ -588,6 +620,14 @@ object Deliver {
   * periodic snapshots, resolved as latest-snapshot ∪ later-incrementals.
   */
 private[graft] object ManifestChain {
+
+  // chain-entry kinds (the ZoneMaps sidecar discipline): plain
+  // incremental, JSON snapshot, PARQUET snapshot (the r13 tier — a url
+  // TABLE maintenance folds and pruning joins consume as Spark jobs, so
+  // the manifest scales with the cluster instead of the driver heap)
+  final val Inc = 0
+  final val SnapJson = 1
+  final val SnapPq = 2
 
   /** (batchId, isSnapshot, path) for every manifest file in `dir`. */
   def list(fs: FileSystem, dir: HPath): Seq[(Long, Boolean, HPath)] = {
@@ -603,9 +643,67 @@ private[graft] object ManifestChain {
     }
   }
 
+  /** Tier-aware listing: JSON incrementals/snapshots plus
+    * `manifest-<id>.snap.pq` parquet snapshots. A fold's ASIDE copy
+    * (`.old-manifest-<id>.snap.pq`, the previous live snapshot moved out
+    * of the way mid-swap) substitutes for a MISSING live target of the
+    * same id: a reader landing inside the two-rename swap window then
+    * resolves the valid pre-fold view instead of a silently partial chain
+    * — a manifest read, unlike the advisory zone maps, must never see a
+    * wrong file set.
+    */
+  def listTiered(fs: FileSystem, dir: HPath): Seq[(Long, Int, HPath)] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val names = fs.listStatus(dir).toSeq.map(_.getPath)
+    val live = names.flatMap { p =>
+      p.getName match {
+        case n if n.startsWith("manifest-") && n.endsWith(".snap.pq") =>
+          Some((n.stripPrefix("manifest-").stripSuffix(".snap.pq").toLong,
+            SnapPq, p))
+        case _ => None
+      }
+    }
+    val liveIds = live.map(_._1).toSet
+    val asides = names.flatMap { p =>
+      p.getName match {
+        case n if n.startsWith(".old-manifest-") && n.endsWith(".snap.pq") =>
+          val id = n.stripPrefix(".old-manifest-").stripSuffix(".snap.pq").toLong
+          if (liveIds.contains(id)) None else Some((id, SnapPq, p))
+        case _ => None
+      }
+    }
+    live ++ asides ++ list(fs, dir).map { case (id, snap, p) =>
+      (id, if (snap) SnapJson else Inc, p)
+    }
+  }
+
+  /** Tiered chain resolution: the newest snapshot (parquet preferred on an
+    * id tie — the parquet fold subsumes an equal-id JSON snapshot) plus
+    * the JSON incrementals after it, sorted by id.
+    */
+  def resolveTiered(fs: FileSystem, dir: HPath,
+      upToExclusive: Long = Long.MaxValue): (Option[(Long, Int, HPath)], Seq[(Long, HPath)]) = {
+    val all = listTiered(fs, dir).filter(_._1 < upToExclusive)
+    val snap = all.filter(_._2 != Inc).sortBy(e => (e._1, e._2)).lastOption
+    val incs = all.collect {
+      case (id, Inc, p) if snap.forall(s => id > s._1) => (id, p)
+    }.sortBy(_._1)
+    (snap, incs)
+  }
+
+  /** True when a parquet snapshot leads the chain — the WRITER must then
+    * stop folding to JSON (a JSON render of the full url history is the
+    * driver-sized artifact the tier retires — and worse, a JSON fold that
+    * cannot read the parquet head would DROP its urls).
+    */
+  def isParquetTier(fs: FileSystem, dir: HPath): Boolean =
+    resolveTiered(fs, dir)._1.exists(_._2 == SnapPq)
+
   /** Resolve the chain `[latest snapshot] ∪ incrementals after it`,
     * restricted to batches `< upToExclusive` (Long.MaxValue = all). The
     * manifests READ is O(chain-since-snapshot), not O(history).
+    * JSON-only view — callers on a parquet-tier chain must go through
+    * [[resolveTiered]] (this is kept for the JSON tier's readers/folds).
     */
   def chainFiles(fs: FileSystem, dir: HPath,
       upToExclusive: Long = Long.MaxValue): Seq[HPath] = {

@@ -227,6 +227,63 @@ object ZoneScale {
       println(f"SIDECARSCALE urls=$nUrls entries=${nUrls * 3} kept=${keptPq.size} " +
         f"jsonPrune=$wJson%.3fs pqPrune=$wPq%.3fs " +
         f"heapMb base=$h0 afterJson=$h1 afterPq=$h2")
+
+      // MANIFEST tier at the same url count (r13): the JSON chain's
+      // per-read driver parse+collect+sort vs the parquet manifest tier's
+      // signature-cached resolve, plus the >cap pruneResolved path where
+      // the candidate restriction semi-joins the manifest TABLE instead of
+      // broadcasting a driver list. Chain shape: one snapshot + 10
+      // incrementals (the steady-state cadence window).
+      val incSlice = nUrls / 100
+      graft.streaming.ManifestChain // (type reference for clarity)
+      def renderManifest(us: Seq[String]): String =
+        us.map(u => s"""{"url": "$u", "mandatory": true}""")
+          .mkString("""{"basePath": "file:///fake/lake", "entries": [""", ",", "]}")
+      val mfs = new org.apache.hadoop.fs.Path(mdir).getFileSystem(hconf)
+      graft.streaming.FsOps.atomicWrite(hconf, mfs,
+        new org.apache.hadoop.fs.Path(mdir, "manifest-0000000000.snap.json"),
+        renderManifest(urls.dropRight(10 * incSlice)).getBytes("UTF-8"))
+      (0 until 10).foreach { i =>
+        val slice = urls.slice(urls.size - (10 - i) * incSlice,
+          urls.size - (9 - i) * incSlice)
+        graft.streaming.FsOps.atomicWrite(hconf, mfs,
+          new org.apache.hadoop.fs.Path(mdir, f"manifest-${i + 1}%010d.json"),
+          renderManifest(slice).getBytes("UTF-8"))
+      }
+      val tJsonMf = System.nanoTime()
+      val jsonUrls = (1 to runs).map { _ =>
+        graft.operators.IndexMeta.invalidateAll()
+        graft.sources.ManifestReader.latestManifestFiles(spark, mdir)
+      }.last
+      val wJsonMf = (System.nanoTime() - tJsonMf) / 1e9 / runs
+      val hJsonMf = heapMb()
+      val tFold = System.nanoTime()
+      graft.sources.ManifestReader.foldManifestToParquet(spark, mdir)
+      val wFold = (System.nanoTime() - tFold) / 1e9
+      graft.operators.IndexMeta.invalidateAll()
+      val tColdMf = System.nanoTime()
+      val pqUrls = graft.sources.ManifestReader.latestManifestFiles(spark, mdir)
+      val wColdMf = (System.nanoTime() - tColdMf) / 1e9
+      val tWarmMf = System.nanoTime()
+      val warm = (1 to runs).map(_ =>
+        graft.sources.ManifestReader.latestManifestFiles(spark, mdir)).last
+      val wWarmMf = (System.nanoTime() - tWarmMf) / 1e9 / runs
+      val hPqMf = heapMb()
+      // the parquet tier stores CANONICAL urls (Path-normalized: file:///
+      // becomes file:/) — same files, canonical spelling; compare normalized
+      def normAll(us: Seq[String]) =
+        us.map(u => new org.apache.hadoop.fs.Path(u).toString).sorted
+      require(normAll(pqUrls) == normAll(jsonUrls) && warm == pqUrls,
+        s"manifest tier divergence: json ${jsonUrls.size} vs pq ${pqUrls.size}")
+      // >cap candidate restriction through the manifest TABLE (urls.size >
+      // 200k when nUrls is): kept set must match the unrestricted verdict
+      val keptMf = graft.sources.ZoneMaps.pruneResolved(spark, mdir, pred, urls)
+      require(keptMf.sorted == keptPq.sorted,
+        s"manifest-table prune divergence: ${keptMf.size} vs ${keptPq.size}")
+      println(f"MANIFESTSCALE urls=$nUrls jsonResolve=$wJsonMf%.3fs " +
+        f"fold=$wFold%.3fs pqColdResolve=$wColdMf%.3fs pqCachedResolve=$wWarmMf%.4fs " +
+        f"prunedViaTable=${urls.size - keptMf.size} " +
+        f"heapMb afterJson=$hJsonMf afterPq=$hPqMf")
     }
     spark.stop()
   }

@@ -1,0 +1,176 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.{ManifestReader, ShardedLog}
+import graft.streaming.{Compact, Deliver, ManifestChain}
+
+/** The r13 parquet MANIFEST tier: fold parity with the JSON chain,
+  * post-graduation incremental visibility and writer behavior (no more
+  * JSON folds; cadence self-folds), Compact edits folded in-tier, the
+  * swap-window aside substitution, and crash recovery.
+  */
+class ManifestTierSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def hfs(d: String) = new HPath(d).getFileSystem(hconf)
+
+  private val payloadSchema = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampType),
+      StructField("event_id", LongType)))),
+    StructField("metadata", StructType(Seq(StructField("op", StringType))))))
+
+  private def deliver(base: String, nEvents: Int, skip: Int = 0,
+      compactEvery: Int = 10): Unit = {
+    val events = graft.queries.Registry.tbl(spark, sfDir, "events")
+      .orderBy("event_id").limit(skip + nEvents)
+      .orderBy(desc("event_id")).limit(nEvents)
+    ShardedLog.put(ShardedLog.fromEvents(events), s"$base/log")
+    val q = Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema,
+      Deliver.Config(s"$base/lake", s"$base/ck", manifestDir = Some(s"$base/manifest"),
+        zoneMapCols = Seq("ts", "event_id"),
+        manifestCompactEvery = compactEvery,
+        trigger = Trigger.AvailableNow(),
+        clock = Some(Timestamp.valueOf("2025-11-07 14:32:09.13"))))
+    q.awaitTermination()
+  }
+
+  test("fold parity: urls, basePath, and read() identical across the graduation") {
+    val base = tmpDir("graft-mt-fold-")
+    deliver(base, 400)
+    val mdir = s"$base/manifest"
+    val before = ManifestReader.latestManifestFiles(spark, mdir)
+    val readBefore = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+
+    val id = ManifestReader.foldManifestToParquet(spark, mdir)
+    assert(ManifestChain.isParquetTier(hfs(mdir), new HPath(mdir)))
+    graft.operators.IndexMeta.invalidateAll() // cold-path read
+    val after = ManifestReader.latestManifestFiles(spark, mdir)
+    assert(after.map(new HPath(_).toString) ==
+      before.map(new HPath(_).toString),
+      s"url parity broken: ${before.size} -> ${after.size}")
+    val readAfter = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(readAfter == readBefore)
+    // partition columns still resolve (recorded base path survives the fold)
+    assert(ManifestReader.read(spark, mdir).columns.contains("hour"),
+      s"partition columns lost: ${ManifestReader.read(spark, mdir).columns.toSeq}")
+    // shadowed JSON pieces were pruned; the snapshot leads
+    val pieces = ManifestChain.listTiered(hfs(mdir), new HPath(mdir))
+    assert(pieces.count(_._2 == ManifestChain.SnapPq) == 1)
+    assert(!pieces.exists(e => e._2 != ManifestChain.SnapPq && e._1 <= id),
+      s"shadowed pieces survive: $pieces")
+  }
+
+  test("post-graduation: incrementals visible, writer never JSON-folds, cadence self-folds") {
+    val base = tmpDir("graft-mt-inc-")
+    deliver(base, 300, compactEvery = 1) // batch 0: incremental (cadence needs id > 0)
+    val mdir = s"$base/manifest"
+    ManifestReader.foldManifestToParquet(spark, mdir)
+    val atFold = ManifestReader.latestManifestFiles(spark, mdir).size
+
+    // a second delivery: batch 1 hits cadence=1 — on the graduated chain it
+    // must write an incremental + SELF-FOLD to parquet, never a JSON fold
+    deliver(base, 300, skip = 300, compactEvery = 1)
+    val fs = hfs(mdir)
+    val names = fs.listStatus(new HPath(mdir)).map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith(".snap.json")),
+      s"graduated chain grew a JSON snapshot: $names")
+    assert(names.exists(_.endsWith(".snap.pq")), s"no parquet snapshot: $names")
+    val after = ManifestReader.latestManifestFiles(spark, mdir)
+    assert(after.size > atFold, "the new batch's files must be visible")
+    // the self-fold consumed the incrementals (chain is one snapshot)
+    val (snap, incs) = ManifestChain.resolveTiered(fs, new HPath(mdir))
+    assert(snap.exists(_._2 == ManifestChain.SnapPq) && incs.isEmpty,
+      s"self-fold should leave a lone parquet head: $snap / $incs")
+    // read parity with a plain lake scan
+    val viaManifest = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    val plain = spark.read.parquet(s"$base/lake")
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(viaManifest == plain)
+  }
+
+  test("Compact on a graduated lake folds retire/promote edits in-tier") {
+    val base = tmpDir("graft-mt-compact-")
+    deliver(base, 500)
+    val mdir = s"$base/manifest"
+    ManifestReader.foldManifestToParquet(spark, mdir)
+    val beforeRead = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+
+    val stats = Compact.run(spark, s"$base/lake", targetBytes = 512L << 20,
+      manifestDir = Some(mdir))
+    assert(stats.filesBefore > stats.filesAfter && stats.filesAfter > 0)
+    val fs = hfs(mdir)
+    val names = fs.listStatus(new HPath(mdir)).map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith(".snap.json")),
+      s"compaction rendered a JSON fold on a graduated chain: $names")
+    // the manifest names only live files, and results are unchanged
+    val files = ManifestReader.latestManifestFiles(spark, mdir)
+    files.foreach(f => assert(fs.exists(new HPath(f)), s"manifest names retired file $f"))
+    val afterRead = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(afterRead == beforeRead)
+    // zone pruning still fires through the repaired sidecar
+    val cut = graft.queries.Registry.tbl(spark, sfDir, "events")
+      .orderBy("event_id").limit(500)
+      .agg(expr("percentile_approx(ts, 0.9)")).head.getTimestamp(0)
+    val (kept, total) = ManifestReader.pruneStats(spark, mdir, col("ts") >= lit(cut))
+    assert(kept > 0, s"post-compaction pruning: $kept/$total")
+  }
+
+  test("swap-window aside substitutes for the missing head; fold recovers it") {
+    val base = tmpDir("graft-mt-aside-")
+    deliver(base, 300)
+    val mdir = s"$base/manifest"
+    val id = ManifestReader.foldManifestToParquet(spark, mdir)
+    val want = ManifestReader.latestManifestFiles(spark, mdir)
+    val fs = hfs(mdir)
+    val target = new HPath(mdir, f"manifest-$id%010d.snap.pq")
+    val aside = new HPath(mdir, f".old-manifest-$id%010d.snap.pq")
+    assert(fs.rename(target, aside)) // simulate a crash inside the swap
+    graft.operators.IndexMeta.invalidateAll()
+    // a reader in the window resolves the aside copy — NEVER a partial set
+    val inWindow = ManifestReader.latestManifestFiles(spark, mdir)
+    assert(inWindow == want, "the swap window must serve the pre-fold view")
+    // the next fold restores the aside and converges
+    val id2 = ManifestReader.foldManifestToParquet(spark, mdir)
+    assert(id2 == id && fs.exists(target) && !fs.exists(aside))
+    graft.operators.IndexMeta.invalidateAll()
+    assert(ManifestReader.latestManifestFiles(spark, mdir) == want)
+  }
+
+  test("readWhere pruning and registered views survive manifest graduation") {
+    val base = tmpDir("graft-mt-prune-")
+    deliver(base, 600)
+    val mdir = s"$base/manifest"
+    graft.sources.ZoneMaps.foldToParquet(spark, mdir) // zones tier
+    ManifestReader.foldManifestToParquet(spark, mdir) // manifest tier
+    val cut = graft.queries.Registry.tbl(spark, sfDir, "events")
+      .orderBy("event_id").limit(600)
+      .agg(expr("percentile_approx(ts, 0.9)")).head.getTimestamp(0)
+    val pred = col("ts") >= lit(cut)
+    val (kept, total) = ManifestReader.pruneStats(spark, mdir, pred)
+    assert(kept > 0 && kept < total, s"double-tier pruning lost: $kept/$total")
+    val a = ManifestReader.readWhere(spark, mdir, pred)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    val b = ManifestReader.read(spark, mdir).where(pred)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(a == b)
+    // registered view over the double-graduated lake still scans correctly
+    graft.catalog.LakeCatalog.registerPrunedView(spark, "mt_prune_v", mdir)
+    val viaSql = spark.sql(
+      s"SELECT COUNT(*), SUM(event_id) FROM mt_prune_v WHERE ts >= TIMESTAMP '$cut'").head
+    assert(viaSql == b, s"$viaSql vs $b")
+  }
+}
