@@ -368,6 +368,87 @@ object PqIndex {
     Similarity.foldCellDeltas(spark, s"$indexDir/codes_deltas") +
       Similarity.foldCellDeltas(spark, s"$indexDir/vectors_deltas")
 
+  /** Build a ROUTED sharded IVF-PQ index — the
+    * [[Similarity.buildIvfIndexRouted]] two-level shape applied to the
+    * memory-bound tier (r12 verdict ask #5): a top-level quantizer with
+    * `nShards` cells partitions the embedding SPACE, each shard builds its
+    * own [[buildPqIvfIndex]] (own coarse quantizer AND own codebooks — a
+    * space shard's narrower distribution quantizes with LOWER distortion
+    * than a uniform draw), and the router centroids persist under
+    * `_router/`. Serving probes `routeShards ≪ nShards` shards
+    * ([[pqIvfQueryRouted]]) — the serve-cost dial the id-hash scatter
+    * cannot offer, on the tier most likely to be sharded (it exists
+    * because the corpus outgrew memory). The merge stays sound for the
+    * same reason as the scatter's: per-shard top-ks carry EXACT reranked
+    * cosines, so the global window ranks true similarities.
+    */
+  def buildPqIvfIndexRouted(corpus: DataFrame, indexDir: String, nShards: Int,
+      dim: Int, nlist: Int = 16, m: Int = 8, ksub: Int = 64, seed: Long = 42L,
+      maxFitRows: Int = 100000): Unit = {
+    require(nShards > 1, s"nShards must be > 1 for a routed index, got $nShards")
+    val spark = corpus.sparkSession
+    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
+    val router = Similarity.fitQuantizer(fitSample(cVec, maxFitRows), nShards, seed)
+    val routerCents = router.clusterCenters.map(_.toArray.toSeq).toSeq
+    val routed = Similarity.assignCells(
+        corpus.select(col("id"), col("embedding")), routerCents)
+      .withColumnRenamed("cell", "__shard")
+    val present = routed.groupBy(col("__shard")).count()
+      .collect().map(_.getInt(0)).toSet
+    val missing = (0 until nShards).filterNot(present.contains)
+    require(missing.isEmpty,
+      s"buildPqIvfIndexRouted(nShards=$nShards): router cell(s) " +
+        s"${missing.take(5).mkString(", ")} attracted no rows — the corpus " +
+        "does not support this many space shards; reduce nShards")
+    Similarity.shardScatter(nShards) { sh =>
+      buildPqIvfIndex(
+        routed.where(col("__shard") === sh).select(col("id"), col("embedding")),
+        s"$indexDir/shard=$sh", dim, nlist, m, ksub, seed + sh, maxFitRows)
+    }
+    spark.createDataFrame(routerCents.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("shard", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_router")
+    // _sharding stays the commit point, after router AND every shard
+    spark.createDataFrame(Seq(Tuple1(nShards))).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_sharding")
+  }
+
+  /** Serve a [[buildPqIvfIndexRouted]] index probing each query's
+    * `routeShards` nearest space shards only. `routeShards >= nShards`
+    * degenerates to the full scatter and returns results identical to
+    * [[pqIvfQuerySharded]] on the same index (pinned in RoutedIvfSpec) —
+    * the router is a cost dial, not a different answer.
+    */
+  def pqIvfQueryRouted(queries: DataFrame, indexDir: String, k: Int,
+      nprobe: Int = 4, refine: Int = 8, bandCap: Int = 32,
+      routeShards: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val nShards = Similarity.readSharding(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"$indexDir carries no _sharding row — not a sharded IVF-PQ index"))
+    Similarity.requireRouter(spark, indexDir,
+      "pqIvfQuerySharded", "buildPqIvfIndexRouted")
+    val r = math.min(math.max(1, routeShards), nShards)
+    if (r == nShards)
+      return pqIvfQuerySharded(queries, indexDir, k, nprobe, refine, bandCap)
+    // validate the batch ONCE against shard 0's persisted dim (all shards
+    // of one build share it) — pq_table must never see a wrong-dim vector
+    val meta0 = IndexMeta.cached(spark, s"$indexDir/shard=0/codebooks") {
+      spark.read.parquet(s"$indexDir/shard=0/codebooks").head()
+    }
+    if (meta0.schema.fieldNames.contains("dim"))
+      Similarity.requireProbeDim(queries, meta0.getAs[Int]("dim"), indexDir)
+    val byShard = Similarity.routeQueries(queries, indexDir, r)
+    Similarity.shardScatter(byShard.size) { i =>
+        val (sh, qids) = byShard(i)
+        pqIvfQueryImpl(queries.where(col("qid").isInCollection(qids)),
+          s"$indexDir/shard=$sh", k, nprobe, refine, bandCap,
+          allowPreBandIndex = false, validateProbe = false)
+      }
+      .reduce(_ unionByName _)
+      .transform(Similarity.topK(_, k))
+  }
+
   /** Serve a [[buildPqIvfIndexSharded]] index: scatter to every shard
     * ([[pqIvfQuery]] — per-shard codebooks, ADC scan, band cut, exact
     * rerank), gather per-shard top-ks, merge to the global top-k.

@@ -732,17 +732,26 @@ object Similarity {
     val nShards = readSharding(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"$indexDir carries no _sharding row — not a sharded IVF index"))
-    val rp = new org.apache.hadoop.fs.Path(s"$indexDir/_router")
-    require(rp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rp),
-      s"$indexDir carries no _router centroids — an id-hash sharded index " +
-        "has no meaningful shard routing (every shard is a uniform corpus " +
-        "draw; skipping any loses recall proportionally): serve it with " +
-        "ivfIndexQuerySharded, or rebuild with buildIvfIndexRouted")
+    requireRouter(spark, indexDir, "ivfIndexQuerySharded", "buildIvfIndexRouted")
     val r = math.min(math.max(1, routeShards), nShards)
     if (r == nShards) return ivfIndexQuerySharded(queries, indexDir, k, nprobe)
-    // rank router centroids per query; the (qid, shard) routing table is
-    // |Q|·r rows — driver-side by the serving contract, like the per-shard
-    // probe plans it gates
+    val byShard = routeQueries(queries, indexDir, r)
+    val frames = shardScatter(byShard.size) { i =>
+      val (sh, qids) = byShard(i)
+      ivfIndexQuery(queries.where(col("qid").isInCollection(qids)),
+        s"$indexDir/shard=$sh", k, nprobe)
+    }
+    frames.reduce(_ unionByName _).transform(topK(_, k))
+  }
+
+  /** Rank the persisted `_router` centroids per query and return each
+    * shard's routed qid list — the (qid, shard) routing table is |Q|·r
+    * rows, driver-side by the serving contract, like the per-shard probe
+    * plans it gates. Shared by the IVF and IVF-PQ routed serves.
+    */
+  private[operators] def routeQueries(queries: DataFrame, indexDir: String,
+      r: Int): Seq[(Int, Seq[Any])] = {
+    val spark = queries.sparkSession
     val routerDf = broadcast(IndexMeta.cachedTable(spark, s"$indexDir/_router"))
     val wShard = Window.partitionBy(col("qid")).orderBy(col("rdist"), col("shard"))
     val routing = queries
@@ -753,14 +762,22 @@ object Similarity {
       .where(col("rrn") <= r)
       .select(col("qid"), col("shard"))
       .collect()
-    val byShard = routing.groupBy(_.getAs[Int]("shard")).view
+    routing.groupBy(_.getAs[Int]("shard")).view
       .mapValues(_.map(_.getAs[Any]("qid")).toSeq).toSeq.sortBy(_._1)
-    val frames = shardScatter(byShard.size) { i =>
-      val (sh, qids) = byShard(i)
-      ivfIndexQuery(queries.where(col("qid").isInCollection(qids)),
-        s"$indexDir/shard=$sh", k, nprobe)
-    }
-    frames.reduce(_ unionByName _).transform(topK(_, k))
+  }
+
+  /** Require the `_router` centroids a routed serve needs (an id-hash
+    * sharded index has no meaningful shard routing — every shard is a
+    * uniform corpus draw, so skipping any loses recall proportionally).
+    */
+  private[operators] def requireRouter(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, scatterServe: String, routedBuild: String): Unit = {
+    val rp = new org.apache.hadoop.fs.Path(s"$indexDir/_router")
+    require(rp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rp),
+      s"$indexDir carries no _router centroids — an id-hash sharded index " +
+        "has no meaningful shard routing (every shard is a uniform corpus " +
+        "draw; skipping any loses recall proportionally): serve it with " +
+        s"$scatterServe, or rebuild with $routedBuild")
   }
 
   /** Serve a [[buildIvfIndexSharded]] index: scatter the query batch to

@@ -1390,6 +1390,75 @@ object StreamQueries {
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
         | MIN(user_id) AS min_id, MAX(event_id) AS max_eid, TRUE AS pruned
         |FROM events
-        |WHERE user_id >= (SELECT CAST(FLOOR(MAX(user_id) / 2.0) AS BIGINT) FROM events)""".stripMargin))
+        |WHERE user_id >= (SELECT CAST(FLOOR(MAX(user_id) / 2.0) AS BIGINT) FROM events)""".stripMargin)),
+
+    // ---- DYNAMIC partition pruning through the zone-map FileIndex (r13):
+    // the star-join-over-partitioned-lake shape a 100× deployment lives on
+    // — a filtered dimension's join keys prune the fact's PARTITIONS at
+    // runtime (DPP), and the zone maps prune FILES inside the surviving
+    // partitions, both through the same registered view. The oracle pins
+    // both effects from the EXECUTED scan's metrics (dpp = a runtime
+    // partition filter was present; pruned = files read < files total).
+    Q("q128_dpp_partitioned_join", (s, d) => {
+      val base = tmp("graft-q128-")
+      val ev = tbl(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          pmod(col("event_id"), lit(4)).as("bucket"))
+      graft.streaming.Deliver.withInt64Timestamps(s) {
+        // range-cluster by event_id BEFORE the bucket split: each bucket
+        // dir gets range-sliced files, so the event_id cut zone-prunes
+        // within the DPP-surviving buckets
+        ev.repartitionByRange(8, col("event_id"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/lake")
+        s.createDataFrame(Seq((0, "keep"), (1, "keep"), (2, "drop"), (3, "drop")))
+          .toDF("bucket", "tag").write.parquet(s"$base/dim")
+      }
+      val hconf = s.sessionState.newHadoopConf()
+      val lfs = new org.apache.hadoop.fs.Path(s"$base/lake").getFileSystem(hconf)
+      val urls = graft.streaming.FsOps.walkParquet(lfs,
+        new org.apache.hadoop.fs.Path(s"$base/lake"), skipHidden = true)
+        .map(p => lfs.makeQualified(p).toString).sorted
+      graft.streaming.FsOps.atomicWrite(hconf, lfs,
+        new org.apache.hadoop.fs.Path(s"$base/manifest", "manifest-0000000000.json"),
+        graft.streaming.ManifestChain.render(urls,
+          Some(lfs.makeQualified(new org.apache.hadoop.fs.Path(s"$base/lake")).toString))
+          .getBytes("UTF-8"))
+      graft.sources.ZoneMaps.write(hconf, s"$base/manifest", 0L,
+        graft.sources.ZoneMaps.fromFooters(hconf, urls, Seq("event_id")),
+        compactEvery = 0)
+      graft.catalog.LakeCatalog.registerPrunedView(s, "dpp_fact_q128", s"$base/manifest")
+      s.read.parquet(s"$base/dim").createOrReplaceTempView("dpp_dim_q128")
+      val cut = tbl(s, d, "events")
+        .agg(floor(max(col("event_id")) / lit(2.0)).cast("long")).head.getLong(0)
+      val df = s.sql(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           | CAST(SUM(event_id) AS BIGINT) AS sum_eid
+           |FROM dpp_fact_q128 f JOIN dpp_dim_q128 dm ON f.bucket = dm.bucket
+           |WHERE dm.tag = 'keep' AND f.event_id >= $cut""".stripMargin)
+      df.collect() // execute, so the scan metrics are final
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allScans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allScans(q.plan)
+        }.flatten
+      val scan = allScans(df.queryExecution.executedPlan)
+        .find(_.metadata.get("Location").exists(_.contains("lake")))
+      val dpp = scan.exists(_.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])))
+      val read = scan.map(_.metrics("numFiles").value).getOrElse(-1L)
+      df.withColumn("dpp", lit(dpp))
+        .withColumn("pruned", lit(read > 0 && read < urls.size))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_eid, TRUE AS dpp, TRUE AS pruned
+        |FROM events
+        |WHERE event_id % 4 IN (0, 1)
+        |  AND event_id >= (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events)""".stripMargin))
   )
 }

@@ -70,10 +70,31 @@ object PqRecall {
         .select(col("qid"), col("nid"))
         .join(exact, Seq("qid", "nid"), "left_semi").count()
     }
+    // ROUTED IVF-PQ curve (r13): the serve-cost dial on the persisted
+    // memory-bound tier — build once, serve at each routeShards width;
+    // recall must be monotone and the full width must match the scatter
+    val routedDir = java.nio.file.Files
+      .createTempDirectory("graft-pqrecall-routed-").toString + "/index"
+    val nShards = 3
+    val (_, buildWall) = timed {
+      PqIndex.buildPqIvfIndexRouted(corpus, routedDir, nShards = nShards,
+        dim = dim, nlist = 0x10, m = 8, ksub = 64)
+    }
+    def routedRecall(r: Int): (Double, Double) = timed {
+      val approx = PqIndex.pqIvfQueryRouted(queries, routedDir, k,
+        nprobe = 4, routeShards = r).select(col("qid"), col("nid"))
+      approx.join(exact, Seq("qid", "nid"), "left_semi").count()
+        .toDouble / (nQ.toLong * k)
+    }
+    val routed = (1 to nShards).map(r => r -> routedRecall(r))
+    val routedJson = routed.map { case (r, (rec, w)) =>
+      f""""r$r":{"recall":$rec%.4f,"wall":$w%.2f}""" }.mkString(",")
+
     println(s"""{"sf":"$sfDir","n_corpus":$nCorpus,"n_queries":$nQ,"k":$k,""" +
       s""""recall_fixed_cut":$fixedCut,"recall_band_adaptive":$bandAdaptive,""" +
       f""""recall_sq8":${sq8Hits.toDouble / (nQ.toLong * k)}%.4f,""" +
-      f""""wall_sq8":$sq8Wall%.2f,"wall_pq":$pqWall%.2f}""")
+      f""""wall_sq8":$sq8Wall%.2f,"wall_pq":$pqWall%.2f,""" +
+      f""""routed_pq_build":$buildWall%.2f,"routed_pq":{$routedJson}}""")
     spark.stop()
   }
 }

@@ -266,4 +266,75 @@ class PlanSpec extends SparkSuite {
       scans.head.partitionFilters, scans.head.dataFilters).size
     assert(readParts < allParts, s"read $readParts of $allParts partitions")
   }
+
+  test("dynamic partition pruning composes with zone pruning through the FileIndex") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmpDir("graft-dpp-")
+    val lake = s"$base/lake"
+    val mdir = s"$base/manifest"
+    // 4 day partitions × 2 files each, disjoint event_id ranges per file:
+    // a day dim filter DPP-prunes to day=0 (2 files), the event_id
+    // predicate zone-prunes one of the two — composed, the scan reads 1/8
+    for (d <- 0 until 4; j <- 0 until 2) {
+      graft.streaming.Deliver.withInt64Timestamps(spark) {
+        (0 until 500).map(i => (d * 1000L + j * 500L + i, s"u$i"))
+          .toDF("event_id", "u").coalesce(1)
+          .write.mode("append").parquet(s"$lake/day=$d")
+      }
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    val lfs = new org.apache.hadoop.fs.Path(lake).getFileSystem(hconf)
+    val urls = graft.streaming.FsOps.walkParquet(lfs,
+      new org.apache.hadoop.fs.Path(lake), skipHidden = true)
+      .map(p => lfs.makeQualified(p).toString).sorted
+    assert(urls.size == 8)
+    graft.streaming.FsOps.atomicWrite(hconf, lfs,
+      new org.apache.hadoop.fs.Path(mdir, "manifest-0000000000.json"),
+      graft.streaming.ManifestChain.render(urls,
+        Some(lfs.makeQualified(new org.apache.hadoop.fs.Path(lake)).toString))
+        .getBytes("UTF-8"))
+    graft.sources.ZoneMaps.write(hconf, mdir, 0L,
+      graft.sources.ZoneMaps.fromFooters(hconf, urls, Seq("event_id")),
+      compactEvery = 0)
+    graft.catalog.LakeCatalog.registerPrunedView(spark, "dpp_fact", mdir)
+    // the dim must be FILE-backed: a local Seq constant-folds into a
+    // LocalRelation, whose filter leaves no filtering subquery for DPP to
+    // reuse (found by probe — DPP never fires on a folded dim, any index)
+    Seq((0, "keep"), (1, "drop"), (2, "drop"), (3, "drop"))
+      .toDF("day", "tag").write.parquet(s"$base/dim")
+    spark.read.parquet(s"$base/dim").createOrReplaceTempView("dpp_dim")
+    val df = spark.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(f.event_id) AS s
+        |FROM dpp_fact f JOIN dpp_dim d ON f.day = d.day
+        |WHERE d.tag = 'keep' AND f.event_id >= 500""".stripMargin)
+    val row = df.collect().head
+    // correctness: day 0, file j=1 → event_ids 500..999
+    assert(row.getLong(0) == 500 && row.getLong(1) == (500L to 999L).sum,
+      row.toString)
+    // the fact scan carries a DynamicPruning partition filter... AQE query
+    // stages are LEAF nodes, so the collect must recurse into stage plans
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty,
+      s"no file scans in the final plan:\n${df.queryExecution.executedPlan}")
+    val scan = scans.find(_.metadata.get("Location").exists(_.contains("lake")))
+      .getOrElse(scans.head)
+    assert(scan.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])),
+      s"no DPP filter on the fact scan: ${scan.partitionFilters}")
+    // ...and the EXECUTED metrics prove DPP (4→1 day) AND the zone prune
+    // (2→1 file inside the surviving day) both fired: 1 of 8 files read
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles == 1,
+      s"expected DPP ∘ zone-prune to read 1 of 8 files, read $numFiles")
+  }
 }

@@ -84,4 +84,42 @@ class RoutedIvfSpec extends SparkSuite {
     val exact = Similarity.bruteForceKnn(queries, corpus, k = 5)
     assert(topkSet(got) == topkSet(exact))
   }
+
+  test("routed IVF-PQ: full routing == scatter; recall monotone; id-hash refused") {
+    import graft.operators.PqIndex
+    val dir = s"${tmpDir("graft-routedpq-")}/index"
+    PqIndex.buildPqIvfIndexRouted(corpus, dir, nShards = 3, dim = 64,
+      nlist = 4, m = 8, ksub = 16)
+    // full routing degenerates to the scatter, identical results
+    val routedFull = PqIndex.pqIvfQueryRouted(queries, dir, k = 5,
+      nprobe = 4, routeShards = 3)
+    val scatter = PqIndex.pqIvfQuerySharded(queries, dir, k = 5, nprobe = 4)
+    assert(topkSet(routedFull) == topkSet(scatter))
+    // recall monotone in routeShards, against the exact answer
+    val exact = topkSet(Similarity.bruteForceKnn(queries, corpus, k = 5))
+    def recallAt(r: Int): Double = {
+      val got = PqIndex.pqIvfQueryRouted(queries, dir, k = 5,
+        nprobe = 4, routeShards = r)
+      assert(got.groupBy("qid").count().collect().forall(_.getLong(1) == 5),
+        s"routeShards=$r did not serve k rows per query")
+      topkSet(got).count(exact.contains).toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r3 = recallAt(3)
+    assert(r1 <= r3 + 1e-9, s"recall not monotone: $r1 $r3")
+    assert(r1 > 0.3, s"nearest-shard PQ routing recall $r1 degenerate")
+    // wrong-dim probes refused once, up front
+    val bad = queries.withColumn("embedding", slice(col("embedding"), 1, 8))
+    val exDim = intercept[IllegalArgumentException] {
+      PqIndex.pqIvfQueryRouted(bad, dir, k = 5, routeShards = 1)
+    }
+    assert(exDim.getMessage.contains("dim"), exDim.getMessage)
+    // an id-hash sharded PQ index refuses routing
+    val hashDir = s"${tmpDir("graft-routedpqrefuse-")}/index"
+    PqIndex.buildPqIvfIndexSharded(corpus, hashDir, nShards = 2, dim = 64,
+      nlist = 4, m = 8, ksub = 16)
+    val ex = intercept[IllegalArgumentException] {
+      PqIndex.pqIvfQueryRouted(queries, hashDir, k = 5, routeShards = 1)
+    }
+    assert(ex.getMessage.contains("pqIvfQuerySharded"), ex.getMessage)
+  }
 }
