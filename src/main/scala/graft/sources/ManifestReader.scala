@@ -350,24 +350,40 @@ object ManifestReader {
     fs.mkdirs(dir)
     recoverMfAside(fs, dir)
     val dropSet = drop.map(normUrl).toSet
+    // part-file names carry the writing job's UUIDs — two folds can never
+    // produce the same set, so the sorted part listing is a content tag
+    def partSig(p: HPath): Seq[String] =
+      fs.listStatus(p).map(_.getPath.getName).sorted.toSeq
     var id = snapshotId.getOrElse(0L)
     var attempts = 0
     var stable = false
-    while (!stable && attempts < 3) {
+    while (!stable && attempts < 5) {
       attempts += 1
-      val (snap, incs) = ManifestChain.resolveTiered(fs, dir)
-      val chainMax = (snap.map(_._1).toSeq ++ incs.map(_._1))
-        .maxOption.getOrElse(0L)
+      val listing = ManifestChain.listTiered(fs, dir)
+      val snap = listing.filter(_._2 == ManifestChain.SnapPq)
+        .sortBy(_._1).lastOption
+      // fold EVERY json piece in the listing, visible or shadowed: a piece
+      // landed concurrently at ≤ a previous attempt's id is shadowed by
+      // OUR OWN snapshot and invisible to chain resolution — folding only
+      // resolution-visible pieces could then never converge. Re-folding an
+      // already-folded piece is harmless (union semantics; drop edits
+      // re-apply), and pieces naming retired files cannot linger: every
+      // drop-edit fold prunes them, and a crash between swap and prune is
+      // re-covered by the maintenance op's own recovery re-running finish.
+      val jsonPieces = listing.collect {
+        case (_, k, p) if k != ManifestChain.SnapPq => p
+      }
+      val chainMax = listing.map(_._1).maxOption.getOrElse(0L)
       id = math.max(id, chainMax)
-      val jsonPieces = snap.toSeq.collect {
-        case (_, ManifestChain.SnapJson, p) => p } ++ incs.map(_._2)
       val jsonTxt = jsonPieces.map(p => graft.streaming.FsOps.readString(fs, p))
       val extra = (jsonTxt.flatMap(ManifestChain.parseUrls).map(normUrl) ++
         add.map(normUrl)).distinct.filterNot(dropSet)
       val extraDf = spark.createDataset(extra)(
         org.apache.spark.sql.Encoders.STRING).toDF("url")
+      // the compare-and-swap tag: the snapshot we are folding, by content
+      val expectedSig = snap.map(s => partSig(s._3))
       val (outUrls, snapBases) = snap match {
-        case Some((_, ManifestChain.SnapPq, p)) =>
+        case Some((_, _, p)) =>
           val baseDf = spark.read.schema(MfPqSchema).parquet(p.toString)
           val kept =
             if (dropSet.isEmpty) baseDf.select(col("url"))
@@ -394,28 +410,44 @@ object ManifestReader {
       outDf.write.mode("overwrite").parquet(tmp.toString)
       val target = new HPath(dir, f"manifest-$id%010d.snap.pq")
       val aside = new HPath(dir, f".old-manifest-$id%010d.snap.pq")
-      if (fs.exists(aside)) graft.streaming.FsOps.deleteOrThrow(fs, aside, recursive = true)
-      if (fs.exists(target)) graft.streaming.FsOps.renameOrThrow(fs, target, aside)
-      graft.streaming.FsOps.renameOrThrow(fs, tmp, target)
-      if (fs.exists(aside)) graft.streaming.FsOps.deleteOrThrow(fs, aside, recursive = true)
-      // stabilization: every piece now shadowed by our snapshot must have
-      // been folded into it — a piece landed by a concurrent writer
-      // between our listing and the swap was not; refold (our id only
-      // grows, so the loop converges while writers are slower than folds)
-      val foldedNames = (jsonPieces.map(_.getName) ++
-        snap.map(_._3.getName)).toSet + target.getName
-      stable = !ManifestChain.listTiered(fs, dir).exists { case (i, k, p) =>
-        (i < id || (i == id && k < ManifestChain.SnapPq)) &&
-          !foldedNames.contains(p.getName)
+      // INSTALL = compare-and-swap: replace the target only if it is
+      // (content-identical to) the snapshot this attempt folded. A
+      // different snapshot appeared (a locked maintenance fold racing an
+      // unlocked deliver self-fold, possibly at the SAME id) → discard our
+      // tmp and refold on top of THEIRS — replacing it would silently drop
+      // their retire/promote edits (files maintenance just deleted would
+      // stay in the manifest). Each writer's refold includes the other's
+      // content plus its own edits, so the race converges.
+      val targetNow = if (fs.exists(target)) Some(partSig(target)) else None
+      val casOk = (expectedSig, targetNow) match {
+        case (_, None) => true // no live target: plain rename, no window
+        case (Some(e), Some(t)) => e == t
+        case (None, Some(_)) => false // a snapshot appeared we never read
+      }
+      if (!casOk) {
+        graft.streaming.FsOps.deleteOrThrow(fs, tmp, recursive = true)
+      } else {
+        if (fs.exists(aside)) graft.streaming.FsOps.deleteOrThrow(fs, aside, recursive = true)
+        if (fs.exists(target)) graft.streaming.FsOps.renameOrThrow(fs, target, aside)
+        graft.streaming.FsOps.renameOrThrow(fs, tmp, target)
+        if (fs.exists(aside)) graft.streaming.FsOps.deleteOrThrow(fs, aside, recursive = true)
+        // stabilization: every piece at or below our snapshot id must be
+        // accounted for by this attempt's LISTING (folded directly, or a
+        // lower snapshot already subsumed by the one we folded) — a piece
+        // that appeared between the listing and the swap was not; refold
+        // (the next attempt's listing includes it)
+        val foldedNames = listing.map(_._3.getName).toSet + target.getName
+        stable = !ManifestChain.listTiered(fs, dir).exists { case (i, k, p) =>
+          (i < id || (i == id && k < ManifestChain.SnapPq)) &&
+            !foldedNames.contains(p.getName)
+        }
       }
     }
     if (!stable) throw new IllegalStateException(
-      s"manifest fold at $manifestDir did not stabilize after 3 attempts " +
+      s"manifest fold at $manifestDir did not stabilize after 5 attempts " +
         "(a concurrent writer keeps landing pieces at or below the fold " +
         "id) — retry when the chain settles; the chain itself is intact")
     pruneManifestPieces(fs, dir)
-    // the fold changed the resolved view — drop the signature-cached url
-    // listing eagerly (it would also self-invalidate on next access)
     id
   }
 

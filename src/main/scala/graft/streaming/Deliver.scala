@@ -598,9 +598,22 @@ object Deliver {
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
         case Some(s) =>
           try {
-            graft.sources.ManifestReader.foldManifestToParquet(s, mdir,
-              snapshotId = Some(batchId))
-            ()
+            // under the maintenance try-lock: a self-fold racing a LOCKED
+            // retire/promote fold (Compact/Retention/Erase) could replace
+            // it blind to its edits — resurrecting just-retired files in
+            // the manifest. Busy lock → skip; always safe (incrementals
+            // accumulate until the next cadence, or the maintenance pass
+            // itself folds them).
+            val lakeRootPath = new HPath(lakeDir)
+            val lakeFs = lakeRootPath.getFileSystem(hconf)
+            if (FsLeaseLock.tryWithLock(lakeFs, lakeRootPath,
+                Compact.DefaultLeaseMs) {
+              graft.sources.ManifestReader.foldManifestToParquet(s, mdir,
+                snapshotId = Some(batchId))
+            }.isEmpty)
+              System.err.println(s"[graft] batch-$batchId manifest self-fold " +
+                "skipped: a maintenance writer holds the lake lock; " +
+                "incrementals accumulate until the next fold")
           } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[graft] WARNING: batch-$batchId parquet-tier " +
               s"manifest fold failed (${e.getMessage}) — the chain is intact; " +

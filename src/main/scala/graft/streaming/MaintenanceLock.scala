@@ -51,6 +51,26 @@ trait LockProvider {
   * external [[LockProvider]] there.
   */
 object FsLeaseLock extends LockProvider {
+
+  /** Non-blocking acquire: run `body` under the lease only when the lock
+    * is free (or a dead writer's lease lapsed); None when a LIVE writer
+    * holds it. For best-effort maintenance a stream performs
+    * opportunistically (the deliver sink's manifest self-fold): skipping
+    * is always safe there — incrementals accumulate until the next
+    * cadence or until the maintenance pass that holds the lock folds them
+    * itself — while RUNNING concurrently with a locked retire/promote
+    * fold could replace it and resurrect retired files.
+    */
+  def tryWithLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
+      body: => T): Option[T] =
+    try Some(withLock(fs, lake, leaseMs)(body))
+    catch {
+      case e: IllegalStateException
+          if e.getMessage != null &&
+            e.getMessage.startsWith("another maintenance writer holds") =>
+        None // contention is the expected no-op; body's own errors propagate
+    }
+
   def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T = {
     val lock = Compact.ctl(lake, "lock")
     fs.mkdirs(lock.getParent)

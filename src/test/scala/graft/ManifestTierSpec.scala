@@ -150,6 +150,35 @@ class ManifestTierSpec extends SparkSuite {
     assert(ManifestReader.latestManifestFiles(spark, mdir) == want)
   }
 
+  test("self-fold defers to a held maintenance lock (no blind replace of edits)") {
+    val base = tmpDir("graft-mt-lock-")
+    deliver(base, 200, compactEvery = 1)
+    val mdir = s"$base/manifest"
+    ManifestReader.foldManifestToParquet(spark, mdir)
+    val fs = hfs(base)
+    // a maintenance writer holds the lake lock (fresh mtime = live lease)
+    val lock = new HPath(s"$base/lake/_compact/lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    try {
+      val before = ManifestChain.resolveTiered(fs, new HPath(mdir))._1.get
+      deliver(base, 200, skip = 200, compactEvery = 1) // cadence batch: self-fold must SKIP
+      val (snapAfter, incs) = ManifestChain.resolveTiered(fs, new HPath(mdir))
+      assert(snapAfter.get._1 == before._1,
+        "the self-fold must not advance the snapshot under a held lock")
+      assert(incs.nonEmpty, "the batch's incremental must still be visible")
+      // nothing lost: reads resolve snapshot + incrementals
+      val viaManifest = ManifestReader.read(spark, mdir)
+        .agg(count(lit(1))).head.getLong(0)
+      val plain = spark.read.parquet(s"$base/lake").count()
+      assert(viaManifest == plain)
+    } finally fs.delete(lock, false)
+    // lock released: the next fold converges the chain
+    ManifestReader.foldManifestToParquet(spark, mdir)
+    val (snap2, incs2) = ManifestChain.resolveTiered(fs, new HPath(mdir))
+    assert(snap2.exists(_._2 == ManifestChain.SnapPq) && incs2.isEmpty)
+  }
+
   test("readWhere pruning and registered views survive manifest graduation") {
     val base = tmpDir("graft-mt-prune-")
     deliver(base, 600)
