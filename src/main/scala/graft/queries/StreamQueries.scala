@@ -1328,34 +1328,56 @@ object StreamQueries {
     // row values, the q119 discipline on the decimal domain.
     Q("q125_decimal_bloom_lookup", (s, d) => {
       val dir = tmp("graft-q125-")
+      // a per-order unique money amount (orderkey + 0.25, decimal(13,2) →
+      // INT64 unscaled physical): raw prices REPEAT across every file at
+      // scale (the bloom would correctly keep them all — measured at sf1),
+      // so the point-lookup key must be high-cardinality like a real
+      // account/transaction id with cents
       val li = tbl(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+          (col("l_orderkey").cast("decimal(12,2)") +
+            lit(new java.math.BigDecimal("0.25"))).as("amount_dec"))
       graft.streaming.Deliver.withInt64Timestamps(s) {
+        // hash-spread by order key: every file's [min,max] straddles every
+        // probe (zones blind), while one order's lines land in ONE file —
+        // the bloom isolates it
+        // dictionary OFF for the bloom column: parquet-mr silently drops
+        // the bloom when a chunk stays fully dictionary-encoded (the dict
+        // already filters exactly) — at small files the dictionary always
+        // wins, so pinning bloom effectiveness requires the documented
+        // high-cardinality pairing: bloom on, dictionary off
         li.repartition(8, col("l_orderkey"))
           .write.mode("overwrite")
-          .option("parquet.bloom.filter.enabled#price_dec", "true")
+          .option("parquet.bloom.filter.enabled#amount_dec", "true")
+          .option("parquet.enable.dictionary#amount_dec", "false")
           .parquet(dir)
       }
-      // probe: the first lineitem's price — deterministic at every SF
-      val probe = li.orderBy(col("l_orderkey"), col("l_linenumber"))
-        .select(col("price_dec")).head.getDecimal(0)
-      val pred = col("price_dec") === lit(probe)
+      // probe: a MID-RANGE existing order's amount (the largest key at or
+      // below half the max) — deterministic at every SF, and inside every
+      // hash-spread file's [min,max] so the zone stage is provably blind
+      // (the first key would be the global minimum, which zones CAN prune)
+      val half = li.agg(floor(max(col("l_orderkey")) / lit(2.0)).cast("long"))
+        .head.getLong(0)
+      val probeKey = li.where(col("l_orderkey") <= half)
+        .agg(max(col("l_orderkey"))).head.getLong(0)
+      val probe = new java.math.BigDecimal(probeKey).setScale(2)
+        .add(new java.math.BigDecimal("0.25"))
+      val pred = col("amount_dec") === lit(probe)
       val (keptZ, total) = graft.sources.ZoneMaps.pruneStats(s, dir, pred)
       val (kept, _) = graft.sources.ZoneMaps.pruneStats(s, dir, pred, blooms = true)
       graft.sources.ZoneMaps.scanWhere(s, dir, pred, blooms = true)
         .agg(count(lit(1)).as("n"),
-          countDistinct(col("l_orderkey")).as("n_orders"))
+          countDistinct(col("l_linenumber")).as("n_lines"))
         .withColumn("zones_blind", lit(keptZ == total))
         .withColumn("bloom_effective", lit(kept > 0 && kept * 4 <= total))
     }, Some(
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        | CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_lines,
         | TRUE AS zones_blind, TRUE AS bloom_effective
         |FROM lineitem
-        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) =
-        |  (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
-        |   ORDER BY l_orderkey, l_linenumber LIMIT 1)""".stripMargin)),
+        |WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem
+        |  WHERE l_orderkey <= (SELECT CAST(FLOOR(MAX(l_orderkey) / 2.0) AS BIGINT)
+        |                       FROM lineitem))""".stripMargin)),
 
     // ---- NESTED-column zone pruning (r13): the CDC envelope shape — a
     // lake that RETAINS the payload struct still gets file skipping on
