@@ -282,7 +282,12 @@ object Bench {
           case Some(bc) if bc > 0 =>
             calBaseOut = bc
             math.min(4.0, math.max(0.5, cal / bc))
-          case _ => 1.0
+          case _ =>
+            System.err.println("[bench] WARNING: MINS_BASELINE.json carries " +
+              "no __calibration entry — the min-regression gate compares " +
+              "RAW cross-box mins (the box-drift false-flag mode); refresh " +
+              "the baseline from a bench run so it records this key")
+            1.0
         }
         calRatioOut = calRatio
         val shuffleGrew = regressions.map(_.split(":")(0).stripPrefix("\"")).toSet

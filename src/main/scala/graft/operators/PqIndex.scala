@@ -439,6 +439,10 @@ object PqIndex {
     if (meta0.schema.fieldNames.contains("dim"))
       Similarity.requireProbeDim(queries, meta0.getAs[Int]("dim"), indexDir)
     val byShard = Similarity.routeQueries(queries, indexDir, r)
+    // empty probe batch = legal empty serve — shard 0 yields the schema
+    if (byShard.isEmpty)
+      return pqIvfQueryImpl(queries, s"$indexDir/shard=0", k, nprobe, refine,
+        bandCap, allowPreBandIndex = false, validateProbe = false)
     Similarity.shardScatter(byShard.size) { i =>
         val (sh, qids) = byShard(i)
         pqIvfQueryImpl(queries.where(col("qid").isInCollection(qids)),

@@ -736,6 +736,10 @@ object Similarity {
     val r = math.min(math.max(1, routeShards), nShards)
     if (r == nShards) return ivfIndexQuerySharded(queries, indexDir, k, nprobe)
     val byShard = routeQueries(queries, indexDir, r)
+    // empty probe batch = legal empty serve (the requireProbeDim rule):
+    // shard 0's serve with the empty batch yields the right schema
+    if (byShard.isEmpty)
+      return ivfIndexQuery(queries, s"$indexDir/shard=0", k, nprobe)
     val frames = shardScatter(byShard.size) { i =>
       val (sh, qids) = byShard(i)
       ivfIndexQuery(queries.where(col("qid").isInCollection(qids)),
@@ -818,6 +822,7 @@ object Similarity {
     */
   private[graft] def shardScatter[T](nShards: Int, maxThreads: Int = 8)(
       f: Int => T): Seq[T] = {
+    if (nShards == 0) return Seq.empty // a 0-thread pool would throw
     if (nShards == 1) return Seq(f(0))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(nShards, maxThreads))

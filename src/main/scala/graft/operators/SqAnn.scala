@@ -72,6 +72,11 @@ object SqAnn {
       .collect()
     require(stats.nonEmpty, "SQ8 fit: empty corpus")
     val nanCnt = stats.map(_.getAs[Long]("nans")).sum
+    // scope honesty: this guards the FIT SAMPLE (maxFitRows) — a NaN row
+    // outside the sample still encodes to meaningless bytes at build time,
+    // like a NaN embedding NaNs through every other ANN tier's cosine.
+    // Validate embeddings at ingest; this refusal catches the common case
+    // (systematic NaNs hit the uniform sample with near-certainty).
     require(nanCnt == 0,
       s"SQ8 fit: sample contains $nanCnt NaN embedding value(s) — a NaN " +
         "dimension makes the quantization grid (and its error band) NaN, " +

@@ -174,12 +174,18 @@ object ManifestReader {
     // tier-aware signature over (name, length, mtime): a parquet fold or a
     // maintenance JSON fold can REPLACE a same-named chain head (Compact
     // folds at id = chain max), so names alone would miss the swap and pin
-    // a view to retired files
-    def sig(): String = ManifestChain.listTiered(fs, dirPath)
-      .map { case (_, _, p) =>
-        val st = fs.getFileStatus(p)
-        s"${p.getName}:${st.getLen}:${st.getModificationTime}"
-      }.sorted.mkString(";")
+    // a view to retired files. ONE atomic listing — re-statting paths from
+    // a prior listing races concurrent fold/prune deletions into
+    // FileNotFoundException (and bills N extra RPCs per scan).
+    def sig(): String =
+      (if (!fs.exists(dirPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+       else fs.listStatus(dirPath))
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("manifest-") || n.startsWith(".old-manifest-")
+        }
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(";")
     // signature BEFORE the listing: a flush landing between the two is
     // then included in `files` AND still looks changed to the first scan
     // (a harmless extra refresh) — sampled after, it would be consumed
@@ -362,17 +368,24 @@ object ManifestReader {
       val listing = ManifestChain.listTiered(fs, dir)
       val snap = listing.filter(_._2 == ManifestChain.SnapPq)
         .sortBy(_._1).lastOption
-      // fold EVERY json piece in the listing, visible or shadowed: a piece
-      // landed concurrently at ≤ a previous attempt's id is shadowed by
-      // OUR OWN snapshot and invisible to chain resolution — folding only
-      // resolution-visible pieces could then never converge. Re-folding an
-      // already-folded piece is harmless (union semantics; drop edits
-      // re-apply), and pieces naming retired files cannot linger: every
-      // drop-edit fold prunes them, and a crash between swap and prune is
-      // re-covered by the maintenance op's own recovery re-running finish.
-      val jsonPieces = listing.collect {
-        case (_, k, p) if k != ManifestChain.SnapPq => p
-      }
+      // JSON pieces fold by the JSON chain's OWN resolution (latest JSON
+      // snapshot + incrementals after it), NOT every piece on disk: the
+      // JSON tier never deletes shadowed pieces, and an incremental older
+      // than a JSON maintenance fold may name files that fold RETIRED —
+      // blindly folding it would resurrect deleted files into the parquet
+      // snapshot and the post-fold prune would then destroy the one
+      // correct artifact. Resolving INDEPENDENTLY of any pq snapshot keeps
+      // convergence: a piece landed concurrently at ≤ a previous attempt's
+      // pq id is shadowed by OUR OWN snapshot but still JSON-resolution-
+      // visible (deliver incrementals are monotone past every JSON
+      // snapshot), so the refold picks it up.
+      val jsonAll = listing.filter(_._2 != ManifestChain.SnapPq)
+      val lastJsonSnap = jsonAll.filter(_._2 == ManifestChain.SnapJson)
+        .sortBy(_._1).lastOption
+      val jsonPieces = (lastJsonSnap.toSeq ++ jsonAll.filter(e =>
+          e._2 == ManifestChain.Inc &&
+            lastJsonSnap.forall(s => e._1 > s._1)))
+        .sortBy(_._1).map(_._3)
       val chainMax = listing.map(_._1).maxOption.getOrElse(0L)
       id = math.max(id, chainMax)
       val jsonTxt = jsonPieces.map(p => graft.streaming.FsOps.readString(fs, p))

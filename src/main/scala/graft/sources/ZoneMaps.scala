@@ -854,9 +854,12 @@ object ZoneMaps {
     case GreaterThanOrEqual(Lit(v, t), Attr(a)) => noneBelow(zones.get(a), t, v, strict = false)
     case In(Attr(a), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall { case Lit(v, t) => outside(zones.get(a), t, v, v); case _ => false }
-    case InSet(e @ Attr(a), vs) if vs.nonEmpty =>
+    case InSet(e @ Attr(a), vs) if vs.nonEmpty && e.resolved =>
       // the optimizer's large-IN form: values are internal representations
-      // typed by the attribute (or struct-field extraction)
+      // typed by the attribute (or struct-field extraction). `e.resolved`
+      // gates the dataType access — an UnresolvedAttribute (a hand-built
+      // predicate tree) throws there, and the conservative answer for a
+      // shape we can't type is keep, never crash.
       vs.forall(v => internal(v, e.dataType)
         .exists { case (d, t) => outside(zones.get(a), t, d, d) })
     case IsNull(Attr(a)) =>
@@ -1005,7 +1008,7 @@ object ZoneMaps {
         val lits = nonNull.collect { case Lit(v, t) => (v, t) }
         if (lits.nonEmpty && lits.size == nonNull.size) Seq(a -> lits)
         else Seq.empty
-      case InSet(e @ Attr(a), vs) if vs.nonEmpty =>
+      case InSet(e @ Attr(a), vs) if vs.nonEmpty && e.resolved =>
         val nonNull = vs.toSeq.filter(_ != null)
         val lits = nonNull.flatMap(v => internal(v, e.dataType))
         if (lits.nonEmpty && lits.size == nonNull.size) Seq(a -> lits)

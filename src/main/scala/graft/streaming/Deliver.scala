@@ -61,6 +61,12 @@ object Deliver {
       // disproves membership from the bloom bytes alone. Costs write CPU
       // + up to parquet.bloom.filter.max.bytes per column chunk.
       bloomFilterCols: Seq[String] = Nil,
+      // the maintenance-lock seam (the Compact/Erase/Retention argument):
+      // the sink's opportunistic parquet-tier manifest self-fold takes
+      // this lock non-blockingly so it never races a locked retire fold —
+      // object-store deployments swap the same provider here as on the
+      // maintenance entry points
+      lock: LockProvider = FsLeaseLock,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -253,7 +259,7 @@ object Deliver {
     // reader/compaction work stays O(batch + chain/N)
     cfg.manifestDir.foreach { mdir =>
       writeZoneMaps(hconf, mdir, batchId, added, cfg)
-      writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir)
+      writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir, cfg.lock)
     }
 
     // 4. failed records → errors/ prefix (README.md:426). Batch-scoped
@@ -311,7 +317,7 @@ object Deliver {
     val intent = intentPath(lake, batchId)
     if (fs.exists(intent)) {
       cfg.manifestDir.foreach { mdir =>
-        writeManifest(hconf, mdir, batchId, Seq.empty, cfg.manifestCompactEvery, cfg.lakeDir)
+        writeManifest(hconf, mdir, batchId, Seq.empty, cfg.manifestCompactEvery, cfg.lakeDir, cfg.lock)
       }
       FsOps.readString(fs, intent).split("\n").filter(_.nonEmpty)
         .foreach(p => FsOps.deleteOrThrow(fs, new HPath(p), recursive = false))
@@ -432,7 +438,7 @@ object Deliver {
         else Seq.empty
       cfg.manifestDir.foreach { mdir =>
         writeZoneMaps(hconf, mdir, batchId, added, cfg)
-        writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir)
+        writeManifest(hconf, mdir, batchId, added, cfg.manifestCompactEvery, cfg.lakeDir, cfg.lock)
       }
 
       // DLQ: unknown tables + per-table decode failures, one idempotent
@@ -535,7 +541,7 @@ object Deliver {
     */
   private def writeManifest(hconf: org.apache.hadoop.conf.Configuration,
       mdir: String, batchId: Long, added: Seq[String], compactEvery: Int,
-      lakeDir: String): Unit = {
+      lakeDir: String, lock: LockProvider = FsLeaseLock): Unit = {
     val dir = new HPath(mdir)
     val fs = dir.getFileSystem(hconf)
     fs.mkdirs(dir)
@@ -577,14 +583,23 @@ object Deliver {
       var urls = fold()
       var stable = false
       var attempts = 0
-      while (!stable && attempts < 3) {
+      var graduated = false
+      while (!stable && !graduated && attempts < 3) {
         put(name, urls)
-        val recheck = fold()
-        stable = recheck == urls
-        urls = recheck
+        // a GRADUATION (foldManifestToParquet) landing since the tier
+        // check above is invisible to the JSON-only fold(): our higher-id
+        // JSON snapshot would shadow the parquet head and silently drop
+        // every url that lives only there — detect it per round and fall
+        // back to an incremental (always safe on any tier)
+        graduated = ManifestChain.isParquetTier(fs, dir)
+        if (!graduated) {
+          val recheck = fold()
+          stable = recheck == urls
+          urls = recheck
+        }
         attempts += 1
       }
-      if (!stable) {
+      if (!stable || graduated) {
         FsOps.deleteOrThrow(fs, new HPath(dir, name), recursive = false)
         put(f"manifest-$batchId%010d.json", added)
       }
@@ -606,7 +621,7 @@ object Deliver {
             // itself folds them).
             val lakeRootPath = new HPath(lakeDir)
             val lakeFs = lakeRootPath.getFileSystem(hconf)
-            if (FsLeaseLock.tryWithLock(lakeFs, lakeRootPath,
+            if (lock.tryWithLock(lakeFs, lakeRootPath,
                 Compact.DefaultLeaseMs) {
               graft.sources.ManifestReader.foldManifestToParquet(s, mdir,
                 snapshotId = Some(batchId))

@@ -34,6 +34,25 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 trait LockProvider {
   def withLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(body: => T): T
+
+  /** Non-blocking acquire for OPPORTUNISTIC maintenance (the deliver
+    * sink's manifest self-fold): run `body` under the lock if it is free,
+    * None when a live writer holds it — skipping must always be safe for
+    * the caller. Default: since `withLock` is contracted to FAIL FAST on
+    * contention (never wait), delegate and map its contention failure to
+    * None; providers with a distinguishable busy signal should override
+    * (see [[FsLeaseLock]]) so body errors are never mistaken for
+    * contention.
+    */
+  def tryWithLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
+      body: => T): Option[T] = {
+    // acquire-probe: run an inert body first so a contention throw is
+    // unambiguous, then the real body under a second acquire — racy only
+    // against a writer arriving between the two, which then fails fast
+    // like any locked maintenance collision
+    try { withLock(fs, lake, leaseMs)(()) } catch { case _: Exception => return None }
+    Some(withLock(fs, lake, leaseMs)(body))
+  }
 }
 
 /** The default provider: a lock FILE under `_compact/` with a
@@ -61,7 +80,7 @@ object FsLeaseLock extends LockProvider {
     * itself — while RUNNING concurrently with a locked retire/promote
     * fold could replace it and resurrect retired files.
     */
-  def tryWithLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
+  override def tryWithLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
       body: => T): Option[T] =
     try Some(withLock(fs, lake, leaseMs)(body))
     catch {
