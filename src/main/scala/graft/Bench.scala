@@ -61,7 +61,10 @@ object Bench {
       import org.apache.spark.sql.functions.{col, sum, xxhash64, pmod, lit}
       def once(): Double = {
         val t0 = System.nanoTime()
-        spark.range(20000000L).select(sum(xxhash64(col("id") * 7))).collect()
+        // pmod keeps the sum far from Long overflow — ANSI mode's addExact
+        // throws on a raw sum of 20M full-range hashes
+        spark.range(20000000L)
+          .select(sum(pmod(xxhash64(col("id") * 7), lit(1000000L)))).collect()
         spark.range(2000000L)
           .repartition(32, pmod(col("id"), lit(4096)))
           .groupBy(pmod(col("id"), lit(4096))).count()

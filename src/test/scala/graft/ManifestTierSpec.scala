@@ -129,6 +129,41 @@ class ManifestTierSpec extends SparkSuite {
     assert(kept > 0, s"post-compaction pruning: $kept/$total")
   }
 
+  test("graduation AFTER a JSON-tier retire never resurrects deleted files") {
+    // the JSON tier keeps shadowed incrementals forever; a Compact fold
+    // retires files and excludes them from its JSON snapshot — the
+    // graduation fold must resolve the JSON chain (snapshot + later
+    // pieces), not scoop every piece on disk back in
+    val base = tmpDir("graft-mt-grad-")
+    deliver(base, 500)
+    val mdir = s"$base/manifest"
+    val fs = hfs(base)
+    val preFiles = ManifestReader.latestManifestFiles(spark, mdir)
+    val stats = Compact.run(spark, s"$base/lake", targetBytes = 512L << 20,
+      manifestDir = Some(mdir)) // JSON-tier fold with drops
+    assert(stats.filesBefore > stats.filesAfter)
+    val retired = preFiles.map(new HPath(_).toString).toSet --
+      ManifestReader.latestManifestFiles(spark, mdir).map(new HPath(_).toString)
+    assert(retired.nonEmpty, "fixture: compaction must have retired files")
+    // old incrementals naming the retired files still exist on disk
+    assert(ManifestChain.list(fs, new HPath(mdir)).exists(!_._2),
+      "fixture: shadowed incrementals must still be present")
+
+    ManifestReader.foldManifestToParquet(spark, mdir)
+    graft.operators.IndexMeta.invalidateAll()
+    val after = ManifestReader.latestManifestFiles(spark, mdir)
+      .map(new HPath(_).toString).toSet
+    assert(after.intersect(retired).isEmpty,
+      s"graduation resurrected ${after.intersect(retired).size} retired file(s)")
+    // and the read is whole: every named file exists, results match plain
+    after.foreach(f => assert(fs.exists(new HPath(f)), s"names deleted file $f"))
+    val viaManifest = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    val plain = spark.read.parquet(s"$base/lake")
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(viaManifest == plain)
+  }
+
   test("swap-window aside substitutes for the missing head; fold recovers it") {
     val base = tmpDir("graft-mt-aside-")
     deliver(base, 300)
