@@ -59,6 +59,22 @@ object ManifestReader {
     */
   private def resolvedUrlsBasePq(spark: SparkSession,
       manifestDir: String): (Seq[String], Option[String]) = {
+    // a fold swapping the snapshot mid-read kills the collect
+    // (FILE_NOT_EXIST); unlike the advisory zones, a manifest read cannot
+    // degrade — RETRY against the freshly-resolved chain (the new snapshot
+    // is in place by the time the old one's files are gone)
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      try return resolvedUrlsBasePqOnce(spark, manifestDir)
+      catch { case scala.util.control.NonFatal(e) => last = e }
+    }
+    throw last
+  }
+
+  private def resolvedUrlsBasePqOnce(spark: SparkSession,
+      manifestDir: String): (Seq[String], Option[String]) = {
     val dir = new HPath(manifestDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     graft.operators.IndexMeta.cachedIf(spark, manifestDir, tag = "mf-urls") {

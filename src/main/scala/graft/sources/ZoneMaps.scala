@@ -717,8 +717,19 @@ object ZoneMaps {
           }
         }
         val normOverlay = overlay.map { case (k, v) => norm(k) -> v }
-        val prunedSet = pruneDistributed(spark, p, overlay, pred, urls,
-          manifestDir).map(norm).toSet
+        // the distributed verdict job reads the snapshot's parquet files:
+        // a concurrent fold swapping the snapshot mid-job kills the read
+        // (FILE_NOT_EXIST) — and zone pruning must NEVER fail a scan, so
+        // that read degrades this scan to unpruned (the advisory posture;
+        // the next scan resolves the fresh snapshot)
+        val prunedSet =
+          try pruneDistributed(spark, p, overlay, pred, urls, manifestDir)
+            .map(norm).toSet
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARNING: distributed zone-prune " +
+              s"verdict failed (${e.getMessage}) — this scan runs unpruned")
+            Set.empty[String]
+          }
         urls.filter { u =>
           val n = norm(u)
           normOverlay.get(n) match {

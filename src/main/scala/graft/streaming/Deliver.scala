@@ -514,9 +514,20 @@ object Deliver {
             graft.sources.ZoneMaps.isParquetTier(hconf, mdir)) {
           SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
             case Some(s) =>
-              graft.sources.ZoneMaps.foldToParquet(s, mdir,
-                snapshotId = Some(batchId))
-              ()
+              // under the maintenance try-lock, like the manifest
+              // self-fold: an unlocked zone fold racing Compact's locked
+              // zone repair swaps the snapshot the repair's job is
+              // mid-reading — the repair dies FILE_NOT_EXIST (found by the
+              // double-graduated soak). Busy → skip; zones are advisory
+              // and the lock holder folds the chain itself.
+              val zLake = new HPath(cfg.lakeDir)
+              if (cfg.lock.tryWithLock(zLake.getFileSystem(hconf), zLake,
+                  Compact.DefaultLeaseMs) {
+                graft.sources.ZoneMaps.foldToParquet(s, mdir,
+                  snapshotId = Some(batchId))
+              }.isEmpty)
+                System.err.println(s"[graft] batch-$batchId sidecar self-fold " +
+                  "skipped: a maintenance writer holds the lake lock")
             case None =>
               System.err.println("[graft] WARNING: no active SparkSession " +
                 s"for the batch-$batchId parquet-tier sidecar fold — " +

@@ -121,6 +121,97 @@ class MaintenanceSoakSpec extends SparkSuite {
     ()
   }
 
+  test("exactly-once holds on a DOUBLE-GRADUATED lake: pq manifest + pq zones, self-folding under live ingest racing Compact") {
+    // r13 integration capstone: manifestCompactEvery=1 makes EVERY live
+    // micro-batch a cadence batch — the stream self-folds the parquet
+    // manifest (under the try-lock, deferring to Compact's held lock) and
+    // the parquet zone sidecar, while Compact folds its retire/promote
+    // edits in-tier and mid-flight manifest readers must never see a
+    // duplicate, a vanished record, or a partial chain (the aside window).
+    val base = tmpDir("graft-soak3-")
+    val all = graft.queries.Registry.tbl(spark, sfDir, "events")
+      .where($"event_id" < 600)
+      .select($"event_id", $"ts").cache()
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+      manifestDir = Some(s"$base/manifest"),
+      zoneMapCols = Seq("ts", "event_id"),
+      manifestCompactEvery = 1,
+      trigger = Trigger.AvailableNow(), clock = clock)
+    def stage(lo: Long, hi: Long): Unit =
+      ShardedLog.put(ShardedLog.fromEvents(
+        graft.queries.Registry.tbl(spark, sfDir, "events")
+          .where($"event_id" >= lo && $"event_id" < hi)), s"$base/log")
+    def manifestIds(): Seq[Long] =
+      ManifestReader.read(spark, s"$base/manifest")
+        .select($"event_id").as[Long].collect().toSeq
+    def assertExactlyOnce(hi: Long, label: String): Unit = {
+      val got = manifestIds()
+      assert(got.size == got.distinct.size, s"$label: duplicates via manifest")
+      val expected = all.where($"event_id" < hi).select($"event_id").as[Long]
+        .collect().sorted.toSeq
+      assert(got.sorted == expected,
+        s"$label: lost=${(expected.toSet -- got).size} extra=${(got.toSet -- expected).size}")
+    }
+
+    stage(0, 200)
+    Deliver.start(ShardedLog.readStream(spark, s"$base/log"), payloadSchema, cfg)
+      .awaitTermination()
+    // graduate BOTH tiers
+    graft.sources.ZoneMaps.foldToParquet(spark, s"$base/manifest")
+    ManifestReader.foldManifestToParquet(spark, s"$base/manifest")
+    val mfs = new org.apache.hadoop.fs.Path(s"$base/manifest")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ManifestChain.isParquetTier(mfs,
+      new org.apache.hadoop.fs.Path(s"$base/manifest")))
+    assertExactlyOnce(200, "after graduation")
+
+    // live overlap: every micro-batch self-folds both tiers; Compact races
+    (200L until 600L by 40L).foreach(lo => stage(lo, lo + 40))
+    val live = Deliver.start(
+      ShardedLog.readStream(spark, s"$base/log", maxFilesPerTrigger = Some(1)),
+      payloadSchema, cfg)
+    var compacts = 0
+    var prev = Set.empty[Long]
+    while (live.isActive && compacts < 6) {
+      Thread.sleep(250)
+      // the lock is fail-fast by contract; a stream self-fold holding it
+      // is ordinary contention — retry next round, like any scheduler
+      val s = try Compact.run(spark, s"$base/lake",
+          manifestDir = Some(s"$base/manifest"))
+        catch { case e: IllegalStateException
+            if e.getMessage.startsWith("another maintenance writer holds") =>
+          Compact.Stats(0, 0, 0)
+        }
+      if (s.partitionsPacked > 0) compacts += 1
+      val ids = manifestIds()
+      assert(ids.size == ids.distinct.size, "mid-soak: duplicates via manifest")
+      val now = ids.toSet
+      assert(prev.subsetOf(now),
+        s"mid-soak: ${(prev -- now).size} committed records vanished")
+      prev = now
+    }
+    live.awaitTermination()
+    assert(compacts > 0, "the soak must land at least one in-tier compaction")
+    assertExactlyOnce(600, "after live overlap")
+    // both chains stayed in their parquet tiers — no JSON fold reappeared
+    val names = mfs.listStatus(new org.apache.hadoop.fs.Path(s"$base/manifest"))
+      .map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith(".snap.json")),
+      s"a JSON manifest snapshot reappeared post-graduation: $names")
+    assert(graft.sources.ZoneMaps.isParquetTier(
+      spark.sessionState.newHadoopConf(), s"$base/manifest"))
+    // zone pruning stays correct end-to-end on the double-tier lake
+    val cut = all.agg(expr("percentile_approx(ts, 0.8)")).head.getTimestamp(0)
+    val pred = $"ts" >= lit(cut)
+    val a = ManifestReader.readWhere(spark, s"$base/manifest", pred)
+      .agg(count(lit(1)), sum($"event_id")).head
+    val b = ManifestReader.read(spark, s"$base/manifest").where(pred)
+      .agg(count(lit(1)), sum($"event_id")).head
+    assert(a == b, s"double-tier readWhere diverged: $a vs $b")
+    all.unpersist()
+    ()
+  }
+
   test("backfill and erase hold zero-lost/zero-dup through live ingest") {
     // Round-9 extension (VERDICT r8 ask #4): Backfill's dynamic-partition
     // overwrite and Erase's copy-on-write rewrite share Compact's
