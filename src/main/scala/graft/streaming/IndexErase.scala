@@ -110,9 +110,12 @@ object IndexErase {
     * stores fingerprints only (no doc ids), so the caller supplies the
     * erased docs' fingerprints — compute them with
     * `TextFunctions.fingerprint` over the erased texts, exactly as the
-    * index did. Note the dedup consequence: a future re-ingest of an
-    * erased document classifies as `new` again (correct under erasure —
-    * the corpus no longer contains it).
+    * index did. ORDERING: run this BEFORE [[Erase.eraseKeys]] deletes the
+    * texts from the lake — once the text is gone its fingerprint is
+    * unrecoverable and would sit in the index forever. Note the dedup
+    * consequence: a future re-ingest of an erased document classifies as
+    * `new` again (correct under erasure — the corpus no longer contains
+    * it).
     */
   def eraseFingerprints(spark: SparkSession, indexDir: String,
       fps: DataFrame, lock: LockProvider = FsLeaseLock): Report =
