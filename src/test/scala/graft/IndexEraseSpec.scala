@@ -89,6 +89,22 @@ class IndexEraseSpec extends SparkSuite {
     assert(got.intersect(erased).isEmpty)
   }
 
+  test("routed IVF index: erasure recurses per shard; the router survives") {
+    val base = tmpDir("graft-ie-routed-")
+    Similarity.buildIvfIndexRouted(corpus, s"$base/index", nShards = 3, nlist = 4)
+    val erased = corpus.orderBy(col("id")).limit(20)
+      .select(col("id")).as[Long].collect().toSet
+    IndexErase.eraseFromIvfIndex(spark, s"$base/index", erased.toSeq.toDF("id"))
+    for (sh <- 0 until 3)
+      assert(rawIds(s"$base/index/shard=$sh/corpus", "nid")
+        .intersect(erased).isEmpty, s"shard $sh still holds erased ids")
+    // geometry untouched: the router still routes, narrow serve still works
+    assert(spark.read.parquet(s"$base/index/_router").count() == 3)
+    val got = Similarity.ivfIndexQueryRouted(queries, s"$base/index", k = 5,
+      nprobe = 1000, routeShards = 3).select("nid").as[Long].collect().toSet
+    assert(got.nonEmpty && got.intersect(erased).isEmpty)
+  }
+
   test("PQ and SQ8 indexes: both tiers and both delta families rewritten") {
     val base = tmpDir("graft-ie-pq-")
     PqIndex.buildPqIvfIndex(corpus, s"$base/pq", dim = 64, nlist = 8, m = 8, ksub = 16)
