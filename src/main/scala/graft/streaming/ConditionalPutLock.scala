@@ -60,6 +60,23 @@ final class ConditionalPutLockProvider(store: ConditionalStore,
       r
     }
 
+  /** Non-blocking acquire: this provider's refuse signal is
+    * distinguishable (the `refuse()` message below), so — like
+    * [[FsLeaseLock]] and unlike the base-trait default — contention maps
+    * to None while body errors (and a mid-body lease LOSS, which is a
+    * failure of the work, not a busy lock) PROPAGATE. Without this
+    * override the inherited default would swallow body errors.
+    */
+  override def tryWithLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
+      body: => T): Option[T] =
+    try Some(withLock(fs, lake, leaseMs)(body))
+    catch {
+      case e: IllegalStateException
+          if e.getMessage != null &&
+            e.getMessage.startsWith("another maintenance writer holds") =>
+        None // contention is the expected no-op; body errors propagate
+    }
+
   /** [[withLock]] with the lease handle exposed: bodies that want finer
     * control than thread-interrupt + completion-check poll `lease.lost`
     * (or call `ensureHeld()`) at their own write points, and can pass

@@ -38,21 +38,29 @@ trait LockProvider {
   /** Non-blocking acquire for OPPORTUNISTIC maintenance (the deliver
     * sink's manifest self-fold): run `body` under the lock if it is free,
     * None when a live writer holds it — skipping must always be safe for
-    * the caller. Default: since `withLock` is contracted to FAIL FAST on
-    * contention (never wait), delegate and map its contention failure to
-    * None; providers with a distinguishable busy signal should override
-    * (see [[FsLeaseLock]]) so body errors are never mistaken for
-    * contention.
+    * the caller. Default: ONE delegated acquire (`withLock` is contracted
+    * to fail fast on contention, never wait), with ANY non-fatal failure
+    * mapped to None. A bare `withLock` implementation gives the default no
+    * way to tell contention from a body error, so body errors are
+    * SWALLOWED here (logged to stderr) — None always means "not done",
+    * never "done". Providers with a distinguishable busy signal should
+    * override so body errors propagate (see [[FsLeaseLock]],
+    * [[ConditionalPutLockProvider]]). The previous probe-then-reacquire
+    * default is gone: its inert first acquire transiently HELD the lock
+    * (spuriously failing a concurrent locked pass) and a writer arriving
+    * between the two acquires made the second one THROW out of a method
+    * whose contract is "skipping must always be safe".
     */
   def tryWithLock[T](fs: FileSystem, lake: HPath, leaseMs: Long)(
-      body: => T): Option[T] = {
-    // acquire-probe: run an inert body first so a contention throw is
-    // unambiguous, then the real body under a second acquire — racy only
-    // against a writer arriving between the two, which then fails fast
-    // like any locked maintenance collision
-    try { withLock(fs, lake, leaseMs)(()) } catch { case _: Exception => return None }
-    Some(withLock(fs, lake, leaseMs)(body))
-  }
+      body: => T): Option[T] =
+    try Some(withLock(fs, lake, leaseMs)(body))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] tryWithLock skipped for $lake: " +
+          s"${e.getMessage} (default provider cannot distinguish contention " +
+          "from a body error — override tryWithLock to propagate body errors)")
+        None
+    }
 }
 
 /** The default provider: a lock FILE under `_compact/` with a

@@ -110,4 +110,31 @@ class ConditionalPutLockSpec extends SparkSuite {
       .select($"id", $"v").as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B2")))
   }
+
+  test("tryWithLock: contention → None (body unrun), body errors PROPAGATE") {
+    // r13 verdict ask #5: the inherited probe-then-reacquire default made a
+    // writer arriving between the two acquires THROW out of a method whose
+    // contract is "skipping must always be safe" (the deliver sink's
+    // opportunistic self-fold would fail its micro-batch). The override
+    // maps exactly this provider's refuse signal to None.
+    val store = new InMemoryConditionalStore
+    val lock = new ConditionalPutLockProvider(store)
+    val lake = new HPath(tmpDir("graft-cput-try-"))
+    val key = s"$lake/.graft-maintenance-lock"
+    // contention: a live lease held elsewhere → None, body never runs
+    store.putIfAbsent(key,
+      s"other:${System.currentTimeMillis() + 3600000}".getBytes("UTF-8"))
+    assert(lock.tryWithLock(fs, lake, 60000) { fail("body must not run") }.isEmpty)
+    // free: runs under the lease and releases
+    val (bytes, ver) = store.get(key).get
+    assert(store.deleteIfMatch(key, ver), s"fixture release failed: ${new String(bytes)}")
+    assert(lock.tryWithLock(fs, lake, 60000) { 42 }.contains(42))
+    assert(store.get(key).isEmpty, "tryWithLock must release on completion")
+    // a body error is NOT contention — it must propagate, and release
+    val ex = intercept[RuntimeException] {
+      lock.tryWithLock(fs, lake, 60000) { throw new RuntimeException("body boom") }
+    }
+    assert(ex.getMessage == "body boom")
+    assert(store.get(key).isEmpty, "tryWithLock must release on body failure")
+  }
 }

@@ -88,4 +88,29 @@ class LockProviderSpec extends SparkSuite {
     assert(!new java.io.File(s"$base/lake/_compact/intent").exists())
     assert(!new java.io.File(s"$base/lake/_compact/stage").exists())
   }
+
+  test("default tryWithLock: ONE acquire, contention → None, never throws") {
+    val lake = new HPath(tmpDir("graft-trylock-"))
+    val hfs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a bare provider (withLock only) under contention: the old
+    // probe-then-reacquire default could THROW out of tryWithLock when a
+    // writer arrived between its two acquires; the single-delegate default
+    // maps any failure to None
+    assert(Refusing.tryWithLock(hfs, lake, 60000) { fail("body must not run") } .isEmpty)
+    // exactly one acquisition per try — the probe acquire (which
+    // transiently HELD the real lock and could spuriously fail a
+    // concurrent locked pass) is gone
+    val counting = new Counting
+    assert(counting.tryWithLock(hfs, lake, 60000) { 42 }.contains(42))
+    assert(counting.acquired.get == 1,
+      s"default tryWithLock must acquire exactly once, saw ${counting.acquired.get}")
+    // a bare provider's body error maps to None (documented swallow: the
+    // default cannot tell it from contention) — and the lock is RELEASED,
+    // so the next acquire succeeds
+    assert(counting.tryWithLock(hfs, lake, 60000) {
+      throw new RuntimeException("body boom")
+    }.isEmpty)
+    assert(counting.tryWithLock(hfs, lake, 60000) { 7 }.contains(7),
+      "the lock must not leak after a failed body")
+  }
 }
