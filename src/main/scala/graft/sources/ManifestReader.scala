@@ -46,7 +46,13 @@ object ManifestReader {
           .schema("entries array<struct<mandatory boolean, url string>>")
           .json(chain.map(_.toString): _*)
           .select(explode(col("entries")).as("e"))
-          .select(col("e.url")).distinct().collect().map(_.getString(0)).toSeq.sorted
+          .select(col("e.url")).distinct().collect().map(_.getString(0))
+          // Path-normalize like the parquet tier (which round-trips urls
+          // through HPath): the public API's url spelling must be
+          // TIER-INVARIANT — without this, every url "changes" spelling
+          // (file:/// → file:/) the moment a lake graduates, breaking any
+          // external caller keying on exact strings
+          .map(normUrl).toSeq.distinct.sorted
     }
   }
 
@@ -62,15 +68,51 @@ object ManifestReader {
     // a fold swapping the snapshot mid-read kills the collect
     // (FILE_NOT_EXIST); unlike the advisory zones, a manifest read cannot
     // degrade — RETRY against the freshly-resolved chain (the new snapshot
-    // is in place by the time the old one's files are gone)
+    // is in place by the time the old one's files are gone). The retry is
+    // scoped to the NOT-FOUND family only: a deterministic failure (corrupt
+    // snapshot schema, permission denied) must surface on the first read,
+    // not after two futile replays.
     var last: Throwable = null
     var attempt = 0
     while (attempt < 3) {
       attempt += 1
       try return resolvedUrlsBasePqOnce(spark, manifestDir)
-      catch { case scala.util.control.NonFatal(e) => last = e }
+      catch {
+        case scala.util.control.NonFatal(e) if isNotFound(e) =>
+          mfRetries.incrementAndGet()
+          last = e
+      }
     }
     throw last
+  }
+
+  /** Observability for tests: how many swap-window retries the parquet-tier
+    * resolve has taken (a deterministic failure must take none).
+    */
+  private[graft] val mfRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Is this failure (anywhere in its cause chain) the file-not-found /
+    * stale-listing family a concurrent snapshot swap produces? Spark wraps
+    * the executor-side FileNotFoundException in SparkException layers and
+    * surfaces listing misses as `[PATH_NOT_FOUND]` / FILE_NOT_EXIST-coded
+    * errors, so match both the class and the error-code markers.
+    */
+  private def isNotFound(t: Throwable): Boolean = {
+    var e: Throwable = t
+    var depth = 0
+    while (e != null && depth < 10) {
+      e match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = e.getMessage
+          if (m != null && (m.contains("FILE_NOT_EXIST") ||
+              m.contains("PATH_NOT_FOUND") || m.contains("does not exist")))
+            return true
+      }
+      e = if (e.getCause eq e) null else e.getCause
+      depth += 1
+    }
+    false
   }
 
   private def resolvedUrlsBasePqOnce(spark: SparkSession,
@@ -92,7 +134,13 @@ object ManifestReader {
             (Seq[String], Option[String])
         case _ => (Seq.empty[String], None): (Seq[String], Option[String])
       }
-    }(_._1.size <= 2000000)
+      // cache bound is BYTES, not url count (r13 advice): at ~100-200 B per
+      // pinned String, 2M urls is 200-400 MB of driver heap PER manifest
+      // dir, and several registered lakes multiply it. Estimate each url at
+      // 2 B/char + ~48 B String/array header overhead and keep listings
+      // under ~64 MB; a bigger lake's listing reloads per read (and should
+      // be consumed through the distributed manifest TABLE, not this list).
+    }(v => v._1.foldLeft(0L)((a, u) => a + 2L * u.length + 48L) <= (64L << 20))
   }
 
   /** Scan exactly the manifest-listed files (duplicate-proof, torn-write-proof). */

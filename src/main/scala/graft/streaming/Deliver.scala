@@ -550,6 +550,13 @@ object Deliver {
     * batch id is simply overwritten — per-batch manifests cannot
     * double-list across attempts.
     */
+  /** Test-only failpoint (the crashBeforeCommit discipline): runs inside
+    * the JSON snapshot fold, after the cadence tier check but before
+    * anything is installed — the exact window a concurrent graduation
+    * must not be shadowed in. No-op in production.
+    */
+  @volatile private[graft] var mfFoldTestHook: () => Unit = () => ()
+
   private def writeManifest(hconf: org.apache.hadoop.conf.Configuration,
       mdir: String, batchId: Long, added: Seq[String], compactEvery: Int,
       lakeDir: String, lock: LockProvider = FsLeaseLock): Unit = {
@@ -564,7 +571,7 @@ object Deliver {
     // head would DROP its urls. Every write is a plain incremental; the
     // tier self-folds at the same cadence below (after the incremental is
     // durable, so a failed fold never loses the batch's urls).
-    val pqTier = cadence && ManifestChain.isParquetTier(fs, dir)
+    val pqTier = cadence && ManifestChain.hasParquetSnapshot(fs, dir)
     val snapshot = cadence && !pqTier
     val name = f"manifest-$batchId%010d" + (if (snapshot) ".snap.json" else ".json")
     val lakeRoot = new HPath(lakeDir)
@@ -591,28 +598,48 @@ object Deliver {
       def fold(): Seq[String] =
         (ManifestChain.chainUrls(fs, dir, upToExclusive = batchId) ++ added)
           .distinct.sorted
+      // A GRADUATION (foldManifestToParquet) landing since the tier check
+      // above is invisible to the JSON-only fold() — and once graduation's
+      // pruneManifestPieces empties the JSON chain, fold() would return
+      // only THIS batch's urls, so installing the snapshot silently drops
+      // every pre-graduation file from manifest reads. Detection must be
+      // EXISTENCE of a parquet snapshot (hasParquetSnapshot), never
+      // "leads the chain": after we put() our own higher-id JSON snapshot,
+      // isParquetTier is false precisely because ours shadows the head.
+      // Order of operations therefore: fold to stability and re-check
+      // graduation BEFORE anything becomes visible (the put is a dot-temp
+      // + rename inside atomicWrite, so a crash mid-decision never leaves
+      // a shadowing snapshot), install once, then one post-install
+      // existence check retracts the snapshot if a graduation slipped
+      // inside the final window. A graduation landing after even that is
+      // converged by foldManifestToParquet itself: its next fold resolves
+      // the JSON chain (our snapshot included) into the parquet head.
+      mfFoldTestHook()
       var urls = fold()
       var stable = false
       var attempts = 0
-      var graduated = false
+      var graduated = ManifestChain.hasParquetSnapshot(fs, dir)
       while (!stable && !graduated && attempts < 3) {
-        put(name, urls)
-        // a GRADUATION (foldManifestToParquet) landing since the tier
-        // check above is invisible to the JSON-only fold(): our higher-id
-        // JSON snapshot would shadow the parquet head and silently drop
-        // every url that lives only there — detect it per round and fall
-        // back to an incremental (always safe on any tier)
-        graduated = ManifestChain.isParquetTier(fs, dir)
-        if (!graduated) {
-          val recheck = fold()
-          stable = recheck == urls
-          urls = recheck
-        }
+        // stabilize against a concurrent maintenance JSON fold (their
+        // locked fold landing between our reads would be shadowed by our
+        // higher-id snapshot with stale urls): re-fold until two reads
+        // agree, then re-check graduation one last time pre-install
+        val recheck = fold()
+        stable = recheck == urls
+        urls = recheck
         attempts += 1
+        if (stable) graduated = ManifestChain.hasParquetSnapshot(fs, dir)
       }
-      if (!stable || graduated) {
-        FsOps.deleteOrThrow(fs, new HPath(dir, name), recursive = false)
-        put(f"manifest-$batchId%010d.json", added)
+      if (!stable || graduated) put(f"manifest-$batchId%010d.json", added)
+      else {
+        put(name, urls)
+        if (ManifestChain.hasParquetSnapshot(fs, dir)) {
+          // graduation slipped between the pre-install check and the put:
+          // retract (our batchId is ours alone) and fall back to an
+          // incremental — always safe on any tier
+          FsOps.deleteOrThrow(fs, new HPath(dir, name), recursive = false)
+          put(f"manifest-$batchId%010d.json", added)
+        }
       }
     }
     // parquet-tier self-fold at cadence — AFTER the incremental above is
@@ -737,6 +764,17 @@ private[graft] object ManifestChain {
     */
   def isParquetTier(fs: FileSystem, dir: HPath): Boolean =
     resolveTiered(fs, dir)._1.exists(_._2 == SnapPq)
+
+  /** True when ANY parquet snapshot exists in the chain (live or mid-swap
+    * aside) — position-INDEPENDENT, unlike [[isParquetTier]]'s "leads the
+    * chain". This is the graduation test a JSON-snapshot WRITER must use:
+    * once a lake has graduated, a JSON fold is forbidden forever, and a
+    * writer that just installed its own higher-id JSON snapshot would see
+    * `isParquetTier == false` precisely BECAUSE its snapshot is the one
+    * shadowing the parquet head it needs to detect.
+    */
+  def hasParquetSnapshot(fs: FileSystem, dir: HPath): Boolean =
+    listTiered(fs, dir).exists(_._2 == SnapPq)
 
   /** Resolve the chain `[latest snapshot] ∪ incrementals after it`,
     * restricted to batches `< upToExclusive` (Long.MaxValue = all). The

@@ -214,6 +214,69 @@ class ManifestTierSpec extends SparkSuite {
     assert(snap2.exists(_._2 == ManifestChain.SnapPq) && incs2.isEmpty)
   }
 
+  test("a graduation racing the cadence JSON fold is never shadowed (no url loss)") {
+    // r13 advice (medium): a foldManifestToParquet landing between the
+    // writer's tier check and its JSON-snapshot install used to be
+    // invisible — the writer's own higher-id .snap.json led the chain, so
+    // the "leads the chain" re-check passed, the snapshot shadowed the
+    // parquet head, and (because graduation had already pruned the JSON
+    // pieces) every pre-graduation url vanished from manifest reads. The
+    // fix detects graduation by parquet-snapshot EXISTENCE and installs
+    // the JSON snapshot only after a post-check window.
+    val base = tmpDir("graft-mt-race-")
+    deliver(base, 300, compactEvery = 1) // batch 0: incremental
+    val mdir = s"$base/manifest"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Deliver.mfFoldTestHook = () =>
+      if (fired.compareAndSet(false, true)) {
+        ManifestReader.foldManifestToParquet(spark, mdir)
+        ()
+      }
+    try {
+      // batch 1 hits cadence on a (still) JSON chain → enters the snapshot
+      // fold; the hook graduates the lake inside the race window
+      deliver(base, 300, skip = 300, compactEvery = 1)
+    } finally Deliver.mfFoldTestHook = () => ()
+    assert(fired.get, "fixture: the graduation hook must have fired")
+    val fs = hfs(mdir)
+    val names = fs.listStatus(new HPath(mdir)).map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith(".snap.json")),
+      s"the racing JSON fold shadowed the graduation: $names")
+    assert(ManifestChain.isParquetTier(fs, new HPath(mdir)),
+      s"parquet head must lead the chain: $names")
+    // nothing lost: BOTH batches' files resolve through the manifest
+    graft.operators.IndexMeta.invalidateAll()
+    val viaManifest = ManifestReader.read(spark, mdir)
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    val plain = spark.read.parquet(s"$base/lake")
+      .agg(count(lit(1)), sum(col("event_id"))).head
+    assert(viaManifest == plain,
+      s"manifest lost urls across the race: $viaManifest vs $plain")
+  }
+
+  test("corrupt parquet snapshot fails FAST (the swap retry is not-found-scoped)") {
+    // the ×3 resolve retry exists for the fold swap window (FILE_NOT_EXIST
+    // on a just-replaced snapshot); a deterministic failure — a corrupted
+    // snapshot part file — must surface on the FIRST read, not after two
+    // futile replays. (The swap window itself is covered reader-side by
+    // the aside-substitution test above, which resolves without error.)
+    val base = tmpDir("graft-mt-corrupt-")
+    deliver(base, 200)
+    val mdir = s"$base/manifest"
+    val id = ManifestReader.foldManifestToParquet(spark, mdir)
+    val fs = hfs(mdir)
+    val snap = new HPath(mdir, f"manifest-$id%010d.snap.pq")
+    val part = fs.listStatus(snap).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val out = fs.create(part, true)
+    try out.write("this is not a parquet file".getBytes("UTF-8")) finally out.close()
+    graft.operators.IndexMeta.invalidateAll()
+    val before = ManifestReader.mfRetries.get()
+    intercept[Throwable] { ManifestReader.latestManifestFiles(spark, mdir) }
+    assert(ManifestReader.mfRetries.get() == before,
+      "a deterministic corrupt-snapshot failure must not take swap-window retries")
+  }
+
   test("readWhere pruning and registered views survive manifest graduation") {
     val base = tmpDir("graft-mt-prune-")
     deliver(base, 600)
