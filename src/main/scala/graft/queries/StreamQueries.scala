@@ -1481,6 +1481,56 @@ object StreamQueries {
         | CAST(SUM(event_id) AS BIGINT) AS sum_eid, TRUE AS dpp, TRUE AS pruned
         |FROM events
         |WHERE event_id % 4 IN (0, 1)
-        |  AND event_id >= (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events)""".stripMargin))
+        |  AND event_id >= (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events)""".stripMargin)),
+
+    // ---- GDPR erasure reaching the upsert table's TIME-TRAVEL history
+    // (r14, r13 verdict ask #1): the commit log retains `retainCommits`
+    // generations of bucket versions, so a CDC delete only fixes the
+    // LATEST state — an erased subject stayed byte-present and
+    // readTableAt-servable for the whole horizon. UpsertSink.eraseKeys
+    // copy-on-write rewrites every retained version holding a subject key
+    // and scrubs the commit files in place (ids preserved, contents
+    // scrubbed). Pinned here: the table AS OF every retained commit equals
+    // the replayed CDC state minus the subjects (hash-exact survivors),
+    // and a RAW read of every bucket file proves the bytes are gone.
+    Q("q129_upsert_history_erasure", (s, d) => {
+      val base = tmp("graft-q129-")
+      val changes = tbl(s, d, "events").select(
+        col("user_id").as("id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("seq"))
+      (0 to 2).foreach { b =>
+        UpsertSink.applyBatch(changes.where(pmod(col("seq"), lit(3)) === b),
+          b.toLong, s"$base/table", "id", "op", Seq("seq"), nBuckets = 8,
+          retainCommits = 3)
+      }
+      UpsertSink.eraseKeys(s, s"$base/table", "id",
+        changes.select(col("id")).where(pmod(col("id"), lit(7)) === 0).distinct())
+      val bytesGone = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/table/buckets")
+        .where(pmod(col("id"), lit(7)) === 0).count() == 0L
+      (0 to 2).map { b =>
+        UpsertSink.readTableAt(s, s"$base/table", b).get
+          .select(lit(b.toLong).as("as_of"), col("id"), col("value"))
+      }.reduce(_ unionByName _)
+        .withColumn("bytes_gone", lit(bytesGone))
+        .orderBy(col("as_of"), col("id"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT user_id AS id, value, event_type, event_id,
+        |    event_id % 3 AS batch
+        |  FROM events),
+        |cutoffs AS (
+        |  SELECT g.as_of, c.* FROM (VALUES (0), (1), (2)) g(as_of)
+        |  JOIN c ON c.batch <= g.as_of),
+        |ranked AS (
+        |  SELECT as_of, id, value, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY as_of, id
+        |                       ORDER BY batch DESC, event_id DESC) AS rn
+        |  FROM cutoffs)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, id, value, TRUE AS bytes_gone
+        |FROM ranked
+        |WHERE rn = 1 AND event_type <> 'error' AND id % 7 <> 0
+        |ORDER BY as_of, id""".stripMargin))
   )
 }

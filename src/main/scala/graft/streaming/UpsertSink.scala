@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod, regexp_extract}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s._
@@ -231,6 +231,180 @@ object UpsertSink {
         DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
     }
 
+  /** Outcome of a table erasure: retained commit files whose version maps
+    * were scrubbed, bucket versions rewritten (erased copy-on-write), and
+    * bucket versions dropped outright (every row was a target key).
+    */
+  final case class EraseStats(commitsRewritten: Int, versionsRewritten: Int,
+      versionsDropped: Int)
+
+  /** GDPR erasure reaching the table's TIME-TRAVEL history (r13 verdict
+    * ask #1): the commit protocol retains `retainCommits` generations of
+    * bucket versions, so deleting a key via a CDC `D` record only changes
+    * the LATEST state — the key's rows stay byte-present on disk and
+    * servable through [[readTableAt]] for the whole retention horizon.
+    * This rewrites, copy-on-write, EVERY retained bucket version holding a
+    * target key ("filtering at serve time is not erasure — the bytes must
+    * be gone", the [[IndexErase]] doctrine), and scrubs the retained
+    * commit files in place: history ids are preserved (time travel still
+    * resolves every retained commit), contents lose the erased keys.
+    *
+    * Protocol, crash-safe at every step (readers always resolve a complete
+    * state — commit files are only ever atomically REPLACED, and a version
+    * dir is deleted only after no retained commit references it):
+    *  1. locate: ONE column-pruned scan of (keyCol, `_metadata.file_path`)
+    *     over all retained version dirs, semi-joined against the broadcast
+    *     keys → the affected (bucket, version) set. Versions without a
+    *     target key are never read in full or rewritten.
+    *  2. rewrite: one anti-join job stages erased copies of all affected
+    *     versions (partitioned by bucket+version), promoted as NEW version
+    *     dirs `<ver>.e<tag>` — invisible until a commit names them. A
+    *     version erased to emptiness is dropped from the bucket map, like
+    *     applyBatch's "bucket merged to empty".
+    *  3. scrub: each retained commit file is atomically rewritten (same
+    *     name, same batchId, same schema) with old→new version mappings.
+    *  4. sweep: the replaced old version dirs — now unreferenced — are
+    *     deleted. Orphaned `.e` dirs from a crashed pass are swept on the
+    *     next erase (recovery), since commits never name them.
+    *
+    * Runs under the [[LockProvider]] seam (single maintenance writer per
+    * table). A LIVE upsert stream composes: `applyBatch` does not take
+    * this lock, so a batch landing mid-erase may commit version dirs that
+    * still carry target keys — the stabilization loop re-lists commits
+    * and re-erases until a pass finds no affected version (a stream that
+    * keeps INGESTING the erased ids violates the erase-after-last-ingest
+    * contract and fails loudly after 5 passes). A batch whose merge read
+    * races a swept old version dir fails and replays — restart-safe, same
+    * as the lake-side contract.
+    */
+  def eraseKeys(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: DataFrame, lock: LockProvider = FsLeaseLock,
+      leaseMs: Long = 15L * 60 * 1000): EraseStats = {
+    val (fs, table) = fsFor(spark, tableDir)
+    val hconf = spark.sessionState.newHadoopConf()
+    lock.withLock(fs, table, leaseMs) {
+      recoverErase(fs, table)
+      migrateLegacyPointer(fs, hconf, table)
+      val keySet = broadcast(keys.toDF(keyCol).distinct())
+      var commitsRewritten = 0
+      var versionsRewritten = 0
+      var versionsDropped = 0
+      var attempts = 0
+      var stable = false
+      while (!stable && attempts < 5) {
+        attempts += 1
+        val commits = listCommits(fs, table).sortBy(_._1)
+          .map { case (id, p) => (id, p, parseCommit(FsOps.readString(fs, p).trim)) }
+        val versions = commits.flatMap(_._3.versions.toSeq).distinct
+        def dirOf(b: Int, v: String) = s"$tableDir/buckets/b=$b/$v"
+        if (versions.isEmpty) stable = true
+        else {
+          // 1. locate — one job, key column only, file NAMES to the driver
+          val byQualDir = versions.map { case (b, v) =>
+            fs.makeQualified(new HPath(dirOf(b, v))).toString -> (b, v)
+          }.toMap
+          val affected = spark.read
+            .parquet(versions.map { case (b, v) => dirOf(b, v) }: _*)
+            .select(col(keyCol), col("_metadata.file_path").as("__f"))
+            .join(keySet, Seq(keyCol), "left_semi")
+            .select(col("__f")).distinct()
+            .collect().map(r => new HPath(r.getString(0)).getParent.toString)
+            .distinct.toSeq.flatMap(byQualDir.get).sorted
+          if (affected.isEmpty) stable = true
+          else {
+            // 2. rewrite all affected versions in ONE anti-join job: the
+            // stage write re-partitions by (bucket, version) so each
+            // erased copy promotes independently — no per-version job loop
+            val tag = java.util.UUID.randomUUID().toString.take(8)
+            val stage = fs.makeQualified(new HPath(table, s".erase-stage-$tag"))
+            val verRe = "/buckets/b=(\\d+)/([^/]+)/[^/]+$"
+            spark.read.parquet(affected.map { case (b, v) => dirOf(b, v) }: _*)
+              .withColumn("__graft_b",
+                regexp_extract(col("_metadata.file_path"), verRe, 1).cast("int"))
+              .withColumn("__graft_ver",
+                regexp_extract(col("_metadata.file_path"), verRe, 2))
+              .join(keySet, Seq(keyCol), "left_anti")
+              .write.mode("overwrite").partitionBy("__graft_b", "__graft_ver")
+              .parquet(stage.toString)
+            val renames: Map[(Int, String), Option[String]] =
+              affected.map { case (b, v) =>
+                val src = new HPath(stage, s"__graft_b=$b/__graft_ver=$v")
+                if (fs.exists(src) &&
+                    fs.listStatus(src).exists(_.getPath.getName.endsWith(".parquet"))) {
+                  val nv = s"$v.e$tag"
+                  val dest = new HPath(table, s"buckets/b=$b/$nv")
+                  FsOps.deleteOrThrow(fs, dest, recursive = true)
+                  FsOps.renameOrThrow(fs, src, dest)
+                  (b, v) -> Some(nv)
+                } else (b, v) -> None // erased to emptiness: drop the bucket
+              }.toMap
+            FsOps.deleteOrThrow(fs, stage, recursive = true)
+            // 3. scrub the commit files in place (atomic replace, same
+            // name/batchId/schema): history depth is untouched
+            commits.foreach { case (_, p, c) =>
+              if (c.versions.exists { case (b, v) => renames.contains((b, v)) }) {
+                val nv = c.versions.flatMap { case (b, v) =>
+                  renames.get((b, v)) match {
+                    case Some(Some(n)) => Some(b -> n)
+                    case Some(None)    => None
+                    case None          => Some(b -> v)
+                  }
+                }
+                FsOps.atomicWrite(hconf, fs, p,
+                  renderCommit(c.copy(versions = nv)).getBytes("UTF-8"))
+                commitsRewritten += 1
+              }
+            }
+            // 4. sweep EXACTLY the replaced old dirs (never a fresh
+            // promotion of an in-flight batch): after the scrub no
+            // retained commit references them — verify against a fresh
+            // listing before deleting, so a commit landed mid-scrub that
+            // still names an old dir (pre-erase in-flight batch) keeps its
+            // files until the next stabilization pass rewrites it too
+            val stillRef = listCommits(fs, table)
+              .map { case (_, p) => parseCommit(FsOps.readString(fs, p).trim) }
+              .flatMap(_.versions.toSeq).toSet
+            renames.keys.foreach { case (b, v) =>
+              if (!stillRef((b, v)))
+                FsOps.deleteOrThrow(fs, new HPath(table, s"buckets/b=$b/$v"),
+                  recursive = true)
+            }
+            versionsRewritten += renames.count(_._2.isDefined)
+            versionsDropped += renames.count(_._2.isEmpty)
+          }
+        }
+      }
+      if (!stable) throw new IllegalStateException(
+        s"upsert-table erasure at $tableDir did not stabilize after 5 passes: " +
+          "a live stream keeps committing batches that carry the target keys — " +
+          "erase AFTER the ids' last ingest (pause or drain the stream), then re-run")
+      EraseStats(commitsRewritten, versionsRewritten, versionsDropped)
+    }
+  }
+
+  /** Sweep leftovers of a crashed erase pass: stage dirs, and `.e`-tagged
+    * version dirs no retained commit names (a crash between stage-promote
+    * and commit-scrub orphans them; commits never name a version they did
+    * not reference, so an unreferenced `.e` dir is always erase debris).
+    */
+  private def recoverErase(fs: FileSystem, table: HPath): Unit = {
+    if (!fs.exists(table)) return
+    fs.listStatus(table).map(_.getPath)
+      .filter(_.getName.startsWith(".erase-stage-"))
+      .foreach(p => FsOps.deleteOrThrow(fs, p, recursive = true))
+    val referenced = listCommits(fs, table)
+      .map { case (_, p) => parseCommit(FsOps.readString(fs, p).trim) }
+      .flatMap(_.versions.toSeq).toSet
+    val broot = new HPath(table, "buckets")
+    if (fs.exists(broot))
+      fs.listStatus(broot).map(_.getPath).filter(_.getName.startsWith("b=")).foreach { bdir =>
+        val b = bdir.getName.stripPrefix("b=").toInt
+        fs.listStatus(bdir).map(_.getPath)
+          .filter(v => v.getName.contains(".e") && !referenced((b, v.getName)))
+          .foreach(v => FsOps.deleteOrThrow(fs, v, recursive = true))
+      }
+  }
+
   /** Start the streaming upsert: `changes` must carry `keyCol`, `opCol`
     * (I/U/D) and `seqCols` plus the table's value columns.
     */
@@ -339,9 +513,19 @@ object UpsertSink {
 
     // 4. the commit (PUT #2): temp + rename to a NEW commit file name — the
     //    previous commit stays live until this one exists, so readers always
-    //    resolve a complete state
-    val commit = Commit(batchId, nb,
-      current.map(_.versions).getOrElse(Map.empty) -- touched ++ newVersions,
+    //    resolve a complete state. Untouched buckets REBASE on a fresh read
+    //    of the latest commit: a concurrent eraseKeys scrubs commit files
+    //    (same batchId, rewritten version names) and then sweeps the old
+    //    version dirs — publishing the version map we merged against, read
+    //    before the whole merge job, would re-reference just-deleted dirs.
+    //    The fresh map is correct for buckets this batch did not touch (the
+    //    erased copy IS their current content); touched buckets carry this
+    //    batch's own merge result, and an erase racing THAT is converged by
+    //    eraseKeys' stabilization loop.
+    val base = readLatest(fs, table).map(parseCommit)
+      .filter(c => current.exists(_.batchId == c.batchId))
+      .map(_.versions).orElse(current.map(_.versions)).getOrElse(Map.empty)
+    val commit = Commit(batchId, nb, base -- touched ++ newVersions,
       merged.select(tableCols.map(col): _*).schema.json)
     FsOps.atomicWrite(hconf, fs, new HPath(commitsDir(table), commitName(batchId)),
       renderCommit(commit).getBytes("UTF-8"))

@@ -255,4 +255,138 @@ class UpsertSinkSpec extends SparkSuite {
     UpsertSink.readTable(spark, dir).map(
       _.select($"id", $"payload").as[(Long, String)].collect().toMap)
       .getOrElse(Map.empty)
+
+  private def historyAt(table: String, b: Long): Map[Long, String] =
+    UpsertSink.readTableAt(spark, table, b).map(
+      _.select($"id", $"payload").as[(Long, String)].collect().toMap)
+      .getOrElse(Map.empty)
+
+  private def rawBucketIds(table: String): Set[Long] =
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$table/buckets")
+      .select($"id").as[Long].collect().toSet
+
+  test("eraseKeys scrubs the latest table, EVERY retained commit, and the raw bytes") {
+    val base = tmpDir("graft-userase-")
+    val table = s"$base/table"
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+    UpsertSink.applyBatch(batchDf((10L, "v0", "I", 1L), (1L, "a0", "I", 2L),
+      (2L, "b0", "I", 3L)), 0L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    UpsertSink.applyBatch(batchDf((10L, "v1", "U", 4L), (3L, "c1", "I", 5L)),
+      1L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    UpsertSink.applyBatch(batchDf((1L, "a2", "U", 6L)),
+      2L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    // fixture: the victim is servable at every retained cutoff — a CDC
+    // delete would only fix the latest, which is exactly the r13 hole
+    (0L to 2L).foreach(b => assert(historyAt(table, b).contains(10L)))
+
+    val stats = UpsertSink.eraseKeys(spark, table, "id", Seq(10L).toDF("id"))
+    assert(stats.versionsRewritten > 0, s"$stats")
+    assert(stats.commitsRewritten > 0, s"$stats")
+    // latest and every retained commit: victim gone, survivors EXACT
+    assert(tableState(table) == Map(1L -> "a2", 2L -> "b0", 3L -> "c1"))
+    assert(historyAt(table, 0L) == Map(1L -> "a0", 2L -> "b0"))
+    assert(historyAt(table, 1L) == Map(1L -> "a0", 2L -> "b0", 3L -> "c1"))
+    assert(historyAt(table, 2L) == Map(1L -> "a2", 2L -> "b0", 3L -> "c1"))
+    // history structure intact: same commit ids, same depth
+    assert(UpsertSink.commitHistory(table).map(_.batchId) == Seq(0L, 1L, 2L))
+    // bytes GONE: a raw recursive read of every bucket file has no victim
+    assert(!rawBucketIds(table).contains(10L), "erased id still byte-present")
+    // every retained commit still names only existing version dirs
+    UpsertSink.commitHistory(table).foreach(_.versions.foreach { case (b, v) =>
+      assert(new java.io.File(s"$table/buckets/b=$b/$v").isDirectory,
+        s"commit names missing b=$b/$v")
+    })
+    // idempotent: a second erase finds nothing
+    val again = UpsertSink.eraseKeys(spark, table, "id", Seq(10L).toDF("id"))
+    assert(again == UpsertSink.EraseStats(0, 0, 0), s"$again")
+    // and the table is still writable afterwards
+    UpsertSink.applyBatch(batchDf((4L, "d0", "I", 7L)),
+      3L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    assert(tableState(table) ==
+      Map(1L -> "a2", 2L -> "b0", 3L -> "c1", 4L -> "d0"))
+  }
+
+  test("a version erased to emptiness is dropped; empty history still resolves") {
+    val base = tmpDir("graft-userase2-")
+    val table = s"$base/table"
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+    // commit 0 holds ONLY the victim — its bucket version erases to empty
+    UpsertSink.applyBatch(batchDf((10L, "v0", "I", 1L)),
+      0L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    UpsertSink.applyBatch(batchDf((20L, "w0", "I", 2L)),
+      1L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    val stats = UpsertSink.eraseKeys(spark, table, "id", Seq(10L).toDF("id"))
+    assert(stats.versionsDropped > 0, s"$stats")
+    assert(tableState(table) == Map(20L -> "w0"))
+    // as-of commit 0 is now an EMPTY table state, not an error and not None
+    assert(historyAt(table, 0L) == Map.empty)
+    assert(UpsertSink.readTableAt(spark, table, 0L).isDefined,
+      "an all-erased retained commit must still resolve (empty)")
+    assert(!rawBucketIds(table).contains(10L))
+  }
+
+  test("eraseKeys stabilizes against a live upsert stream (other ids compose)") {
+    val base = tmpDir("graft-userase3-")
+    val table = s"$base/table"
+    def batchDf(rows: (Long, String, String, Long)*) =
+      rows.toDF("id", "payload", "op", "seq")
+    UpsertSink.applyBatch(batchDf((10L, "v0", "I", 1L), (1L, "a0", "I", 2L)),
+      0L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    // a "live stream" landing batches of OTHER ids while the erase runs.
+    // The writer ids are picked from buckets DISJOINT from the victim's
+    // (like the IndexErase race spec's disjoint trees): a merge of the
+    // victim's own bucket concurrent with the erase could legitimately
+    // carry pre-erase rows forward — that's the documented
+    // erase-after-last-ingest / re-run-after-settle contract, not a bug —
+    // while the races under test here (commit scrub vs commit write vs
+    // version sweep: dangling references, lost batches) must compose.
+    val victimBucket = Seq(10L).toDF("id")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"id"),
+        org.apache.spark.sql.functions.lit(16)))
+      .head.getInt(0)
+    val writerIds = (100L to 200L).filter { i =>
+      Seq(i).toDF("id").select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"id"),
+        org.apache.spark.sql.functions.lit(16))).head.getInt(0) != victimBucket
+    }.take(3)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      writerIds.zipWithIndex.foreach { case (id, i) =>
+        val b = i + 1L
+        var done = false
+        var tries = 0
+        while (!done && tries < 10) {
+          tries += 1
+          try {
+            UpsertSink.applyBatch(batchDf((id, s"x$b", "I", 10L + b)),
+              b, table, "id", "op", Seq("seq"), retainCommits = 3)
+            done = true
+          } catch { case _: Throwable => Thread.sleep(50) }
+        }
+        if (!done) errors.add(new IllegalStateException(s"batch $b never applied"))
+      }
+    })
+    writer.start()
+    val stats = UpsertSink.eraseKeys(spark, table, "id", Seq(10L).toDF("id"))
+    writer.join(120000)
+    assert(errors.isEmpty, s"live-stream writer failed: ${errors.peek()}")
+    assert(stats.versionsRewritten + stats.versionsDropped > 0, s"$stats")
+    val finalState = tableState(table)
+    assert(!finalState.contains(10L), s"victim resurrected: $finalState")
+    assert(finalState == Map(1L -> "a0") ++
+      writerIds.zipWithIndex.map { case (id, i) => id -> s"x${i + 1}" }.toMap,
+      s"$finalState")
+    assert(!rawBucketIds(table).contains(10L), "victim bytes survive on disk")
+    // every retained commit resolves whole (no dangling version reference)
+    UpsertSink.commitHistory(table).foreach(_.versions.foreach { case (b, v) =>
+      assert(new java.io.File(s"$table/buckets/b=$b/$v").isDirectory,
+        s"dangling version reference b=$b/$v")
+    })
+    (0L to 3L).foreach(b => assert(!historyAt(table, b).contains(10L),
+      s"victim servable as-of $b"))
+  }
 }
