@@ -443,8 +443,13 @@ object Similarity {
           "dim-validated against it — rebuild with buildIvfIndex first"))
     requireProbeDim(newRows.select(col("id").as("qid"), col("embedding")),
       dim, indexDir)
+    // erased-id replay guard (graft.streaming.ErasedKeys, written by
+    // IndexErase): an at-least-once upstream re-delivering an erased id
+    // must not re-index it
+    val guarded = graft.streaming.ErasedKeys.dropErased(
+      newRows, indexDir, "nid", "id", "IVF delta append")
     val assigned = assignCells(
-      newRows.select(col("id"), col("embedding")), centroidSeq(spark, indexDir))
+      guarded.select(col("id"), col("embedding")), centroidSeq(spark, indexDir))
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
         norm2(toDouble(col("embedding"))).as("nn"), col("cell"))
     // skew gate BEFORE writing (a tiny (cell, count) aggregation — the

@@ -1531,6 +1531,50 @@ object StreamQueries {
         |SELECT CAST(as_of AS BIGINT) AS as_of, id, value, TRUE AS bytes_gone
         |FROM ranked
         |WHERE rn = 1 AND event_type <> 'error' AND id % 7 <> 0
-        |ORDER BY as_of, id""".stripMargin))
+        |ORDER BY as_of, id""".stripMargin)),
+
+    // ---- erasure tombstones + replay guard (r14, r13 verdict ask #2):
+    // after a GDPR erase, an at-least-once upstream RE-DELIVERS the erased
+    // subjects' events (indistinguishable from a crash-replay) into the
+    // same lake. Erase.eraseKeys recorded the subjects in the `_erased`
+    // sidecar; the deliver sink's guard drops every re-delivered subject
+    // row with an audit receipt. Pinned: the manifest-read lake equals
+    // events minus subjects (nothing resurrected, survivors exactly once)
+    // and the receipted drop count equals the subjects' event count.
+    Q("q130_erase_replay_guard", (s, d) => {
+      val base = tmp("graft-q130-")
+      val logDir = tmp("graft-q130log-")
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 6)
+      ShardedLog.put(ShardedLog.fromEvents(events), logDir)
+      val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+        manifestDir = Some(s"$base/manifest"),
+        trigger = Trigger.AvailableNow(), clock = Some(fixedClock),
+        erasedGuardCol = Some("id"))
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema, cfg)
+        .awaitTermination()
+      val subjects = events.select(col("user_id").as("id")).distinct()
+        .where(pmod(col("id"), lit(7)) === 0)
+      graft.streaming.Erase.eraseKeys(s, s"$base/lake", "id", subjects,
+        manifestDir = Some(s"$base/manifest"))
+      // the resurrection attempt: the subjects' events land in the log
+      // again and the SAME stream (same checkpoint) delivers them
+      ShardedLog.put(ShardedLog.fromEvents(
+        events.where(pmod(col("user_id"), lit(7)) === 0)), logDir)
+      Deliver.start(ShardedLog.readStream(s, logDir), payloadSchema, cfg)
+        .awaitTermination()
+      val dropped = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/lake/_erased/dropped").count()
+      graft.sources.ManifestReader.read(s, s"$base/manifest")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("n_users"),
+          Agg.moneySum(col("value")).as("total_value"))
+        .withColumn("n_dropped", lit(dropped))
+    }, Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         | ${Agg.moneySumSql("value")} AS total_value,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         |  WHERE day(ts) <= 6 AND user_id % 7 = 0) AS n_dropped
+         |FROM events WHERE day(ts) <= 6 AND user_id % 7 <> 0""".stripMargin))
   )
 }

@@ -295,8 +295,13 @@ object CorpusIndex {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        // erased-id replay guard at batch entry: a tombstoned id (erased
+        // via IndexErase.eraseFromNearIndex) is dropped BEFORE banding, so
+        // neither the output pairs nor the index deltas resurrect it
+        val batch = ErasedKeys.dropErased(batch0, indexDir, "id", idCol,
+          "CorpusIndex near-dup append")
         // arrays/bands each feed the probe AND a delta write — persist so
         // the tokenize + shingle + 16-perm minhash map side runs once per
         // batch, not once per consumer
@@ -332,10 +337,15 @@ object CorpusIndex {
         verdicts.write.mode("overwrite").parquet(s"$verdictDir/batch=$batchId")
         // append the batch's previously-unseen fingerprints: 'new' docs and
         // the KEEPER of each batch_dup group (smallest id) — i.e. one row
-        // per distinct fingerprint not already in the index
-        spark.read.parquet(s"$verdictDir/batch=$batchId")
-          .where(col("verdict") =!= "known_dup")
-          .select(col("fp")).distinct()
+        // per distinct fingerprint not already in the index. Fingerprints
+        // tombstoned by IndexErase.eraseFingerprints are DROPPED (the
+        // erased-key replay guard): a crash-replayed batch carrying an
+        // erased doc must not silently re-index it.
+        ErasedKeys.dropErased(
+          spark.read.parquet(s"$verdictDir/batch=$batchId")
+            .where(col("verdict") =!= "known_dup")
+            .select(col("fp")).distinct(),
+          indexDir, "fp", "fp", "CorpusIndex delta append")
           .write.mode("overwrite").parquet(s"$indexDir/delta=$batchId")
         ()
       }

@@ -67,6 +67,16 @@ object Deliver {
       // object-store deployments swap the same provider here as on the
       // maintenance entry points
       lock: LockProvider = FsLeaseLock,
+      // erased-key replay guard (r14): when set, each batch's ok rows are
+      // probed against the lake's `_erased/key=<col>` tombstones
+      // ([[ErasedKeys]] — written by Erase.eraseKeys) and matches are
+      // DROPPED (recorded under `_erased/dropped/batch=<id>` for audit)
+      // or, with erasedGuardFail = true, fail the batch loudly. This turns
+      // a crash-replay resurrecting a GDPR-erased subject from a silent
+      // violation into a drop-with-receipt (or a stop-the-line error).
+      // Zero cost until a tombstone sidecar exists.
+      erasedGuardCol: Option[String] = None,
+      erasedGuardFail: Boolean = false,
       clock: Option[java.sql.Timestamp] = None) // fixed clock for deterministic tests
 
   /** Decode wire records and derive the delivered-lake columns:
@@ -228,7 +238,8 @@ object Deliver {
     // cannot drift between the destinations of one batch
     batch.persist()
     try {
-    val okAll = batch.where(col("__ok")).drop("__ok", "__raw")
+    val okRaw = batch.where(col("__ok")).drop("__ok", "__raw")
+    val okAll = guardErased(okRaw, batchId, cfg)
     // B2 batch compaction: the reference's buffer flush emits ONE object per
     // flush (1000 records → 1 part file); coalesce(1) reproduces that.
     val ok = if (cfg.compact) okAll.coalesce(1) else okAll
@@ -284,6 +295,46 @@ object Deliver {
     clearIntent(fs, lake, batchId)
     } finally { batch.unpersist(); () }
   }
+
+  /** The erased-key replay guard (see Config.erasedGuardCol): drop rows
+    * whose key is tombstoned, with a per-batch audit record of what was
+    * dropped (idempotent — overwrite by batch id, like the DLQ). Returns
+    * the frame unchanged when no guard is configured or no tombstones
+    * exist. `erasedGuardFail = true` fails the batch instead of dropping —
+    * the stop-the-line posture for pipelines where a resurrected id must
+    * halt delivery rather than vanish.
+    */
+  private def guardErased(ok: DataFrame, batchId: Long, cfg: Config): DataFrame =
+    cfg.erasedGuardCol match {
+      case None => ok
+      case Some(k) =>
+        ErasedKeys.read(ok.sparkSession, cfg.lakeDir, k) match {
+          case None => ok
+          case Some(tomb) =>
+            import org.apache.spark.sql.functions.broadcast
+            val hits = ok.join(broadcast(tomb), Seq(k), "left_semi")
+            val dropped = hits
+              .select(col(k), col("sequence_number"), col("processed_at"))
+              .persist()
+            try {
+              val n = dropped.count()
+              if (n > 0) {
+                if (cfg.erasedGuardFail)
+                  throw new IllegalStateException(
+                    s"batch $batchId carries $n row(s) whose '$k' is GDPR-erased " +
+                      s"(tombstoned under ${cfg.lakeDir}/_erased) — a replay or " +
+                      "upstream re-delivery is resurrecting erased subjects; " +
+                      "erasedGuardFail = true halts delivery instead of dropping")
+                dropped.write.mode("overwrite")
+                  .parquet(s"${cfg.lakeDir}/_erased/dropped/batch=$batchId")
+                System.err.println(s"[graft] batch-$batchId erased-key guard " +
+                  s"DROPPED $n row(s) with tombstoned '$k' (audit: " +
+                  s"${cfg.lakeDir}/_erased/dropped/batch=$batchId)")
+                ok.join(broadcast(tomb), Seq(k), "left_anti")
+              } else ok
+            } finally { dropped.unpersist(); () }
+        }
+    }
 
   private def intentPath(lake: HPath, batchId: Long) =
     new HPath(lake, f"_commits/.intent-$batchId%010d")

@@ -195,8 +195,13 @@ object EmbeddingIndex {
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        // erased-id replay guard at batch entry ([[ErasedKeys]], written by
+        // IndexErase.eraseFromEmbeddingIndex): a crash-replayed batch must
+        // not re-index or pair an erased id
+        val batch = ErasedKeys.dropErased(batch0, indexDir, "id", idCol,
+          "EmbeddingIndex append")
         // bb feeds both probes and the delta write — persist so the
         // hyperplane bucketing runs once per batch, not three times
         val bb = Dedup.embeddingBuckets(batch, idCol, embCol, dim, nTables, bitsPerTable)

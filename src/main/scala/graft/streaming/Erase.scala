@@ -44,7 +44,32 @@ object Erase {
   def eraseKeys(spark: SparkSession, lakeDir: String, keyCol: String,
       keys: DataFrame, manifestDir: Option[String] = None,
       maxAffectedFiles: Int = 100000,
-      lock: LockProvider = FsLeaseLock): Compact.Stats = {
+      lock: LockProvider = FsLeaseLock,
+      tombstone: Boolean = true): Compact.Stats = {
+    // materialize the key set BEFORE the erase: `keys` is lazily planned
+    // and often derives from the very lake being erased (subjects =
+    // lake.select(key).where(...)) — re-executing it after the rewrite
+    // would scan retired files (or worse, resolve to an empty set and
+    // record nothing)
+    val mat = keys.toDF(keyCol).distinct().persist()
+    try {
+      mat.count()
+      val stats = eraseKeysInner(spark, lakeDir, keyCol, mat, manifestDir,
+        maxAffectedFiles, lock)
+      // tombstone AFTER the erase succeeded (a failed erase must not declare
+      // the keys gone), and even when it was a no-op — the declaration "this
+      // key must not reappear" guards future replays either way. IndexErase
+      // component calls pass tombstone = false and record once at their
+      // index root instead.
+      if (tombstone) ErasedKeys.record(spark, lakeDir, keyCol, mat)
+      stats
+    } finally { mat.unpersist(); () }
+  }
+
+  private def eraseKeysInner(spark: SparkSession, lakeDir: String, keyCol: String,
+      keys: DataFrame, manifestDir: Option[String],
+      maxAffectedFiles: Int,
+      lock: LockProvider): Compact.Stats = {
     val hconf = spark.sessionState.newHadoopConf()
     val lake = new HPath(lakeDir)
     val fs = lake.getFileSystem(hconf)

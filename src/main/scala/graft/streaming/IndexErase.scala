@@ -26,9 +26,11 @@ import graft.operators.Similarity
   * Ordering contract: erase an id AFTER its last ingest. A concurrent
   * append of OTHER ids composes (the append lands new files/deltas the
   * locate scan either sees whole or not at all — pinned in
-  * IndexEraseSpec's live-append race); a concurrent REPLAY of a crashed
-  * batch that re-delivers the erased id re-introduces it — re-run the
-  * erase after the stream settles, exactly like the lake-side contract.
+  * IndexEraseSpec's live-append race). A REPLAY of a crashed batch that
+  * re-delivers the erased id is guarded by the `_erased` tombstone each
+  * entry point records at the index root ([[ErasedKeys]], r14): the
+  * streaming/append ingest paths probe it and drop the id instead of
+  * silently re-introducing it (ErasedGuardSpec).
   *
   * A component whose every row is erased keeps its directory but loses its
   * files; serving an index erased to literal emptiness fails loudly on the
@@ -52,14 +54,16 @@ object IndexErase {
     */
   def eraseFromIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
-    Similarity.readSharding(spark, indexDir) match {
-      case Some(n) => shardReport(n, sh =>
-        eraseFromIvfIndex(spark, s"$indexDir/shard=$sh", ids, lock))
-      case None => Report(Seq(
-        s"$indexDir/corpus" ->
-          eraseComponent(spark, s"$indexDir/corpus", "nid", ids, lock),
-        s"$indexDir/deltas" ->
-          eraseComponent(spark, s"$indexDir/deltas", "nid", ids, lock)))
+    withTombstone(spark, indexDir, "nid", ids) { mat =>
+      Similarity.readSharding(spark, indexDir) match {
+        case Some(n) => shardReport(n, sh =>
+          eraseFromIvfIndex(spark, s"$indexDir/shard=$sh", mat, lock))
+        case None => Report(Seq(
+          s"$indexDir/corpus" ->
+            eraseComponent(spark, s"$indexDir/corpus", "nid", mat, lock),
+          s"$indexDir/deltas" ->
+            eraseComponent(spark, s"$indexDir/deltas", "nid", mat, lock)))
+      }
     }
 
   /** Erase `ids` from a [[graft.operators.PqIndex.buildPqIvfIndex]] index:
@@ -68,13 +72,15 @@ object IndexErase {
     */
   def eraseFromPqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
-    Similarity.readSharding(spark, indexDir) match {
-      case Some(n) => shardReport(n, sh =>
-        eraseFromPqIvfIndex(spark, s"$indexDir/shard=$sh", ids, lock))
-      case None => Report(
-        Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
-          s"$indexDir/$c" ->
-            eraseComponent(spark, s"$indexDir/$c", "nid", ids, lock)))
+    withTombstone(spark, indexDir, "nid", ids) { mat =>
+      Similarity.readSharding(spark, indexDir) match {
+        case Some(n) => shardReport(n, sh =>
+          eraseFromPqIvfIndex(spark, s"$indexDir/shard=$sh", mat, lock))
+        case None => Report(
+          Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
+            s"$indexDir/$c" ->
+              eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
+      }
     }
 
   /** Erase `ids` from a [[graft.operators.SqAnn.buildSqIvfIndex]] index —
@@ -82,9 +88,11 @@ object IndexErase {
     */
   def eraseFromSqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
-    Report(Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
-      s"$indexDir/$c" ->
-        eraseComponent(spark, s"$indexDir/$c", "nid", ids, lock)))
+    withTombstone(spark, indexDir, "nid", ids) { mat =>
+      Report(Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
+        s"$indexDir/$c" ->
+          eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
+    }
 
   /** Erase `ids` from a [[EmbeddingIndex]] (streaming sign-LSH near-dup
     * index): every delta's (id, vector, norm, bucket) rows for the ids are
@@ -92,19 +100,23 @@ object IndexErase {
     */
   def eraseFromEmbeddingIndex(spark: SparkSession, indexDir: String,
       ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
-    Report(Seq(
-      indexDir -> eraseComponent(spark, indexDir, "id", ids, lock)))
+    withTombstone(spark, indexDir, "id", ids) { mat =>
+      Report(Seq(
+        indexDir -> eraseComponent(spark, indexDir, "id", mat, lock)))
+    }
 
   /** Erase `ids` from a [[CorpusIndex.seedNear]]/startNear near-dup index:
     * both the LSH band signatures and the shingle arrays.
     */
   def eraseFromNearIndex(spark: SparkSession, indexDir: String,
       ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
-    Report(Seq(
-      s"$indexDir/bands" ->
-        eraseComponent(spark, s"$indexDir/bands", "id", ids, lock),
-      s"$indexDir/arrays" ->
-        eraseComponent(spark, s"$indexDir/arrays", "id", ids, lock)))
+    withTombstone(spark, indexDir, "id", ids) { mat =>
+      Report(Seq(
+        s"$indexDir/bands" ->
+          eraseComponent(spark, s"$indexDir/bands", "id", mat, lock),
+        s"$indexDir/arrays" ->
+          eraseComponent(spark, s"$indexDir/arrays", "id", mat, lock)))
+    }
 
   /** Erase FINGERPRINTS from a [[CorpusIndex]] exact-dedup index. The index
     * stores fingerprints only (no doc ids), so the caller supplies the
@@ -114,21 +126,50 @@ object IndexErase {
     * texts from the lake — once the text is gone its fingerprint is
     * unrecoverable and would sit in the index forever. Note the dedup
     * consequence: a future re-ingest of an erased document classifies as
-    * `new` again (correct under erasure — the corpus no longer contains
-    * it).
+    * `new` again but is NOT re-indexed while its tombstone stands (the
+    * replay guard cannot tell a genuine re-ingest from a replay) — clear
+    * the tombstone deliberately (`ErasedKeys.clear`) to let erased
+    * content re-enter the corpus.
     */
   def eraseFingerprints(spark: SparkSession, indexDir: String,
       fps: DataFrame, lock: LockProvider = FsLeaseLock): Report =
-    Report(Seq(
-      indexDir -> eraseComponent(spark, indexDir, "fp", fps, lock)))
+    withTombstone(spark, indexDir, "fp", fps) { mat =>
+      Report(Seq(
+        indexDir -> eraseComponent(spark, indexDir, "fp", mat, lock)))
+    }
 
   /** One component directory (any hive-partitioned parquet tree — cell
     * partitions, delta=N/cell=M deltas, flat delta dirs) through the lake
     * erase machinery. A missing/empty component is a clean no-op.
+    * Components never tombstone — the index ROOT records one sidecar the
+    * streaming append paths probe ([[ErasedKeys]]).
     */
   private def eraseComponent(spark: SparkSession, dir: String, keyCol: String,
       keys: DataFrame, lock: LockProvider): Compact.Stats =
-    Erase.eraseKeys(spark, dir, keyCol, keys, manifestDir = None, lock = lock)
+    Erase.eraseKeys(spark, dir, keyCol, keys, manifestDir = None, lock = lock,
+      tombstone = false)
+
+  /** Run `erase`, then record the ids as tombstones at the index root —
+    * the replay guard ([[ErasedKeys]]): a crash-replayed batch carrying an
+    * erased id is dropped by the index's append path instead of silently
+    * re-introducing it. Recorded only on success. A sharded index records
+    * at the top level AND (via the recursion) at each shard root, so an
+    * append addressed at either level hits a tombstone.
+    */
+  private def withTombstone(spark: SparkSession, indexDir: String,
+      keyCol: String, ids: DataFrame)(erase: DataFrame => Report): Report = {
+    // materialize the id set BEFORE the erase: `ids` is lazily planned and
+    // may derive from the index/corpus being erased — re-executing it
+    // after the rewrite would scan retired files (or resolve empty and
+    // record nothing). The erase body gets the materialized frame too.
+    val mat = ids.toDF(ids.columns: _*).distinct().persist()
+    try {
+      mat.count()
+      val r = erase(mat)
+      ErasedKeys.record(spark, indexDir, keyCol, mat)
+      r
+    } finally { mat.unpersist(); () }
+  }
 
   private def shardReport(nShards: Int, f: Int => Report): Report =
     Report((0 until nShards).flatMap(sh => f(sh).components))

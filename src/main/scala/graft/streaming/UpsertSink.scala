@@ -282,10 +282,16 @@ object UpsertSink {
       leaseMs: Long = 15L * 60 * 1000): EraseStats = {
     val (fs, table) = fsFor(spark, tableDir)
     val hconf = spark.sessionState.newHadoopConf()
-    lock.withLock(fs, table, leaseMs) {
+    // materialize BEFORE the erase: the key frame may derive from the very
+    // table being rewritten — re-planning it mid-erase would scan retired
+    // version dirs. Also feeds the tombstone record below.
+    val mat = keys.toDF(keyCol).distinct().persist()
+    try {
+    mat.count()
+    val stats = lock.withLock(fs, table, leaseMs) {
       recoverErase(fs, table)
       migrateLegacyPointer(fs, hconf, table)
-      val keySet = broadcast(keys.toDF(keyCol).distinct())
+      val keySet = broadcast(mat)
       var commitsRewritten = 0
       var versionsRewritten = 0
       var versionsDropped = 0
@@ -380,6 +386,11 @@ object UpsertSink {
           "erase AFTER the ids' last ingest (pause or drain the stream), then re-run")
       EraseStats(commitsRewritten, versionsRewritten, versionsDropped)
     }
+    // tombstone the erased keys ([[ErasedKeys]]): an upstream replay
+    // re-delivering them can be probed by the CDC feed's guard
+    ErasedKeys.record(spark, tableDir, keyCol, mat)
+    stats
+    } finally { mat.unpersist(); () }
   }
 
   /** Sweep leftovers of a crashed erase pass: stage dirs, and `.e`-tagged

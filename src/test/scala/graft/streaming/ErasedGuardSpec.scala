@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSuite
+import graft.sources.ShardedLog
+
+/** Erasure tombstones + replay guard (r13 verdict ask #2): a crash-replayed
+  * batch that re-delivers a GDPR-erased id must not silently resurrect it —
+  * in the delivered lake, the fingerprint dedup index, the embedding
+  * near-dup index, or an IVF delta append. Each erase entry point records
+  * an `_erased` sidecar; each ingest path probes it.
+  */
+class ErasedGuardSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val payloadSchema = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("value", DoubleType), StructField("ts", TimestampType),
+      StructField("event_id", LongType)))),
+    StructField("metadata", StructType(Seq(StructField("op", StringType))))))
+  private val clock = Some(java.sql.Timestamp.valueOf("2025-11-07 14:32:09.13"))
+
+  private def flatBatch(n: Int) = Deliver.transform(
+    ShardedLog.fromEvents(graft.queries.Registry.tbl(spark, sfDir, "events").limit(n)),
+    payloadSchema, clock)
+    .select(col("partition_key"), col("sequence_number"), col("env.data.*"),
+      col("env.metadata.op").as("op"), col("processed_at"),
+      col("year"), col("month"), col("day"), col("hour"),
+      col("__ok"), col("data").as("__raw"))
+
+  test("ErasedKeys: record/read/fold/clear round-trip, typed keys") {
+    val store = tmpDir("graft-ek-")
+    assert(ErasedKeys.read(spark, store, "id").isEmpty, "no sidecar yet")
+    ErasedKeys.record(spark, store, "id", Seq(1L, 2L).toDF("id"))
+    ErasedKeys.record(spark, store, "id", Seq(2L, 3L).toDF("id"))
+    assert(ErasedKeys.read(spark, store, "id").get
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // two sets fold to one, same contents
+    assert(ErasedKeys.fold(spark, store, "id") == 2)
+    assert(ErasedKeys.read(spark, store, "id").get
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(ErasedKeys.fold(spark, store, "id") == 0, "already folded")
+    // a different key column is an independent sidecar
+    ErasedKeys.record(spark, store, "fp", Seq("aa", "bb").toDF("fp"))
+    assert(ErasedKeys.read(spark, store, "fp").get
+      .as[String].collect().toSet == Set("aa", "bb"))
+    assert(ErasedKeys.clear(spark, store, "id"))
+    assert(ErasedKeys.read(spark, store, "id").isEmpty)
+    assert(ErasedKeys.read(spark, store, "fp").isDefined, "clear is per-key")
+  }
+
+  test("Deliver: a crash-replay carrying an erased id is dropped, with audit") {
+    val base = tmpDir("graft-ekdlv-")
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck",
+      manifestDir = Some(s"$base/manifest"), clock = clock,
+      erasedGuardCol = Some("id"))
+    val batch = flatBatch(50)
+    Deliver.deliverBatch(batch, 0L, cfg)
+    val subjects = spark.read.parquet(s"$base/lake")
+      .select($"id").distinct().where(pmod($"id", lit(5)) === 0)
+    val subjectIds = subjects.as[Long].collect().toSet
+    assert(subjectIds.nonEmpty, "fixture: need subjects")
+    // a literal key frame for post-erase uses: `subjects` captured the
+    // PRE-erase file listing at analysis time, so re-executing it after
+    // the rewrite would read retired files
+    val subjectKeys = subjectIds.toSeq.toDF("id")
+    Erase.eraseKeys(spark, s"$base/lake", "id", subjects,
+      manifestDir = Some(s"$base/manifest"))
+    // the erase retired files under a path this test already read — drop
+    // the session's cached listing before re-reading the directory
+    spark.catalog.refreshByPath(s"$base/lake")
+    assert(spark.read.parquet(s"$base/lake")
+      .where($"id".isin(subjectIds.toSeq: _*)).count() == 0)
+
+    // crash between sink work and checkpoint commit: the marker is lost and
+    // the SAME batch replays — pre-guard this silently resurrected the
+    // subjects; now they are dropped and receipted
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/lake", "_commits", f"${0L}%010d"))
+    Deliver.deliverBatch(batch, 0L, cfg)
+    spark.catalog.refreshByPath(s"$base/lake")
+    // the DIRECTORY view is subject-free (the first attempt's rows were
+    // erased, the replay's were guarded); exactly-once row counts are the
+    // MANIFEST's contract (the marker-lost replay orphans the first
+    // attempt's files for directory readers — ReplaySpec's posture)
+    assert(spark.read.parquet(s"$base/lake")
+      .where($"id".isin(subjectIds.toSeq: _*)).count() == 0,
+      "replay resurrected erased subjects")
+    val viaManifest = graft.sources.ManifestReader.read(spark, s"$base/manifest")
+    assert(viaManifest.where($"id".isin(subjectIds.toSeq: _*)).count() == 0,
+      "manifest serves erased subjects after the replay")
+    assert(viaManifest.count() == batch.where($"__ok").count() -
+      batch.where($"__ok" && $"id".isin(subjectIds.toSeq: _*)).count(),
+      "non-erased rows must all re-deliver exactly once")
+    // the drop is receipted for audit
+    val receipt = spark.read.parquet(s"$base/lake/_erased/dropped/batch=0")
+    assert(receipt.select($"id").distinct().as[Long].collect().toSet
+      .subsetOf(subjectIds))
+    assert(receipt.count() > 0)
+
+    // fail-loudly mode: the same replay halts the batch instead
+    val base2 = tmpDir("graft-ekdlv2-")
+    val cfg2 = Deliver.Config(s"$base2/lake", s"$base2/ck", clock = clock,
+      erasedGuardCol = Some("id"), erasedGuardFail = true)
+    Deliver.deliverBatch(batch, 0L, cfg2)
+    Erase.eraseKeys(spark, s"$base2/lake", "id", subjectKeys)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base2/lake", "_commits", f"${0L}%010d"))
+    val ex = intercept[IllegalStateException] {
+      Deliver.deliverBatch(batch, 0L, cfg2)
+    }
+    assert(ex.getMessage.contains("GDPR-erased"), ex.getMessage)
+  }
+
+  test("CorpusIndex: a replayed batch cannot re-index an erased fingerprint") {
+    val base = tmpDir("graft-ekfp-")
+    val docs = graft.queries.Registry.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(40)
+    CorpusIndex.seed(docs, "doc_id", "text", s"$base/index")
+    // erase one doc: fingerprints BEFORE the lake (the documented order)
+    val victimFps = docs.orderBy("doc_id").limit(1)
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val victimFp = victimFps.as[String].head()
+    IndexErase.eraseFingerprints(spark, s"$base/index", victimFps)
+    assert(!spark.read.parquet(s"$base/index").select($"fp")
+      .as[String].collect().contains(victimFp), "erase must scrub the seed")
+
+    // an at-least-once replay re-delivers the erased doc as a "new" batch
+    val src = tmpDir("graft-ekfp-src-")
+    graft.queries.Registry.stageOrderedFile(
+      docs.orderBy("doc_id").limit(1), src, "b0", 1000000L)
+    val q = CorpusIndex.start(
+      spark.readStream.schema(docs.schema).parquet(src),
+      "doc_id", "text", s"$base/index", s"$base/verdicts", s"$base/ck")
+    q.awaitTermination()
+    assert(!spark.read.parquet(s"$base/index").select($"fp")
+      .as[String].collect().contains(victimFp),
+      "replayed batch re-indexed an erased fingerprint")
+  }
+
+  test("EmbeddingIndex: a replayed batch cannot re-index or pair an erased id") {
+    val base = tmpDir("graft-ekemb-")
+    val emb = graft.queries.Registry.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding")).limit(60)
+    EmbeddingIndex.seed(emb, "id", "embedding", 64, s"$base/index",
+      nTables = 6, bitsPerTable = 3)
+    val victims = emb.orderBy("id").limit(3).select($"id")
+    val victimIds = victims.as[Long].collect().toSet
+    IndexErase.eraseFromEmbeddingIndex(spark, s"$base/index", victims)
+
+    val src = tmpDir("graft-ekemb-src-")
+    graft.queries.Registry.stageOrderedFile(
+      emb.orderBy("id").limit(5), src, "b0", 1000000L)
+    val q = EmbeddingIndex.start(
+      spark.readStream.schema(emb.schema).parquet(src),
+      "id", "embedding", 64, s"$base/index", s"$base/out", s"$base/ck",
+      threshold = 0.5, nTables = 6, bitsPerTable = 3)
+    q.awaitTermination()
+    val indexed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/index/delta=0").select($"id").as[Long].collect().toSet
+    assert(indexed.intersect(victimIds).isEmpty,
+      s"replay re-indexed erased ids: ${indexed.intersect(victimIds)}")
+    val pairs = spark.read.parquet(s"$base/out/batch=0")
+    assert(pairs.where($"id_new".isin(victimIds.toSeq: _*) ||
+      $"id_other".isin(victimIds.toSeq: _*)).count() == 0,
+      "an erased id appeared in output pairs")
+    // the non-erased rows of the replay still indexed
+    assert(indexed.nonEmpty)
+  }
+
+  test("appendToIvfIndex: erased ids are dropped from a re-delivered append") {
+    import graft.operators.Similarity
+    val base = tmpDir("graft-ekivf-")
+    val emb = graft.queries.Registry.tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    Similarity.buildIvfIndex(emb.where($"id" >= 10), s"$base/index", nlist = 8)
+    val victims = emb.where($"id" >= 10).orderBy("id").limit(5).select($"id")
+    val victimIds = victims.as[Long].collect().toSet
+    IndexErase.eraseFromIvfIndex(spark, s"$base/index", victims)
+    // upstream re-delivers a slice containing the victims
+    Similarity.appendToIvfIndex(
+      emb.where($"id" >= 10).orderBy("id").limit(10), s"$base/index", deltaId = 0)
+    val deltaIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/index/deltas").select($"nid").as[Long].collect().toSet
+    assert(deltaIds.intersect(victimIds).isEmpty,
+      s"append re-indexed erased ids: ${deltaIds.intersect(victimIds)}")
+    assert(deltaIds.nonEmpty, "non-erased append rows must land")
+    // serve never returns a victim
+    val queries = graft.queries.Registry.tbl(spark, sfDir, "embeddings")
+      .where($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val got = Similarity.ivfIndexQuery(queries, s"$base/index", k = 5,
+      nprobe = 1000).select($"nid").as[Long].collect().toSet
+    assert(got.intersect(victimIds).isEmpty)
+  }
+}
