@@ -29,6 +29,94 @@ import org.apache.spark.sql.functions.{broadcast, col}
   */
 object Erase {
 
+  /** A delivered lake to erase from: the subject key column as it appears
+    * in the lake, and the lake's manifest chain (folded at the commit
+    * point when present).
+    */
+  final case class LakeTarget(dir: String, keyCol: String,
+      manifestDir: Option[String] = None)
+
+  /** A persisted index to erase from. The fingerprint variant carries
+    * where its source texts live — the fps must be computed from the
+    * texts BEFORE any lake erase deletes them, which is exactly the
+    * ordering [[everywhere]] enforces.
+    */
+  sealed trait IndexTarget { def dir: String }
+  final case class IvfTarget(dir: String) extends IndexTarget
+  final case class PqIvfTarget(dir: String) extends IndexTarget
+  final case class SqIvfTarget(dir: String) extends IndexTarget
+  final case class EmbeddingTarget(dir: String) extends IndexTarget
+  final case class NearTarget(dir: String) extends IndexTarget
+  final case class FingerprintTarget(dir: String, textLakeDir: String,
+      keyCol: String, textCol: String) extends IndexTarget
+
+  /** A CDC upsert table (erased through its whole time-travel history). */
+  final case class UpsertTarget(dir: String, keyCol: String)
+
+  final case class EverywhereReport(
+      indexes: Seq[(String, IndexErase.Report)],
+      lakes: Seq[(String, Compact.Stats)],
+      tables: Seq[(String, UpsertSink.EraseStats)])
+
+  /** TOTAL erasure of a subject-id set, in the one safe order — the
+    * single entry point that makes the documented-only sequencing
+    * (IndexErase's "fingerprints before the lake" contract) impossible to
+    * get wrong (r13 verdict ask #3):
+    *
+    *  1. fingerprint indexes FIRST — the fps are computed from the
+    *     subjects' texts, which step 3 deletes; after the lake erase they
+    *     are unrecoverable and would sit in the index forever;
+    *  2. every other persisted index (IVF / PQ / SQ8 / embedding /
+    *     near-dup — full vectors, codes, signatures, shingles);
+    *  3. the lakes (file-pruned copy-on-write, manifest folded);
+    *  4. the upsert tables' whole retained commit history.
+    *
+    * Each lake/table/index component takes its own single lock
+    * acquisition via its entry point; every store gets an `_erased`
+    * tombstone so replays cannot resurrect the subjects ([[ErasedKeys]]).
+    * `ids` is a single-column frame of subject keys, materialized once up
+    * front (it may derive from a store this call is about to rewrite).
+    */
+  def everywhere(spark: SparkSession, ids: DataFrame,
+      lakes: Seq[LakeTarget],
+      indexes: Seq[IndexTarget] = Nil,
+      tables: Seq[UpsertTarget] = Nil,
+      lock: LockProvider = FsLeaseLock): EverywhereReport = {
+    val mat = ids.distinct().persist()
+    try {
+      mat.count()
+      // 1. fingerprints, while the texts still exist
+      val fpReports = indexes.collect { case f: FingerprintTarget =>
+        val fps = spark.read.parquet(f.textLakeDir)
+          .join(broadcast(mat.toDF(f.keyCol)), Seq(f.keyCol), "left_semi")
+          .select(graft.functions.TextFunctions.fingerprint(col(f.textCol)).as("fp"))
+          .distinct()
+        f.dir -> IndexErase.eraseFingerprints(spark, f.dir, fps, lock)
+      }
+      // 2. the other indexes
+      val idxReports = indexes.collect {
+        case i: IvfTarget =>
+          i.dir -> IndexErase.eraseFromIvfIndex(spark, i.dir, mat, lock)
+        case i: PqIvfTarget =>
+          i.dir -> IndexErase.eraseFromPqIvfIndex(spark, i.dir, mat, lock)
+        case i: SqIvfTarget =>
+          i.dir -> IndexErase.eraseFromSqIvfIndex(spark, i.dir, mat, lock)
+        case i: EmbeddingTarget =>
+          i.dir -> IndexErase.eraseFromEmbeddingIndex(spark, i.dir, mat, lock)
+        case i: NearTarget =>
+          i.dir -> IndexErase.eraseFromNearIndex(spark, i.dir, mat, lock)
+      }
+      // 3. the lakes
+      val lakeReports = lakes.map(l => l.dir ->
+        eraseKeys(spark, l.dir, l.keyCol, mat.toDF(l.keyCol), l.manifestDir,
+          lock = lock))
+      // 4. the upsert tables' retained history
+      val tblReports = tables.map(t => t.dir ->
+        UpsertSink.eraseKeys(spark, t.dir, t.keyCol, mat.toDF(t.keyCol), lock))
+      EverywhereReport(fpReports ++ idxReports, lakeReports, tblReports)
+    } finally { mat.unpersist(); () }
+  }
+
   /** Erase every row whose `keyCol` appears in `keys` (single-column frame;
     * deduplicated and broadcast — GDPR request batches are small by nature).
     * Returns (affected partition dirs, files retired, files written).
