@@ -130,6 +130,59 @@ object AnnRecall {
           routeShards = r))
     }
 
+    // DRIFT + REBALANCE (r14): ingest a region the router has no centroid
+    // near — mirrored embeddings (global negation keeps within-region
+    // cosine geometry, sits maximally far from every original centroid).
+    // The drifted rows' shard assignment among uniformly-far centroids is
+    // margin-poor, so narrow routing on drifted queries leaks recall and
+    // the arrivals pile unevenly; rebalanceRouted refits the router on
+    // the CURRENT corpus and must restore both. Reported, not asserted —
+    // this is the measured curve behind the rebalance maintenance call.
+    {
+      val driftDir = java.nio.file.Files.createTempDirectory("graft-annrecall-dr-")
+        .toString + "/ivf"
+      Similarity.buildIvfIndexRouted(corpus, driftDir, nShards = 8, nlist = 0)
+      val neg = transform(col("embedding"), x => -x)
+      val driftRows = corpus.select((col("id") + 900000000L).as("id"),
+        neg.as("embedding"))
+      // the skew gate would (correctly) refuse this batch and point at the
+      // refit; the measurement needs the drifted state on disk, so ingest
+      // with the gate lifted — exactly the operator override the gate text
+      // names
+      Similarity.appendToIvfIndexRouted(driftRows, driftDir, deltaId = 0,
+        maxCellSkew = 1e9)
+      val negQueries = queries.select(col("qid"), neg.as("embedding"))
+      val grown = corpus.unionByName(driftRows)
+      val negTruth = Similarity.bruteForceKnn(negQueries, grown, k)
+        .select(col("qid"), col("nid")).localCheckpoint()
+      def shardSizes(): Seq[Long] = (0 until 8).map { sh =>
+        val deltas = new org.apache.hadoop.fs.Path(s"$driftDir/shard=$sh/deltas")
+        val fs = deltas.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val c = spark.read.parquet(s"$driftDir/shard=$sh/corpus").count()
+        c + (if (fs.exists(deltas)) spark.read.parquet(deltas.toString).count() else 0L)
+      }
+      def driftRecall(r: Int): Double = {
+        val approx = Similarity.ivfIndexQueryRouted(negQueries, driftDir, k,
+          nprobe = 4, routeShards = r).select(col("qid"), col("nid"))
+        approx.join(negTruth, Seq("qid", "nid"), "left_semi").count()
+          .toDouble / (nQ.toLong * k)
+      }
+      val sizesBefore = shardSizes()
+      val imbBefore = sizesBefore.max.toDouble / (sizesBefore.sum.toDouble / 8)
+      val beforeR2 = driftRecall(2)
+      val rb0 = System.nanoTime()
+      val rbStats = Similarity.rebalanceRouted(spark, driftDir)
+      val rbS = (System.nanoTime() - rb0) / 1e9
+      val sizesAfter = shardSizes()
+      val imbAfter = sizesAfter.max.toDouble / (sizesAfter.sum.toDouble / 8)
+      val afterR2 = driftRecall(2)
+      println(f"""DRIFT {"tier":"routed_drift_r2","recall_before":$beforeR2%.3f,""" +
+        f""""recall_after":$afterR2%.3f,"imbalance_before":$imbBefore%.2f,""" +
+        f""""imbalance_after":$imbAfter%.2f,"rows_moved":${rbStats.rowsMoved},""" +
+        f""""rows_total":${rbStats.rowsTotal},"shards_rebuilt":${rbStats.shardsRebuilt},""" +
+        f""""rebalance_s":$rbS%.1f}""")
+    }
+
     // incremental ingest (r11): build on a 60% id-hash draw, append the
     // other 40% as two assignment-only deltas, serve — recall must match
     // the fresh auto-sized build above (the bounded fit sample makes the
