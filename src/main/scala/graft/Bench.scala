@@ -75,6 +75,46 @@ object Bench {
       (1 to 3).map(_ => once()).min // min = least-contended estimate
     }
 
+    // MICRO-calibration (r13 verdict ask #4): the r13 gate calibrated at
+    // the suite's EDGES, so contention that varied DURING the suite (the
+    // driver's r13 run: loadavg 7.5 mid-run, both edge probes fast)
+    // produced phantom per-query flags. A 1/10-work probe interleaves
+    // between headline queries; each query's min normalizes by its
+    // NEAREST probe (min of the probes just before/after it), so the
+    // gate sees the box speed AT THE TIME THE QUERY RAN.
+    def microCal(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64, pmod, lit}
+      // HALF the edge probe's work, not 1/10: the first cut's 2M-row probe
+      // was dominated by job-scheduling overhead and barely felt a 16-core
+      // busy-loop that slowed the real queries ~10-15% — the probe must
+      // saturate the cores long enough to feel what the queries feel
+      val t0 = System.nanoTime()
+      spark.range(10000000L)
+        .select(sum(pmod(xxhash64(col("id") * 7), lit(1000000L)))).collect()
+      spark.range(1000000L)
+        .repartition(32, pmod(col("id"), lit(4096)))
+        .groupBy(pmod(col("id"), lit(4096))).count()
+        .agg(sum(col("count"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def load1(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val probeLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    // each probe sample: gc first (the query timings get the same
+    // quiesce — without it a probe right after a heavy query absorbs its
+    // garbage), then the min of TWO back-to-back runs (a one-off hiccup
+    // is rejected; a genuine background load slows both)
+    def probe(): Unit = {
+      System.gc()
+      probes += math.min(microCal(), microCal())
+      probeLoads += load1()
+      ()
+    }
+
     // Optional name filter (comma-separated prefixes) for partial-table SF
     // instances — e.g. data/sf10 carries only documents+embeddings, so the
     // scale runs bench just the corpus/ANN family there. Unset = full set.
@@ -128,15 +168,26 @@ object Bench {
         RunMetrics(medL(all.map(_._2.shuffleWrite)), medL(all.map(_._2.shuffleRead)),
           medL(all.map(_._2.spill))))
     }
+    // Per-query record: (name, median, raw runs, shuffle metrics, local
+    // micro-cal = min(nearest probes), 1-min loadavg at completion).
+    // local probe estimate = the MORE contended of the two adjacent probes
+    // (max): the query's min is taken from runs BETWEEN them, and a short
+    // probe that slips through a scheduling window must not under-report
+    // the contention the query's longer tasks felt
+    microCal() // unrecorded micro-probe JIT warm-up
+    probe()
     val results = headline.map { q =>
+      val before = probes.last
       val (med, times, metrics) = robust(() =>
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
-      (q.name, med, times, metrics)
+      probe()
+      (q.name, med, times, metrics, math.max(before, probes.last), probeLoads.last)
     }
     // Streaming deliver segment at the reference's batch size: BASELINE.md
     // pins 2.1 s for transform+write of a 2.79 MB buffer (README.md:359);
     // measure our micro-batch transform → partitioned parquet write on a
     // wire-record batch of matched byte size.
+    val dCalBefore = probes.last
     val deliverSec = if (only.exists(!_.exists("stream_deliver_2p79mb".startsWith(_))))
       (-2.0, Seq.empty[Double], RunMetrics(0, 0, 0))
     else try {
@@ -191,6 +242,9 @@ object Bench {
       System.err.println(s"[bench] deliver segment failed: ${e.getMessage}")
       (-1.0, Seq(-1.0), RunMetrics(0, 0, 0))
     }
+    if (deliverSec._1 != -2.0) probe()
+    val dCal = math.max(dCalBefore, probes.last)
+    val dLoad = probeLoads.last
 
     // PQ serving latency as an INDEX, not a pipeline (r7 verdict ask #7):
     // q105/q106 time build+fit+serve together; the serving claim (codes
@@ -198,6 +252,7 @@ object Bench {
     // cell reads) deserves its own number. Build the IVF-PQ index once
     // (setup, untimed), then apply the same robust-median policy to
     // repeated query batches against it.
+    val pCalBefore = probes.last
     val pqServe = if (only.exists(!_.exists("pq_ivf_serve".startsWith(_))))
       (-2.0, Seq.empty[Double], RunMetrics(0, 0, 0))
     else try {
@@ -219,29 +274,40 @@ object Bench {
       System.err.println(s"[bench] pq serve segment failed: ${e.getMessage}")
       (-1.0, Seq(-1.0), RunMetrics(0, 0, 0))
     }
+    if (pqServe._1 != -2.0) probe()
+    val pCal = math.max(pCalBefore, probes.last)
+    val pLoad = probeLoads.last
 
     val withDeliver = if (deliverSec._1 == -2.0) results
-      else results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2, deliverSec._3))
+      else results :+ (("stream_deliver_2p79mb", deliverSec._1, deliverSec._2,
+        deliverSec._3, dCal, dLoad))
     val all = if (pqServe._1 == -2.0) withDeliver
-      else withDeliver :+ (("pq_ivf_serve", pqServe._1, pqServe._2, pqServe._3))
+      else withDeliver :+ (("pq_ivf_serve", pqServe._1, pqServe._2,
+        pqServe._3, pCal, pLoad))
     // 3-decimal fixed-point (Locale.ROOT: never a comma decimal separator) —
     // the 9-decimal Double.toString form grew the line past the harness's
     // 2000-char output-tail capture in round 8, truncating two queries out
     // of the committed artifact
     def d3(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = all.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }
+    val qs = all.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val mins = all.map { case (k, _, ts, _) =>
+    val mins = all.map { case (k, _, ts, _, _, _) =>
       "\"" + k + "\":" + d3(if (ts.isEmpty) -1.0 else ts.min) }
       .mkString("{", ",", "}")
-    val runs = all.map { case (k, _, ts, _) =>
+    val runs = all.map { case (k, _, ts, _, _, _) =>
       "\"" + k + "\":" + ts.map(d3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    // per-query micro-calibration + 1-min loadavg samples (the contention
+    // provenance the per-query gate normalizes by)
+    val microJson = all.map { case (k, _, _, _, qc, _) =>
+      "\"" + k + "\":" + d3(qc) }.mkString("{", ",", "}")
+    val loadJson = all.map { case (k, _, _, _, _, ql) =>
+      "\"" + k + "\":" + d3(ql) }.mkString("{", ",", "}")
     // Per-query shuffle/spill (bytes, median run) — the round-over-round
     // regression signal: shuffle volume is deterministic where wall time is
     // not. Compared against the committed SHUFFLE_BASELINE.json: >2× growth
     // on a pinned query means a plan changed, not the machine.
-    val shuffleJson = all.map { case (k, _, _, m) =>
+    val shuffleJson = all.map { case (k, _, _, m, _, _) =>
       "\"" + k + s"""\":{"write":${m.shuffleWrite},"read":${m.shuffleRead},"spill":${m.spill}}"""
     }.mkString("{", ",", "}")
     val regressions: Seq[String] = {
@@ -250,7 +316,7 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         val entry = """"([^"]+)"\s*:\s*(\d+)""".r
         val baseline = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toLong).toMap
-        all.flatMap { case (k, _, _, m) =>
+        all.flatMap { case (k, _, _, m, _, _) =>
           baseline.get(k).collect {
             case b if b > 0 && m.shuffleWrite > 2 * b =>
               s""""$k: shuffle write ${m.shuffleWrite} vs baseline $b""""
@@ -275,6 +341,13 @@ object Bench {
     // a single-query code regression still fires.
     var calRatioOut = 1.0
     var calBaseOut = -1.0
+    // a min measured under EXTREME load (1-min loadavg above half the
+    // worker cores at the query's completion) is unadjudicable — a 16-core
+    // busy-loop slows 32-way stages ~1.4× while probes can slip through
+    // scheduling windows. Such over-bound mins are DEFERRED (reported
+    // separately, not flagged): rerun on a quieter box to adjudicate.
+    val contendedMins = scala.collection.mutable.ArrayBuffer[String]()
+    val loadCeiling = cpus.toDouble / 2
     val minRegressions: Seq[String] = {
       val f = new java.io.File("MINS_BASELINE.json")
       if (!f.exists()) Nil else {
@@ -293,17 +366,48 @@ object Bench {
             1.0
         }
         calRatioOut = calRatio
+        // PER-QUERY ratio (r14): normalize each query's min by the
+        // micro-probes NEAREST to its run against the baseline box's
+        // recorded micro-cal — mid-suite contention then scales the
+        // bound for exactly the queries it slowed. Falls back to the
+        // suite-edge ratio when the baseline predates __microcal.
+        val microBase = baseline.get("__microcal").filter(_ > 0)
+        if (microBase.isEmpty)
+          System.err.println("[bench] NOTE: MINS_BASELINE.json carries no " +
+            "__microcal entry — per-query contention normalization falls " +
+            "back to the suite-edge ratio; refresh the baseline to record it")
         val shuffleGrew = regressions.map(_.split(":")(0).stripPrefix("\"")).toSet
-        all.flatMap { case (k, _, ts, _) =>
-          baseline.get(k).collect {
-            case b if ts.nonEmpty && b > 0 && ts.min > 1.2 * b * calRatio && !shuffleGrew(k) =>
-              f""""$k: min ${ts.min}%.3f vs baseline $b%.3f (shuffle unchanged, cal ratio $calRatio%.2f)""""
+        all.flatMap { case (k, _, ts, _, qcal, qload) =>
+          // floor at 1.0: a probe FASTER than the baseline's must never
+          // TIGHTEN the gate below the raw 1.2× bound (probe noise under
+          // load did exactly that and produced phantom flags) — contention
+          // only ever widens the allowance, never narrows it
+          val ratio = microBase match {
+            case Some(mb) => math.min(4.0, math.max(1.0, qcal / mb))
+            case None => math.max(1.0, calRatio)
+          }
+          baseline.get(k).flatMap {
+            case b if ts.nonEmpty && b > 0 && ts.min > 1.2 * b * ratio && !shuffleGrew(k) =>
+              val msg =
+                f""""$k: min ${ts.min}%.3f vs baseline $b%.3f (shuffle unchanged, cal ratio $ratio%.2f, load $qload%.1f)""""
+              if (qload > loadCeiling) { contendedMins += msg; None }
+              else Some(msg)
+            case _ => None
           }
         }
       }
     }
     minRegressions.foreach(r => System.err.println(s"[bench] MIN REGRESSION $r"))
+    contendedMins.foreach(r => System.err.println(
+      s"[bench] CONTENDED MIN (deferred, load > ${loadCeiling.toInt}) $r"))
     val total = all.map(_._2).sum
+    // the headline micro-cal (and the value a baseline refresh records as
+    // __microcal) is the run's MEDIAN probe: per-query ratios compare a
+    // conservative local max against a typical baseline sample — a
+    // min-based reference made every ratio systematically > 1 and
+    // deadened the gate
+    val microMin =
+      if (probes.isEmpty) -1.0 else probes.sorted.apply(probes.size / 2)
     // Provenance (r8 verdict #6): wall-time deltas across rounds are
     // unadjudicable without knowing machine load — record the 1/5/15-min
     // load averages and the kernel's running/total process counts sampled
@@ -321,8 +425,11 @@ object Bench {
     val detail = s"""{"runs":$runs,"shuffle":$shuffleJson,""" +
       s""""shuffle_regressions":[${regressions.mkString(",")}],""" +
       s""""min_regressions":[${minRegressions.mkString(",")}],""" +
+      s""""contended_mins":[${contendedMins.mkString(",")}],""" +
       s""""calibration":{"before":${d3(calBefore)},"after":${d3(calAfter)},""" +
-      s""""baseline":${d3(calBaseOut)},"ratio":${d3(calRatioOut)}},"sf":"$sfDir"}"""
+      s""""baseline":${d3(calBaseOut)},"ratio":${d3(calRatioOut)}},""" +
+      s""""microcal":$microJson,"microcal_min":${d3(microMin)},""" +
+      s""""load1":$loadJson,"sf":"$sfDir"}"""
     // cwd-relative by the same convention as the SHUFFLE_BASELINE.json read
     // above (the harness runs sbt from the repo root); the absolute path is
     // logged so a wrapper invoking from elsewhere can see where it landed
@@ -335,8 +442,10 @@ object Bench {
     val headlineLine = s"""{"metric":"total","value":${d3(total)},"unit":"sec",""" +
       s""""queries":$qs,"mins":$mins,"loadavg":$loadavg,"procs":$procs,""" +
       s""""calibration":${d3(cal)},"cal_ratio":${d3(calRatioOut)},""" +
+      s""""microcal":${d3(microMin)},""" +
       s""""shuffle_regression_count":${regressions.size},""" +
       s""""min_regression_count":${minRegressions.size},""" +
+      s""""contended_min_count":${contendedMins.size},""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     if (headlineLine.length > 1900)
       System.err.println(s"[bench] WARNING headline line ${headlineLine.length} chars " +
