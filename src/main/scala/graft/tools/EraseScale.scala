@@ -84,6 +84,56 @@ object EraseScale {
       f""""files_retired":${report.retired},"files_written":${report.written},""" +
       f""""files_before":$filesBefore,"recall_after":$recall%.4f,""" +
       f""""bytes_gone":true,"no_erased_served":true}""")
+
+    // ---- UPSERT time-travel erasure at scale (r14): a CDC table with 3
+    // retained commits; erase a subject set; the claim is cost ∝ affected
+    // bucket VERSIONS (locate is one column-pruned scan over retained
+    // versions), with history ids preserved and the bytes verifiably gone
+    // from every retained version.
+    val eventsPath = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    if (eventsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(eventsPath)) {
+      import graft.streaming.UpsertSink
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      val changes = events.select(
+        col("user_id").as("id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_id").as("seq"))
+      val table = java.nio.file.Files.createTempDirectory("graft-erasescale-up-")
+        .toString + "/table"
+      val nBuckets = UpsertSink.nBucketsFor(
+        events.count() * 64, targetBucketBytes = 4L << 20) // small buckets at test SF
+      val (_, upBuildWall) = timed {
+        (0 to 2).foreach { b =>
+          UpsertSink.applyBatch(changes.where(pmod(col("seq"), lit(3)) === b),
+            b.toLong, table, "id", "op", Seq("seq"), nBuckets = nBuckets,
+            retainCommits = 3)
+        }
+      }
+      val subjects =
+        if (permille == 0) changes.select(col("id")).distinct().orderBy(col("id"))
+          .limit(5)
+        else changes.select(col("id")).distinct()
+          .where(pmod(xxhash64(col("id")), lit(1000)) < permille)
+      val nSubjects = subjects.count()
+      val versionsBefore = UpsertSink.commitHistory(table)
+        .flatMap(_.versions.toSeq).distinct.size
+      val (upStats, upWall) = timed(
+        UpsertSink.eraseKeys(spark, table, "id", subjects))
+      val raw = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$table/buckets")
+        .join(subjects, Seq("id"), "left_semi").count()
+      require(raw == 0, s"upsert bytes-gone violated: $raw rows remain")
+      val hist = UpsertSink.commitHistory(table).map(_.batchId)
+      require(hist == Seq(0L, 1L, 2L), s"history ids changed: $hist")
+      println(f"""UPSERT {"sf":"$sfDir","n_subjects":$nSubjects,""" +
+        f""""n_buckets":$nBuckets,"versions_before":$versionsBefore,""" +
+        f""""versions_rewritten":${upStats.versionsRewritten},""" +
+        f""""versions_dropped":${upStats.versionsDropped},""" +
+        f""""commits_rewritten":${upStats.commitsRewritten},""" +
+        f""""build":$upBuildWall%.1f,"erase":$upWall%.1f,""" +
+        f""""bytes_gone":true,"history_intact":true}""")
+    }
     spark.stop()
   }
 }
