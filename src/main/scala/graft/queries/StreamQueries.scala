@@ -1575,6 +1575,60 @@ object StreamQueries {
          | ${Agg.moneySumSql("value")} AS total_value,
          | (SELECT CAST(COUNT(*) AS BIGINT) FROM events
          |  WHERE day(ts) <= 6 AND user_id % 7 = 0) AS n_dropped
-         |FROM events WHERE day(ts) <= 6 AND user_id % 7 <> 0""".stripMargin))
+         |FROM events WHERE day(ts) <= 6 AND user_id % 7 <> 0""".stripMargin)),
+
+    // ---- the erasure CERTIFICATE (r14): one Erase.everywhere call scrubs
+    // a subject set from a document lake, a persisted IVF index, and a CDC
+    // upsert table's retained history in the safe order, then PROVES
+    // byte-absence with a raw re-scan of every component (recursive file
+    // read — no manifest, no serve path, nothing the erase itself
+    // maintains) before reporting success; a dirty certificate throws.
+    // Pinned: the certificate is clean across all 4 components with every
+    // store tombstoned, and the three stores' surviving contents equal the
+    // oracle's subjects-removed state exactly.
+    Q("q131_erase_certificate", (s, d) => {
+      val base = tmp("graft-q131-")
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      docs.write.parquet(s"$base/lake")
+      graft.operators.Similarity.buildIvfIndex(
+        tbl(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding")),
+        s"$base/ivf", nlist = 0)
+      val changes = docs.select(col("doc_id").as("id"),
+        length(col("text")).as("len"), lit("U").as("op"), col("doc_id").as("seq"))
+      UpsertSink.applyBatch(changes, 0L, s"$base/table", "id", "op",
+        Seq("seq"), nBuckets = 8, retainCommits = 3)
+      UpsertSink.applyBatch(changes.where(pmod(col("id"), lit(3)) === 0)
+        .withColumn("len", col("len") + 1).withColumn("seq", col("seq") + 1000000),
+        1L, s"$base/table", "id", "op", Seq("seq"), retainCommits = 3)
+      val subjects = docs.select(col("doc_id"))
+        .where(pmod(col("doc_id"), lit(11)) === 0)
+      val report = graft.streaming.Erase.everywhere(s, subjects,
+        lakes = Seq(graft.streaming.Erase.LakeTarget(s"$base/lake", "doc_id")),
+        indexes = Seq(graft.streaming.Erase.IvfTarget(s"$base/ivf")),
+        tables = Seq(graft.streaming.Erase.UpsertTarget(s"$base/table", "id")))
+      val cert = report.certificate.get
+      Seq(s"$base/lake", s"$base/ivf", s"$base/table")
+        .foreach(s.catalog.refreshByPath)
+      val vecsLeft = s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$base/ivf/corpus").count()
+      val tableLeft = UpsertSink.readTable(s, s"$base/table").get.count()
+      s.read.parquet(s"$base/lake")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"))
+        .withColumn("n_vecs", lit(vecsLeft))
+        .withColumn("n_table", lit(tableLeft))
+        .withColumn("n_components", lit(cert.rows.size.toLong))
+        .withColumn("clean", lit(cert.clean))
+        .withColumn("tombstoned", lit(cert.rows.forall(_.tombstoned)))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        |  WHERE vec_id % 11 <> 0) AS n_vecs,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |  WHERE doc_id % 11 <> 0) AS n_table,
+        | CAST(4 AS BIGINT) AS n_components, TRUE AS clean,
+        | TRUE AS tombstoned
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin))
   )
 }

@@ -275,18 +275,28 @@ object Deliver {
 
     // 4. failed records → errors/ prefix (README.md:426). Batch-scoped
     // subdir + overwrite ⇒ a mid-batch replay REPLACES the attempt instead
-    // of appending a duplicate (idempotent per batch).
+    // of appending a duplicate (idempotent per batch). The erased-key probe
+    // (zero cost with no tombstones) keeps a replay from resurrecting a
+    // GDPR-erased subject HERE: the DLQ rows are undecodable but still
+    // carry the subject's partition key, which is how they get erased
+    // (Erase.LakeTarget keys override) and how the guard recognizes them.
     cfg.errorDir.foreach { edir =>
-      batch.where(!col("__ok"))
-        .select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"),
-          col("processed_at"), col("year"), col("month"), col("day"), col("hour"))
+      ErasedKeys.dropErased(
+        batch.where(!col("__ok"))
+          .select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"),
+            col("processed_at"), col("year"), col("month"), col("day"), col("hour")),
+        edir, "partition_key", "partition_key", "DLQ write")
         .write.mode("overwrite").partitionBy("year", "month", "day", "hour")
         .parquet(s"$edir/batch=$batchId")
     }
 
-    // 5. raw backup (S3BackupMode=AllData, README.md:605) — same idempotence
+    // 5. raw backup (S3BackupMode=AllData, README.md:605) — same
+    // idempotence, same replay guard (the backup is a byte-copy of every
+    // record; erasure that skipped it would not be erasure)
     cfg.backupDir.foreach { bdir =>
-      batch.select(col("partition_key"), col("sequence_number"), col("__raw").as("raw"))
+      ErasedKeys.dropErased(
+        batch.select(col("partition_key"), col("sequence_number"), col("__raw").as("raw")),
+        bdir, "partition_key", "partition_key", "raw backup write")
         .write.mode("overwrite").parquet(s"$bdir/batch=$batchId")
     }
 
@@ -294,6 +304,28 @@ object Deliver {
     writeMarker(fs, marker, cfg)
     clearIntent(fs, lake, batchId)
     } finally { batch.unpersist(); () }
+
+    // 7. tombstone-sidecar self-fold at the manifest cadence (guarded
+    // lakes only): the `_erased` listing must stay O(1) in erase-request
+    // count, like the manifest chain and zone sidecars. AFTER the marker —
+    // folding retires set files this batch's guard frame may still be
+    // lazily referencing. Under the maintenance try-lock (an erase holding
+    // the lake lock is recording sets right now); busy or failed → skip,
+    // sets accumulate until the next cadence.
+    cfg.erasedGuardCol.foreach { k =>
+      if (graft.sources.ZoneMaps.foldCadence(batchId, cfg.manifestCompactEvery))
+        try {
+          if (cfg.lock.tryWithLock(fs, lake, Compact.DefaultLeaseMs) {
+            ErasedKeys.fold(spark, cfg.lakeDir, k)
+          }.isEmpty)
+            System.err.println(s"[graft] batch-$batchId tombstone self-fold " +
+              "skipped: a maintenance writer holds the lake lock")
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] WARNING: batch-$batchId tombstone " +
+            s"self-fold failed (${e.getMessage}) — sets accumulate until " +
+            "the next cadence or ErasedKeys.fold")
+        }
+    }
   }
 
   /** The erased-key replay guard (see Config.erasedGuardCol): drop rows

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
+import graft.operators.Similarity
 
 /** Targeted key erasure ("right to be forgotten") over an immutable parquet
   * lake — the GDPR operation the reference's 365-day replay retention
@@ -26,15 +27,37 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * A file whose every row is erased simply disappears (retired with no
   * replacement). Partition pruning composes: if the caller knows the keys
   * live in a partition range, pre-filtering `lake` narrows the locate scan.
+  *
+  * Known ceiling, stated honestly: IN-FLIGHT streaming operator state (a
+  * `mapGroupsWithState`/stream-stream-join state store) can hold a
+  * subject's rows until its watermark/timeout expires them — that copy is
+  * bounded by the state's own retention and is not addressable by a file
+  * rewrite. Erase after the subject's last ingest AND after stateful
+  * queries' watermarks have passed it.
   */
 object Erase {
 
   /** A delivered lake to erase from: the subject key column as it appears
     * in the lake, and the lake's manifest chain (folded at the commit
     * point when present).
+    *
+    * `keys` optionally respells the subject set in THIS store's own key
+    * domain when it differs from the shared `ids` frame — the raw-backup
+    * and DLQ dirs ([[Deliver]]'s `backupDir`/`errorDir`) are the canonical
+    * case: they carry the subjects under `partition_key`
+    * (`"events-<id>"`), not the decoded id column, and GDPR totality
+    * requires scrubbing them too (the backup is a byte-copy of every
+    * ingested record; the DLQ holds the undecodable ones, which still
+    * carry the subject's partition key). Both are plain parquet dirs, so
+    * they erase through the same machinery:
+    * {{{
+    * LakeTarget(cfg.backupDir.get, "partition_key",
+    *   keys = Some(ids.select(concat(lit("events-"), col("id")).as("partition_key"))))
+    * }}}
     */
   final case class LakeTarget(dir: String, keyCol: String,
-      manifestDir: Option[String] = None)
+      manifestDir: Option[String] = None,
+      keys: Option[DataFrame] = None)
 
   /** A persisted index to erase from. The fingerprint variant carries
     * where its source texts live — the fps must be computed from the
@@ -56,7 +79,132 @@ object Erase {
   final case class EverywhereReport(
       indexes: Seq[(String, IndexErase.Report)],
       lakes: Seq[(String, Compact.Stats)],
-      tables: Seq[(String, UpsertSink.EraseStats)])
+      tables: Seq[(String, UpsertSink.EraseStats)],
+      certificate: Option[Certificate] = None)
+
+  /** One store's raw-presence row in an erasure [[Certificate]]: the store
+    * root, the component directory scanned, how many rows still carry a
+    * subject key (0 = gone), and whether the store root records an
+    * `_erased` tombstone for the key column (the replay guard's input —
+    * part of what "totally erased" means under at-least-once upstreams).
+    */
+  final case class Presence(store: String, component: String, hits: Long,
+      tombstoned: Boolean)
+
+  /** The output of [[verify]]: per-component raw-presence rows. `clean`
+    * means no subject key is byte-present anywhere scanned.
+    */
+  final case class Certificate(rows: Seq[Presence]) {
+    def clean: Boolean = rows.forall(_.hits == 0)
+    def totalHits: Long = rows.map(_.hits).sum
+    def dirty: Seq[Presence] = rows.filter(_.hits > 0)
+  }
+
+  /** The erasure CERTIFICATE — prove, don't trust: a raw re-scan of every
+    * store an erase claims to have scrubbed, counting rows that still carry
+    * a subject key. The scan is deliberately the crudest possible read —
+    * recursive file listing, no manifest, no zone pruning, no serve-time
+    * filtering — because the certificate must not depend on any layer the
+    * erase itself maintains ("filtering at serve time is not erasure; the
+    * bytes must be gone", [[IndexErase]]). Cost: one column-pruned,
+    * broadcast-semi-joined scan per component — the same shape as the
+    * erase's own locate pass, fully distributed, nothing but counts on the
+    * driver.
+    *
+    * Fingerprint indexes need the subjects' FINGERPRINTS, not their ids —
+    * and the fps derive from texts a completed lake erase has deleted.
+    * Capture them pre-erase and pass `fps` ([[everywhere]] does this
+    * automatically); a `FingerprintTarget` without `fps` fails fast rather
+    * than issuing a vacuous pass.
+    */
+  def verify(spark: SparkSession, ids: DataFrame,
+      lakes: Seq[LakeTarget],
+      indexes: Seq[IndexTarget] = Nil,
+      tables: Seq[UpsertTarget] = Nil,
+      fps: Option[DataFrame] = None): Certificate = {
+    val mat = ids.distinct().persist()
+    try {
+      mat.count()
+      val fpsFor = indexes.collect { case f: FingerprintTarget =>
+        f.dir -> fps.getOrElse(throw new IllegalArgumentException(
+          "a FingerprintTarget cannot be verified from subject ids alone: its " +
+            "fingerprints derive from the subjects' TEXTS, which a completed " +
+            "lake erase has deleted — capture them BEFORE the erase " +
+            "(everywhere() does) and pass fps = Some(...)"))
+      }.toMap
+      val lakeKeys = materializeLakeKeys(lakes)
+      try Certificate(certRows(spark, mat, lakes, indexes, tables, fpsFor, lakeKeys))
+      finally { lakeKeys.values.foreach(_.unpersist()); () }
+    } finally { mat.unpersist(); () }
+  }
+
+  /** Materialize each lake target's per-target key respelling (persist +
+    * count): the frames may derive from the very stores an erase rewrites,
+    * so they must be pinned before any rewrite — and before the closing
+    * certificate re-plans them.
+    */
+  private def materializeLakeKeys(
+      lakes: Seq[LakeTarget]): Map[Int, DataFrame] =
+    lakes.zipWithIndex.collect { case (l, i) if l.keys.isDefined =>
+      val k = l.keys.get.distinct().persist()
+      k.count()
+      i -> k
+    }.toMap
+
+  private def certRows(spark: SparkSession, mat: DataFrame,
+      lakes: Seq[LakeTarget], indexes: Seq[IndexTarget],
+      tables: Seq[UpsertTarget],
+      fpsFor: Map[String, DataFrame],
+      lakeKeys: Map[Int, DataFrame]): Seq[Presence] = {
+    def row(store: String, comp: String, keyCol: String, keys: DataFrame) =
+      Presence(store, comp, rawHits(spark, comp, keyCol, keys),
+        ErasedKeys.read(spark, store, keyCol).isDefined)
+    // sharded/routed indexes scan every shard — same recursion as the erase
+    def shardRoots(dir: String): Seq[String] =
+      Similarity.readSharding(spark, dir) match {
+        case Some(n) => (0 until n).flatMap(sh => shardRoots(s"$dir/shard=$sh"))
+        case None    => Seq(dir)
+      }
+    val idx = indexes.flatMap {
+      case i: IvfTarget => shardRoots(i.dir).flatMap(r =>
+        Seq("corpus", "deltas").map(c => row(i.dir, s"$r/$c", "nid", mat)))
+      case i: PqIvfTarget => shardRoots(i.dir).flatMap(r =>
+        Seq("codes", "vectors", "codes_deltas", "vectors_deltas")
+          .map(c => row(i.dir, s"$r/$c", "nid", mat)))
+      case i: SqIvfTarget =>
+        Seq("codes", "vectors", "codes_deltas", "vectors_deltas")
+          .map(c => row(i.dir, s"${i.dir}/$c", "nid", mat))
+      case i: EmbeddingTarget => Seq(row(i.dir, i.dir, "id", mat))
+      case i: NearTarget =>
+        Seq("bands", "arrays").map(c => row(i.dir, s"${i.dir}/$c", "id", mat))
+      case f: FingerprintTarget =>
+        Seq(row(f.dir, f.dir, "fp", fpsFor(f.dir)))
+    }
+    idx ++
+      lakes.zipWithIndex.map { case (l, i) =>
+        row(l.dir, l.dir, l.keyCol, lakeKeys.getOrElse(i, mat)) } ++
+      tables.map(t => row(t.dir, s"${t.dir}/buckets", t.keyCol, mat))
+  }
+
+  /** RAW presence count: recursive, partition-inference-free read of every
+    * visible parquet file under `dir`, column-pruned to `keyCol`,
+    * semi-joined against the broadcast subject set. Missing/empty dirs are
+    * 0. The session's cached listing is dropped first — the erase deletes
+    * files out-of-band of the FileStatusCache.
+    */
+  private def rawHits(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame): Long = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!FsOps.anyParquet(fs, p, skipHidden = true)) 0L
+    else {
+      spark.catalog.refreshByPath(dir)
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select(col(keyCol))
+        .join(broadcast(keys.toDF(keyCol)), Seq(keyCol), "left_semi")
+        .count()
+    }
+  }
 
   /** TOTAL erasure of a subject-id set, in the one safe order — the
     * single entry point that makes the documented-only sequencing
@@ -69,7 +217,13 @@ object Erase {
     *  2. every other persisted index (IVF / PQ / SQ8 / embedding /
     *     near-dup — full vectors, codes, signatures, shingles);
     *  3. the lakes (file-pruned copy-on-write, manifest folded);
-    *  4. the upsert tables' whole retained commit history.
+    *  4. the upsert tables' whole retained commit history;
+    *  5. (`verify = true`, the default) the certificate: a raw re-scan of
+    *     every store proving the subjects byte-absent ([[verify]]). A
+    *     dirty certificate THROWS — an erase that cannot prove absence
+    *     must not report success (the usual cause is an unguarded
+    *     concurrent ingest re-delivering the subjects; the fix is the
+    *     sink-side erased-key guard, then re-run).
     *
     * Each lake/table/index component takes its own single lock
     * acquisition via its entry point; every store gets an `_erased`
@@ -77,43 +231,83 @@ object Erase {
     * `ids` is a single-column frame of subject keys, materialized once up
     * front (it may derive from a store this call is about to rewrite).
     */
+  /** Test-only failpoint: runs after the erase steps, before the
+    * certificate — the window an unguarded concurrent ingest would land a
+    * resurrection in. No-op in production.
+    */
+  @volatile private[graft] var preVerifyTestHook: () => Unit = () => ()
+
   def everywhere(spark: SparkSession, ids: DataFrame,
       lakes: Seq[LakeTarget],
       indexes: Seq[IndexTarget] = Nil,
       tables: Seq[UpsertTarget] = Nil,
-      lock: LockProvider = FsLeaseLock): EverywhereReport = {
+      lock: LockProvider = FsLeaseLock,
+      verify: Boolean = true): EverywhereReport = {
     val mat = ids.distinct().persist()
     try {
       mat.count()
-      // 1. fingerprints, while the texts still exist
-      val fpReports = indexes.collect { case f: FingerprintTarget =>
+      // 0. capture the subjects' fingerprints while the texts still exist —
+      //    consumed by the fp-index erase (step 1) and by the closing
+      //    certificate (step 5); materialized NOW because the frames derive
+      //    from the very lakes step 3 rewrites
+      val fpSets = indexes.collect { case f: FingerprintTarget =>
         val fps = spark.read.parquet(f.textLakeDir)
           .join(broadcast(mat.toDF(f.keyCol)), Seq(f.keyCol), "left_semi")
           .select(graft.functions.TextFunctions.fingerprint(col(f.textCol)).as("fp"))
-          .distinct()
-        f.dir -> IndexErase.eraseFingerprints(spark, f.dir, fps, lock)
+          .distinct().persist()
+        fps.count()
+        f -> fps
       }
-      // 2. the other indexes
-      val idxReports = indexes.collect {
-        case i: IvfTarget =>
-          i.dir -> IndexErase.eraseFromIvfIndex(spark, i.dir, mat, lock)
-        case i: PqIvfTarget =>
-          i.dir -> IndexErase.eraseFromPqIvfIndex(spark, i.dir, mat, lock)
-        case i: SqIvfTarget =>
-          i.dir -> IndexErase.eraseFromSqIvfIndex(spark, i.dir, mat, lock)
-        case i: EmbeddingTarget =>
-          i.dir -> IndexErase.eraseFromEmbeddingIndex(spark, i.dir, mat, lock)
-        case i: NearTarget =>
-          i.dir -> IndexErase.eraseFromNearIndex(spark, i.dir, mat, lock)
+      // 0b. per-target key respellings (backup/DLQ partition keys), pinned
+      //     for the same derives-from-the-store reason
+      val lakeKeys = materializeLakeKeys(lakes)
+      try {
+        // 1. fingerprints, while the texts still exist
+        val fpReports = fpSets.map { case (f, fps) =>
+          f.dir -> IndexErase.eraseFingerprints(spark, f.dir, fps, lock)
+        }
+        // 2. the other indexes
+        val idxReports = indexes.collect {
+          case i: IvfTarget =>
+            i.dir -> IndexErase.eraseFromIvfIndex(spark, i.dir, mat, lock)
+          case i: PqIvfTarget =>
+            i.dir -> IndexErase.eraseFromPqIvfIndex(spark, i.dir, mat, lock)
+          case i: SqIvfTarget =>
+            i.dir -> IndexErase.eraseFromSqIvfIndex(spark, i.dir, mat, lock)
+          case i: EmbeddingTarget =>
+            i.dir -> IndexErase.eraseFromEmbeddingIndex(spark, i.dir, mat, lock)
+          case i: NearTarget =>
+            i.dir -> IndexErase.eraseFromNearIndex(spark, i.dir, mat, lock)
+        }
+        // 3. the lakes (and the backup/DLQ dirs riding the same machinery)
+        val lakeReports = lakes.zipWithIndex.map { case (l, i) => l.dir ->
+          eraseKeys(spark, l.dir, l.keyCol,
+            lakeKeys.getOrElse(i, mat).toDF(l.keyCol), l.manifestDir,
+            lock = lock) }
+        // 4. the upsert tables' retained history
+        val tblReports = tables.map(t => t.dir ->
+          UpsertSink.eraseKeys(spark, t.dir, t.keyCol, mat.toDF(t.keyCol), lock))
+        // 5. the certificate — prove the bytes gone, fail loudly otherwise
+        preVerifyTestHook()
+        val cert =
+          if (!verify) None
+          else {
+            val c = Certificate(certRows(spark, mat, lakes, indexes, tables,
+              fpSets.map { case (f, fps) => f.dir -> fps }.toMap, lakeKeys))
+            if (!c.clean) throw new IllegalStateException(
+              "erasure verification FAILED — subject keys still byte-present: " +
+                c.dirty.map(p => s"${p.component} (${p.hits} rows)").mkString("; ") +
+                ". A concurrent ingest re-delivered the subjects (enable the " +
+                "sink-side erased-key guard) or a store was missed — fix and " +
+                "re-run everywhere()")
+            Some(c)
+          }
+        EverywhereReport(fpReports ++ idxReports, lakeReports, tblReports, cert)
+      } finally {
+        fpSets.foreach(_._2.unpersist())
+        lakeKeys.values.foreach(_.unpersist())
+        ()
       }
-      // 3. the lakes
-      val lakeReports = lakes.map(l => l.dir ->
-        eraseKeys(spark, l.dir, l.keyCol, mat.toDF(l.keyCol), l.manifestDir,
-          lock = lock))
-      // 4. the upsert tables' retained history
-      val tblReports = tables.map(t => t.dir ->
-        UpsertSink.eraseKeys(spark, t.dir, t.keyCol, mat.toDF(t.keyCol), lock))
-      EverywhereReport(fpReports ++ idxReports, lakeReports, tblReports)
     } finally { mat.unpersist(); () }
   }
 

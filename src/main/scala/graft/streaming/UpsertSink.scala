@@ -422,21 +422,66 @@ object UpsertSink {
   def start(changes: DataFrame, tableDir: String, checkpointDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String],
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      nBuckets: Int = 16, retainCommits: Int = 2): StreamingQuery = {
+      nBuckets: Int = 16, retainCommits: Int = 2,
+      erasedGuard: Boolean = true,
+      erasedGuardFail: Boolean = false): StreamingQuery = {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, tableDir, keyCol, opCol, seqCols, nBuckets,
-          retainCommits = retainCommits)
+          retainCommits = retainCommits, erasedGuard = erasedGuard,
+          erasedGuardFail = erasedGuardFail)
       }
       .start()
   }
 
-  private[graft] def applyBatch(batch: DataFrame, batchId: Long, tableDir: String,
+  /** The erased-key replay guard on the CDC feed itself ([[ErasedKeys]]):
+    * [[eraseKeys]] tombstones the erased subjects under the table, and this
+    * probe — one broadcast anti-join, zero cost when no sidecar exists —
+    * drops any change row carrying a tombstoned key before the merge, with
+    * a per-batch audit receipt (`_erased/dropped/batch=<id>`, idempotent by
+    * overwrite). Without it an at-least-once upstream that replays a
+    * crashed batch (or re-delivers history) would merge an erased subject
+    * straight back into the MOST user-data-bearing store in the pipeline —
+    * and into its retained time-travel history. `erasedGuardFail = true`
+    * fails the batch instead of dropping (the stop-the-line posture);
+    * `erasedGuard = false` opts out entirely. A GENUINE re-ingest of an
+    * erased key is indistinguishable from a replay and is dropped too until
+    * the tombstone is deliberately cleared ([[ErasedKeys.clear]]).
+    */
+  private def guardErased(batch: DataFrame, batchId: Long, tableDir: String,
+      keyCol: String, opCol: String, seqCols: Seq[String],
+      failOnHit: Boolean): DataFrame =
+    ErasedKeys.read(batch.sparkSession, tableDir, keyCol) match {
+      case None => batch
+      case Some(tomb) =>
+        val dropped = batch.join(broadcast(tomb), Seq(keyCol), "left_semi")
+          .select((keyCol +: opCol +: seqCols).map(col): _*).persist()
+        try {
+          val n = dropped.count()
+          if (n > 0) {
+            if (failOnHit)
+              throw new IllegalStateException(
+                s"upsert batch $batchId carries $n change row(s) whose '$keyCol' is " +
+                  s"GDPR-erased (tombstoned under $tableDir/_erased) — a replay or " +
+                  "upstream re-delivery is resurrecting erased subjects; " +
+                  "erasedGuardFail = true halts the sink instead of dropping")
+            dropped.write.mode("overwrite")
+              .parquet(s"$tableDir/_erased/dropped/batch=$batchId")
+            System.err.println(s"[graft] upsert batch-$batchId erased-key guard " +
+              s"DROPPED $n change row(s) with tombstoned '$keyCol' (audit: " +
+              s"$tableDir/_erased/dropped/batch=$batchId)")
+            batch.join(broadcast(tomb), Seq(keyCol), "left_anti")
+          } else batch
+        } finally { dropped.unpersist(); () }
+    }
+
+  private[graft] def applyBatch(batch0: DataFrame, batchId: Long, tableDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String], nBuckets: Int = 16,
-      crashBeforeCommit: Boolean = false, retainCommits: Int = 2): Unit = {
-    val spark = batch.sparkSession
+      crashBeforeCommit: Boolean = false, retainCommits: Int = 2,
+      erasedGuard: Boolean = true, erasedGuardFail: Boolean = false): Unit = {
+    val spark = batch0.sparkSession
     val (fs, table) = fsFor(spark, tableDir)
     val hconf = spark.sessionState.newHadoopConf()
     fs.mkdirs(commitsDir(table))
@@ -471,6 +516,14 @@ object UpsertSink {
               "table); restore commits/ or rebuild into a fresh tableDir")
       }
     }
+    // erased-key replay guard (after the replay short-circuit — a skipped
+    // batch needs no probe; before the merge — a tombstoned key must not
+    // reach the table or its retained history)
+    val batch =
+      if (erasedGuard)
+        guardErased(batch0, batchId, tableDir, keyCol, opCol, seqCols,
+          erasedGuardFail)
+      else batch0
     // bucket count is pinned by the first commit — a config change must not
     // silently re-key the layout
     val nb = current.map(_.nBuckets).getOrElse(nBuckets)

@@ -170,6 +170,81 @@ class ErasedGuardSpec extends SparkSuite {
     assert(indexed.nonEmpty)
   }
 
+  test("Deliver: tombstone sets self-fold at the manifest cadence") {
+    val base = tmpDir("graft-ekfold-")
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck", clock = clock,
+      erasedGuardCol = Some("id"), manifestCompactEvery = 2)
+    Deliver.deliverBatch(flatBatch(20), 0L, cfg)
+    // two erase requests land two tombstone sets
+    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(-101L).toDF("id"))
+    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(-102L).toDF("id"))
+    def nSets = new java.io.File(s"$base/lake/_erased/key=id").listFiles()
+      .count(_.getName.startsWith("set-"))
+    assert(nSets == 2)
+    Deliver.deliverBatch(flatBatch(20), 1L, cfg) // off-cadence: untouched
+    assert(nSets == 2)
+    Deliver.deliverBatch(flatBatch(20), 2L, cfg) // cadence: folds to one
+    assert(nSets == 1)
+    assert(ErasedKeys.read(spark, s"$base/lake", "id").get
+      .as[Long].collect().toSet == Set(-101L, -102L))
+  }
+
+  test("UpsertSink: a replayed CDC batch cannot resurrect an erased key") {
+    val base = tmpDir("graft-ekups-")
+    val table = s"$base/table"
+    def chg(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("id", "v", "op", "seq")
+    UpsertSink.applyBatch(chg((1L to 8L).map(i => (i, s"v$i", "U", i))),
+      0L, table, "id", "op", Seq("seq"), nBuckets = 4, retainCommits = 3)
+    UpsertSink.applyBatch(chg(Seq((1L, "v1b", "U", 100L), (9L, "v9", "U", 101L))),
+      1L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    UpsertSink.eraseKeys(spark, table, "id", Seq(1L, 2L).toDF("id"))
+    spark.catalog.refreshByPath(table)
+
+    // crash-replay: batch 2 carries an erased id, dies before its commit,
+    // then replays with the SAME id — pre-guard the replay merged the
+    // subject back into the table (and its retained history)
+    val b2 = chg(Seq((1L, "boo", "U", 200L), (10L, "v10", "U", 201L)))
+    intercept[RuntimeException] {
+      UpsertSink.applyBatch(b2, 2L, table, "id", "op", Seq("seq"),
+        retainCommits = 3, crashBeforeCommit = true)
+    }
+    UpsertSink.applyBatch(b2, 2L, table, "id", "op", Seq("seq"),
+      retainCommits = 3)
+    val latest = UpsertSink.readTable(spark, table).get
+    assert(latest.where($"id".isin(1L, 2L)).count() == 0,
+      "replay resurrected an erased key in the latest table")
+    assert(latest.where($"id" === 10L).count() == 1,
+      "non-erased replay rows must still merge")
+    // the whole retained history stays subject-free
+    UpsertSink.commitHistory(table).foreach { c =>
+      val t = UpsertSink.readTableAt(spark, table, c.batchId).get
+      assert(t.where($"id".isin(1L, 2L)).count() == 0,
+        s"as-of ${c.batchId} serves an erased key")
+    }
+    // and the BYTES are gone: raw read of every bucket version
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$table/buckets").where($"id".isin(1L, 2L)).count() == 0,
+      "an erased key is byte-present in a bucket version")
+    // the drop is receipted for audit
+    val receipt = spark.read.parquet(s"$table/_erased/dropped/batch=2")
+    assert(receipt.select($"id").as[Long].collect().toSet == Set(1L))
+
+    // fail-loudly mode halts the sink instead of dropping
+    val ex = intercept[IllegalStateException] {
+      UpsertSink.applyBatch(chg(Seq((2L, "boo2", "U", 300L))), 3L, table,
+        "id", "op", Seq("seq"), retainCommits = 3, erasedGuardFail = true)
+    }
+    assert(ex.getMessage.contains("GDPR-erased"), ex.getMessage)
+    // opt-out restores the raw merge (and is how a deliberately
+    // re-admitted subject re-enters after ErasedKeys.clear)
+    assert(ErasedKeys.clear(spark, table, "id"))
+    UpsertSink.applyBatch(chg(Seq((2L, "back", "U", 400L))), 3L, table,
+      "id", "op", Seq("seq"), retainCommits = 3)
+    assert(UpsertSink.readTable(spark, table).get
+      .where($"id" === 2L).count() == 1, "cleared tombstone must re-admit")
+  }
+
   test("appendToIvfIndex: erased ids are dropped from a re-delivered append") {
     import graft.operators.Similarity
     val base = tmpDir("graft-ekivf-")
