@@ -1629,6 +1629,42 @@ object StreamQueries {
         |  WHERE doc_id % 11 <> 0) AS n_table,
         | CAST(4 AS BIGINT) AS n_components, TRUE AS clean,
         | TRUE AS tombstoned
-        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin))
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin)),
+
+    // ---- retained-log erasure (r14): GDPR erasure reaches the REPLAY
+    // SOURCE itself (the reference's 365-day retention is exactly this
+    // copy). Segments are rewritten line-filtered with their DECLARED
+    // sequence ranges preserved, so offset math and committed consumers
+    // are unchanged; a producer re-delivery of the subjects (fresh seqs)
+    // is dropped by the tombstone guard. Pinned: a TRIM_HORIZON replay of
+    // the scrubbed log equals events minus subjects, and the raw
+    // line-level presence scan finds zero subject bytes.
+    Q("q132_log_erasure", (s, d) => {
+      val base = tmp("graft-q132-")
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 6)
+      graft.sources.v2.GraftLog.append(
+        ShardedLog.fromEvents(events), s"$base/log", maxSegmentBytes = 1 << 18)
+      val subjects = events
+        .select(concat(lit("events-"), col("user_id")).as("partition_key"))
+        .where(pmod(col("user_id"), lit(7)) === 0).distinct()
+      graft.sources.v2.GraftLog.eraseKeys(s, s"$base/log", subjects)
+      // the resurrection attempt: the subjects' events re-enter the
+      // producer with fresh sequence numbers — the guard drops them
+      graft.sources.v2.GraftLog.append(ShardedLog.fromEvents(
+        events.where(pmod(col("user_id"), lit(7)) === 0)
+          .withColumn("event_id", col("event_id") + 10000000L)), s"$base/log")
+      val rawHits = graft.sources.v2.GraftLog.countKeyLines(s, s"$base/log",
+        subjects.collect().map(_.getString(0)).toSet)
+      s.read.format("graftlog").load(s"$base/log")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("partition_key")).as("n_users"),
+          sum(col("sequence_number").cast("long")).as("sum_seq"))
+        .withColumn("raw_hits", lit(rawHits))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_seq,
+        | CAST(0 AS BIGINT) AS raw_hits
+        |FROM events WHERE day(ts) <= 6 AND user_id % 7 <> 0""".stripMargin))
   )
 }

@@ -2,9 +2,10 @@ package graft.sources.v2
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.SerializableConfiguration
+import graft.streaming.{ErasedKeys, FsLeaseLock, FsOps, LockProvider}
 
 /** The sharded-log STORE behind the `graftlog` DataSourceV2 source
   * ([[GraftLogTableProvider]]) — the durable shape of the reference's
@@ -65,13 +66,18 @@ object GraftLog {
   def listSegments(fs: FileSystem, dir: String): Map[String, Seq[Segment]] = {
     val root = new HPath(dir)
     if (!fs.exists(root)) return Map.empty
-    fs.listStatus(root).toSeq.filter(_.isDirectory).map { shardDir =>
-      val shard = shardDir.getPath.getName
-      val segs = fs.listStatus(shardDir.getPath).toSeq
-        .flatMap(st => parseSegment(shard, st.getPath))
-        .sortBy(_.firstSeq)
-      shard -> segs
-    }.toMap
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      // control trees are not shards: `_erased` tombstones, `_erase`
+      // intent files, dot-temps
+      .filterNot(d => d.getPath.getName.startsWith("_") ||
+        d.getPath.getName.startsWith("."))
+      .map { shardDir =>
+        val shard = shardDir.getPath.getName
+        val segs = fs.listStatus(shardDir.getPath).toSeq
+          .flatMap(st => parseSegment(shard, st.getPath))
+          .sortBy(_.firstSeq)
+        shard -> segs
+      }.toMap
   }
 
   /** Per-shard high-water mark (max lastSeq), for producer monotonicity
@@ -99,7 +105,12 @@ object GraftLog {
     val fs = new HPath(dir).getFileSystem(hconf.value)
     val hw = highWater(fs, dir)
     val hwB = spark.sparkContext.broadcast(hw)
-    records
+    // erased-key replay guard ([[ErasedKeys]]): a producer retry or
+    // upstream re-delivery carrying a GDPR-erased partition key must not
+    // restock the retained log after [[eraseKeys]] scrubbed it. Zero cost
+    // when no tombstone sidecar exists.
+    ErasedKeys.dropErased(records, dir, "partition_key", "partition_key",
+      "graftlog append")
       .select(col("stream_name"), col("shard_id"), col("partition_key"),
         col("sequence_number"), unix_micros(col("approx_arrival_ts")).as("ts_us"),
         // the log stores CANONICAL base64: Spark's base64() emits
@@ -175,5 +186,164 @@ object GraftLog {
       count += 1
     }
     flush()
+  }
+
+  /** Outcome of [[eraseKeys]]: segments rewritten, record lines removed. */
+  final case class EraseStats(segmentsRewritten: Int, linesErased: Long)
+
+  private def intentPath(dir: String) = new HPath(dir, "_erase/intent")
+
+  private def readLines(fs: FileSystem, p: HPath): Vector[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** GDPR erasure from the RETAINED LOG itself — the copy the reference's
+    * 365-day replay retention (README.md:83) keeps and every downstream
+    * erase so far could not reach: until the retention window expires, a
+    * replay from TRIM_HORIZON re-delivers the subjects' raw records (the
+    * delivery-side guards DROP them, but the bytes stay on disk).
+    *
+    * Every segment holding a subject's partition key is rewritten
+    * line-filtered with its DECLARED sequence range preserved (the name's
+    * firstSeq/lastSeq are the log's committed geometry): per-shard offset
+    * math, high-water marks, checkpointed positions, and the straddle
+    * check are all unchanged — a segment erased to emptiness stays as a
+    * 0-count range holder. Untouched segments are not opened twice,
+    * moved, or renamed.
+    *
+    * Swap protocol per affected segment, under the [[LockProvider]] seam
+    * (single maintenance writer per log): an `_erase/intent` file lists
+    * every old→new pair first; then old renames aside to
+    * `.eretired-<name>` (invisible — readers only parse `seg-*` names),
+    * the filtered replacement renames in, asides and intent are swept. A
+    * crash recovers on the next erase: roll FORWARD where the new name
+    * exists, roll BACK otherwise. A reader planning inside one segment's
+    * swap window fails its micro-batch on the vanished path and replays —
+    * the same restart-safe posture as the lake maintenance passes.
+    *
+    * Scale: one distributed pass over the log (scan + filtered rewrite in
+    * the same task) — O(log bytes) read ONCE, writes proportional to
+    * affected segments only. The subjects are then tombstoned at the log
+    * root, so [[append]] drops a producer re-delivery instead of
+    * restocking the log ([[ErasedKeys]]).
+    */
+  def eraseKeys(spark: SparkSession, dir: String, partitionKeys: DataFrame,
+      lock: LockProvider = FsLeaseLock,
+      leaseMs: Long = 15L * 60 * 1000): EraseStats = {
+    val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(hconf.value)
+    // materialize to a driver set NOW (GDPR requests are small by nature;
+    // the frame may derive from the very log being rewritten)
+    val keys = partitionKeys.toDF("partition_key")
+      .select(col("partition_key").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val stats = lock.withLock(fs, root, leaseMs) {
+      recoverErase(fs, dir)
+      val segs = listSegments(fs, dir).values.flatten.toSeq
+      if (segs.isEmpty || keys.isEmpty) EraseStats(0, 0L)
+      else {
+        val keysB = spark.sparkContext.broadcast(keys)
+        // one distributed pass: tasks scan their segments and, where a
+        // subject line is found, write the filtered replacement to a
+        // dot-temp in the shard dir (invisible until the swap below)
+        val rewrites = spark.sparkContext
+          .parallelize(segs, math.max(1, math.min(segs.size, 64)))
+          .flatMap { s =>
+            val p = new HPath(s.path)
+            val tfs = p.getFileSystem(hconf.value)
+            val lines = readLines(tfs, p)
+            val (erased, kept) =
+              lines.partition(l => keysB.value.contains(l.split('\t')(1)))
+            if (erased.isEmpty) None
+            else {
+              val tmp = new HPath(p.getParent, s".etmp-${java.util.UUID.randomUUID()}")
+              val out = tfs.create(tmp, false)
+              try kept.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+              finally out.close()
+              val bytes = tfs.getFileStatus(tmp).getLen
+              Some((s.shard, p.getName, tmp.getName,
+                segmentName(s.firstSeq, s.lastSeq, kept.size.toLong, bytes),
+                erased.size.toLong))
+            }
+          }.collect().toSeq
+        if (rewrites.isEmpty) EraseStats(0, 0L)
+        else {
+          FsOps.atomicWrite(hconf.value, fs, intentPath(dir),
+            rewrites.map { case (sh, old, tmp, nw, _) => s"$sh\t$old\t$tmp\t$nw" }
+              .mkString("\n").getBytes("UTF-8"))
+          rewrites.foreach { case (sh, old, tmp, nw, _) =>
+            val sd = new HPath(root, sh)
+            FsOps.renameOrThrow(fs, new HPath(sd, old),
+              new HPath(sd, s".eretired-$old"))
+            FsOps.renameOrThrow(fs, new HPath(sd, tmp), new HPath(sd, nw))
+          }
+          rewrites.foreach { case (sh, old, _, _, _) =>
+            FsOps.deleteOrThrow(fs,
+              new HPath(new HPath(root, sh), s".eretired-$old"), recursive = false)
+          }
+          FsOps.deleteOrThrow(fs, intentPath(dir), recursive = false)
+          EraseStats(rewrites.size, rewrites.map(_._5).sum)
+        }
+      }
+    }
+    // tombstone AFTER success (a failed erase must not declare the keys
+    // gone), even when the scan was a no-op — "must not reappear" guards
+    // future appends either way
+    import spark.implicits._
+    ErasedKeys.record(spark, dir, "partition_key", keys.toSeq.toDF("partition_key"))
+    stats
+  }
+
+  /** Complete or roll back a crashed [[eraseKeys]] using the intent: roll
+    * FORWARD a pair whose new name exists (sweep aside/temp), roll BACK
+    * otherwise (restore the aside), then sweep stray dot-temps.
+    */
+  private def recoverErase(fs: FileSystem, dir: String): Unit = {
+    val root = new HPath(dir)
+    val ip = intentPath(dir)
+    if (fs.exists(ip)) {
+      FsOps.readString(fs, ip).split('\n').filter(_.nonEmpty).foreach { l =>
+        val Array(sh, old, tmp, nw) = l.split('\t')
+        val sd = new HPath(root, sh)
+        val aside = new HPath(sd, s".eretired-$old")
+        if (fs.exists(new HPath(sd, nw))) {
+          if (fs.exists(aside)) FsOps.deleteOrThrow(fs, aside, recursive = false)
+        } else if (fs.exists(aside))
+          FsOps.renameOrThrow(fs, aside, new HPath(sd, old))
+        val t = new HPath(sd, tmp)
+        if (fs.exists(t)) FsOps.deleteOrThrow(fs, t, recursive = false)
+      }
+      FsOps.deleteOrThrow(fs, ip, recursive = false)
+    }
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+        .foreach { sd =>
+          fs.listStatus(sd).map(_.getPath)
+            .filter(_.getName.startsWith(".etmp-"))
+            .foreach(p => FsOps.deleteOrThrow(fs, p, recursive = false))
+        }
+  }
+
+  /** Raw presence scan for the erasure certificate ([[graft.streaming
+    * .Erase.verify]]): count log lines carrying a subject partition key —
+    * a full distributed read of every segment, no offsets, no admission
+    * (a certificate trusts nothing the erase maintains).
+    */
+  def countKeyLines(spark: SparkSession, dir: String, keys: Set[String]): Long = {
+    val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val fs = new HPath(dir).getFileSystem(hconf.value)
+    val segs = listSegments(fs, dir).values.flatten.toSeq
+    if (segs.isEmpty || keys.isEmpty) return 0L
+    val keysB = spark.sparkContext.broadcast(keys)
+    spark.sparkContext.parallelize(segs, math.max(1, math.min(segs.size, 64)))
+      .map { s =>
+        val p = new HPath(s.path)
+        readLines(p.getFileSystem(hconf.value), p)
+          .count(l => keysB.value.contains(l.split('\t')(1))).toLong
+      }.sum().toLong
   }
 }

@@ -697,32 +697,48 @@ object Deliver {
       // inside the final window. A graduation landing after even that is
       // converged by foldManifestToParquet itself: its next fold resolves
       // the JSON chain (our snapshot included) into the parquet head.
-      mfFoldTestHook()
-      var urls = fold()
-      var stable = false
-      var attempts = 0
-      var graduated = ManifestChain.hasParquetSnapshot(fs, dir)
-      while (!stable && !graduated && attempts < 3) {
-        // stabilize against a concurrent maintenance JSON fold (their
-        // locked fold landing between our reads would be shadowed by our
-        // higher-id snapshot with stale urls): re-fold until two reads
-        // agree, then re-check graduation one last time pre-install
-        val recheck = fold()
-        stable = recheck == urls
-        urls = recheck
-        attempts += 1
-        if (stable) graduated = ManifestChain.hasParquetSnapshot(fs, dir)
-      }
-      if (!stable || graduated) put(f"manifest-$batchId%010d.json", added)
-      else {
-        put(name, urls)
-        if (ManifestChain.hasParquetSnapshot(fs, dir)) {
-          // graduation slipped between the pre-install check and the put:
-          // retract (our batchId is ours alone) and fall back to an
-          // incremental — always safe on any tier
-          FsOps.deleteOrThrow(fs, new HPath(dir, name), recursive = false)
-          put(f"manifest-$batchId%010d.json", added)
+      // The fold runs UNDER THE MAINTENANCE TRY-LOCK (same seam as the
+      // pq-tier and zone self-folds): a locked Compact/Erase/Retention
+      // fold landing between our chain read and our put would be shadowed
+      // by our higher-id snapshot with STALE urls — resurrecting files the
+      // maintenance pass then deletes, so manifest readers open missing
+      // paths (caught by the maintenance soak). The in-lock stabilization
+      // loop stays as belt-and-braces; busy lock → the always-safe
+      // incremental (the chain just stays longer until the next cadence).
+      val lakeRootPath = new HPath(lakeDir)
+      val lakeFs = lakeRootPath.getFileSystem(hconf)
+      val installed = lock.tryWithLock(lakeFs, lakeRootPath, Compact.DefaultLeaseMs) {
+        mfFoldTestHook()
+        var urls = fold()
+        var stable = false
+        var attempts = 0
+        var graduated = ManifestChain.hasParquetSnapshot(fs, dir)
+        while (!stable && !graduated && attempts < 3) {
+          // re-fold until two reads agree, then re-check graduation one
+          // last time pre-install
+          val recheck = fold()
+          stable = recheck == urls
+          urls = recheck
+          attempts += 1
+          if (stable) graduated = ManifestChain.hasParquetSnapshot(fs, dir)
         }
+        if (!stable || graduated) put(f"manifest-$batchId%010d.json", added)
+        else {
+          put(name, urls)
+          if (ManifestChain.hasParquetSnapshot(fs, dir)) {
+            // graduation slipped between the pre-install check and the put:
+            // retract (our batchId is ours alone) and fall back to an
+            // incremental — always safe on any tier
+            FsOps.deleteOrThrow(fs, new HPath(dir, name), recursive = false)
+            put(f"manifest-$batchId%010d.json", added)
+          }
+        }
+      }
+      if (installed.isEmpty) {
+        System.err.println(s"[graft] batch-$batchId manifest snapshot fold " +
+          "skipped: a maintenance writer holds the lake lock — wrote an " +
+          "incremental instead (folds at the next cadence)")
+        put(f"manifest-$batchId%010d.json", added)
       }
     }
     // parquet-tier self-fold at cadence — AFTER the incremental above is

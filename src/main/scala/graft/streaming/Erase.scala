@@ -76,10 +76,20 @@ object Erase {
   /** A CDC upsert table (erased through its whole time-travel history). */
   final case class UpsertTarget(dir: String, keyCol: String)
 
+  /** A graftlog segment store — the RETAINED STREAM itself (the
+    * reference's 365-day replay retention): erased by the subjects'
+    * partition keys via [[graft.sources.v2.GraftLog.eraseKeys]]. `keys`
+    * respells the subjects in the log's partition-key domain (like
+    * [[LakeTarget.keys]]); without it the shared ids are used verbatim,
+    * which is only right when ids ARE the partition keys.
+    */
+  final case class LogTarget(dir: String, keys: Option[DataFrame] = None)
+
   final case class EverywhereReport(
       indexes: Seq[(String, IndexErase.Report)],
       lakes: Seq[(String, Compact.Stats)],
       tables: Seq[(String, UpsertSink.EraseStats)],
+      logs: Seq[(String, graft.sources.v2.GraftLog.EraseStats)] = Nil,
       certificate: Option[Certificate] = None)
 
   /** One store's raw-presence row in an erasure [[Certificate]]: the store
@@ -121,6 +131,7 @@ object Erase {
       lakes: Seq[LakeTarget],
       indexes: Seq[IndexTarget] = Nil,
       tables: Seq[UpsertTarget] = Nil,
+      logs: Seq[LogTarget] = Nil,
       fps: Option[DataFrame] = None): Certificate = {
     val mat = ids.distinct().persist()
     try {
@@ -132,30 +143,35 @@ object Erase {
             "lake erase has deleted — capture them BEFORE the erase " +
             "(everywhere() does) and pass fps = Some(...)"))
       }.toMap
-      val lakeKeys = materializeLakeKeys(lakes)
-      try Certificate(certRows(spark, mat, lakes, indexes, tables, fpsFor, lakeKeys))
-      finally { lakeKeys.values.foreach(_.unpersist()); () }
+      val lakeKeys = materializeKeys(lakes.map(_.keys))
+      val logKeys = materializeKeys(logs.map(_.keys))
+      try Certificate(certRows(spark, mat, lakes, indexes, tables, logs,
+        fpsFor, lakeKeys, logKeys))
+      finally {
+        (lakeKeys.values ++ logKeys.values).foreach(_.unpersist()); ()
+      }
     } finally { mat.unpersist(); () }
   }
 
-  /** Materialize each lake target's per-target key respelling (persist +
-    * count): the frames may derive from the very stores an erase rewrites,
-    * so they must be pinned before any rewrite — and before the closing
-    * certificate re-plans them.
+  /** Materialize per-target key respellings (persist + count): the frames
+    * may derive from the very stores an erase rewrites, so they must be
+    * pinned before any rewrite — and before the closing certificate
+    * re-plans them.
     */
-  private def materializeLakeKeys(
-      lakes: Seq[LakeTarget]): Map[Int, DataFrame] =
-    lakes.zipWithIndex.collect { case (l, i) if l.keys.isDefined =>
-      val k = l.keys.get.distinct().persist()
+  private def materializeKeys(
+      keyOpts: Seq[Option[DataFrame]]): Map[Int, DataFrame] =
+    keyOpts.zipWithIndex.collect { case (Some(k0), i) =>
+      val k = k0.distinct().persist()
       k.count()
       i -> k
     }.toMap
 
   private def certRows(spark: SparkSession, mat: DataFrame,
       lakes: Seq[LakeTarget], indexes: Seq[IndexTarget],
-      tables: Seq[UpsertTarget],
+      tables: Seq[UpsertTarget], logs: Seq[LogTarget],
       fpsFor: Map[String, DataFrame],
-      lakeKeys: Map[Int, DataFrame]): Seq[Presence] = {
+      lakeKeys: Map[Int, DataFrame],
+      logKeys: Map[Int, DataFrame]): Seq[Presence] = {
     def row(store: String, comp: String, keyCol: String, keys: DataFrame) =
       Presence(store, comp, rawHits(spark, comp, keyCol, keys),
         ErasedKeys.read(spark, store, keyCol).isDefined)
@@ -180,9 +196,20 @@ object Erase {
       case f: FingerprintTarget =>
         Seq(row(f.dir, f.dir, "fp", fpsFor(f.dir)))
     }
+    // the log tier is text segments, not parquet — its raw scan lives with
+    // the format ([[graft.sources.v2.GraftLog.countKeyLines]])
+    val logRows = logs.zipWithIndex.map { case (t, i) =>
+      val keySet = logKeys.getOrElse(i, mat)
+        .toDF("partition_key").select(col("partition_key").cast("string"))
+        .collect().map(_.getString(0)).toSet
+      Presence(t.dir, t.dir,
+        graft.sources.v2.GraftLog.countKeyLines(spark, t.dir, keySet),
+        ErasedKeys.read(spark, t.dir, "partition_key").isDefined)
+    }
     idx ++
       lakes.zipWithIndex.map { case (l, i) =>
         row(l.dir, l.dir, l.keyCol, lakeKeys.getOrElse(i, mat)) } ++
+      logRows ++
       tables.map(t => row(t.dir, s"${t.dir}/buckets", t.keyCol, mat))
   }
 
@@ -216,7 +243,11 @@ object Erase {
     *     are unrecoverable and would sit in the index forever;
     *  2. every other persisted index (IVF / PQ / SQ8 / embedding /
     *     near-dup — full vectors, codes, signatures, shingles);
-    *  3. the lakes (file-pruned copy-on-write, manifest folded);
+    *  3. the lakes (file-pruned copy-on-write, manifest folded) — the
+    *     deliver sink's raw-backup and DLQ dirs ride here through
+    *     [[LakeTarget.keys]] respelling;
+    *  3b. the retained graftlog segment stores ([[LogTarget]] — the
+    *     replay source itself);
     *  4. the upsert tables' whole retained commit history;
     *  5. (`verify = true`, the default) the certificate: a raw re-scan of
     *     every store proving the subjects byte-absent ([[verify]]). A
@@ -241,6 +272,7 @@ object Erase {
       lakes: Seq[LakeTarget],
       indexes: Seq[IndexTarget] = Nil,
       tables: Seq[UpsertTarget] = Nil,
+      logs: Seq[LogTarget] = Nil,
       lock: LockProvider = FsLeaseLock,
       verify: Boolean = true): EverywhereReport = {
     val mat = ids.distinct().persist()
@@ -258,9 +290,10 @@ object Erase {
         fps.count()
         f -> fps
       }
-      // 0b. per-target key respellings (backup/DLQ partition keys), pinned
-      //     for the same derives-from-the-store reason
-      val lakeKeys = materializeLakeKeys(lakes)
+      // 0b. per-target key respellings (backup/DLQ/log partition keys),
+      //     pinned for the same derives-from-the-store reason
+      val lakeKeys = materializeKeys(lakes.map(_.keys))
+      val logKeys = materializeKeys(logs.map(_.keys))
       try {
         // 1. fingerprints, while the texts still exist
         val fpReports = fpSets.map { case (f, fps) =>
@@ -284,6 +317,12 @@ object Erase {
           eraseKeys(spark, l.dir, l.keyCol,
             lakeKeys.getOrElse(i, mat).toDF(l.keyCol), l.manifestDir,
             lock = lock) }
+        // 3b. the retained log itself (the replay source — scrubbed after
+        //     its consumers' lakes so a consumer replay mid-erase hits
+        //     guards, not gaps)
+        val logReports = logs.zipWithIndex.map { case (t, i) => t.dir ->
+          graft.sources.v2.GraftLog.eraseKeys(spark, t.dir,
+            logKeys.getOrElse(i, mat).toDF("partition_key"), lock) }
         // 4. the upsert tables' retained history
         val tblReports = tables.map(t => t.dir ->
           UpsertSink.eraseKeys(spark, t.dir, t.keyCol, mat.toDF(t.keyCol), lock))
@@ -293,7 +332,8 @@ object Erase {
           if (!verify) None
           else {
             val c = Certificate(certRows(spark, mat, lakes, indexes, tables,
-              fpSets.map { case (f, fps) => f.dir -> fps }.toMap, lakeKeys))
+              logs, fpSets.map { case (f, fps) => f.dir -> fps }.toMap,
+              lakeKeys, logKeys))
             if (!c.clean) throw new IllegalStateException(
               "erasure verification FAILED — subject keys still byte-present: " +
                 c.dirty.map(p => s"${p.component} (${p.hits} rows)").mkString("; ") +
@@ -302,10 +342,11 @@ object Erase {
                 "re-run everywhere()")
             Some(c)
           }
-        EverywhereReport(fpReports ++ idxReports, lakeReports, tblReports, cert)
+        EverywhereReport(fpReports ++ idxReports, lakeReports, tblReports,
+          logReports, cert)
       } finally {
         fpSets.foreach(_._2.unpersist())
-        lakeKeys.values.foreach(_.unpersist())
+        (lakeKeys.values ++ logKeys.values).foreach(_.unpersist())
         ()
       }
     } finally { mat.unpersist(); () }

@@ -144,6 +144,147 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(second.flatMap(_._2).map(_._1).toSet.size > 2, "new shards not picked up")
   }
 
+  test("eraseKeys scrubs the retained log: ranges preserved, untouched segments unmoved, replay clean, append guarded") {
+    import spark.implicits._
+    val dir = tmpDir("graft-v2erase-")
+    val ck = tmpDir("graft-v2eraseck-")
+    val ev = Registry.tbl(spark, sfDir, "events")
+    val in = ShardedLog.fromEvents(ev.where(col("event_id") < 300))
+    GraftLog.append(in, dir, maxSegmentBytes = 4096)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segLines(path: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }
+    // consumers committed the WHOLE log before the erase
+    assert(drain(dir, ck).map(_._2.size).sum == in.count())
+
+    val subjects = in.select(col("partition_key")).distinct()
+      .as[String].collect().sorted.take(5).toSet
+    val subjectRows = in.where(col("partition_key").isin(subjects.toSeq: _*)).count()
+    assert(subjectRows > 0)
+    val before = GraftLog.listSegments(fs, dir).values.flatten.toSeq
+    val holds = before.filter(s =>
+      segLines(s.path).exists(l => subjects(l.split('\t')(1)))).map(_.path).toSet
+    assert(holds.nonEmpty && holds.size < before.size,
+      "fixture: need both affected and untouched segments")
+    val hwBefore = GraftLog.highWater(fs, dir)
+
+    val stats = GraftLog.eraseKeys(spark, dir, subjects.toSeq.toDF("partition_key"))
+    assert(stats.segmentsRewritten == holds.size)
+    assert(stats.linesErased == subjectRows)
+    val after = GraftLog.listSegments(fs, dir).values.flatten.toSeq
+    // untouched segments: same path, not rewritten
+    assert(before.filterNot(s => holds(s.path)).map(_.path).toSet
+      .subsetOf(after.map(_.path).toSet), "an untouched segment was moved")
+    // affected segments: old path gone, replacement holds the SAME declared
+    // range with subject lines filtered out
+    before.filter(s => holds(s.path)).foreach { old =>
+      assert(!after.exists(_.path == old.path), s"${old.path} not retired")
+      val repl = after.find(s => s.shard == old.shard &&
+        s.firstSeq == old.firstSeq && s.lastSeq == old.lastSeq).get
+      assert(repl.count < old.count)
+      assert(!segLines(repl.path).exists(l => subjects(l.split('\t')(1))))
+    }
+    assert(GraftLog.highWater(fs, dir) == hwBefore, "erase moved the high water")
+    assert(GraftLog.countKeyLines(spark, dir, subjects) == 0L)
+    // a TRIM_HORIZON replay (fresh checkpoint) now yields survivors only
+    val replay = spark.read.format("graftlog").load(dir)
+    assert(replay.where(col("partition_key").isin(subjects.toSeq: _*)).count() == 0)
+    assert(replay.count() == in.count() - subjectRows)
+    // the COMMITTED consumer continues over the scrubbed log: a fresh
+    // append delivers exactly the delta, no straddle, no replays
+    GraftLog.append(ShardedLog.fromEvents(
+      ev.where(col("event_id") >= 300 && col("event_id") < 350)), dir)
+    val delta = drain(dir, ck)
+    assert(delta.map(_._2.size).sum ==
+      ev.where(col("event_id") >= 300 && col("event_id") < 350)
+        .where(!concat(lit("events-"), col("user_id")).isin(subjects.toSeq: _*))
+        .count(), "scrubbed log broke the committed consumer's resume")
+    // producer re-delivery of the subjects (fresh seqs) is DROPPED by the
+    // tombstone guard instead of restocking the log
+    val restock = ShardedLog.fromEvents(
+      ev.where(col("event_id") < 300)
+        .withColumn("event_id", col("event_id") + 10000000L))
+      .where(col("partition_key").isin(subjects.toSeq: _*))
+    assert(restock.count() > 0)
+    GraftLog.append(restock, dir)
+    assert(GraftLog.countKeyLines(spark, dir, subjects) == 0L,
+      "a producer re-delivery restocked erased subjects")
+    // the certificate covers the log tier
+    val cert = graft.streaming.Erase.verify(spark,
+      subjects.toSeq.toDF("partition_key"), lakes = Nil,
+      logs = Seq(graft.streaming.Erase.LogTarget(dir)))
+    assert(cert.clean && cert.rows.size == 1 && cert.rows.head.tombstoned)
+  }
+
+  test("log erased to emptiness keeps declared ranges: offset math and monotonicity intact") {
+    import spark.implicits._
+    val dir = tmpDir("graft-v2eraseall-")
+    val ev = Registry.tbl(spark, sfDir, "events")
+    val in = ShardedLog.fromEvents(ev.where(col("event_id") < 120), nShards = 2)
+    GraftLog.append(in, dir, maxSegmentBytes = 2048)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hwBefore = GraftLog.highWater(fs, dir)
+    val all = in.select(col("partition_key")).distinct().as[String].collect().toSeq
+    GraftLog.eraseKeys(spark, dir, all.toDF("partition_key"))
+    assert(GraftLog.highWater(fs, dir) == hwBefore,
+      "empty segments must hold their declared ranges")
+    assert(spark.read.format("graftlog").load(dir).count() == 0)
+    assert(drain(dir, tmpDir("graft-v2eactck-")).map(_._2.size).sum == 0)
+    // monotonicity still enforced against the PRESERVED high water: the
+    // same sequence numbers cannot be re-appended even after total erasure
+    graft.streaming.ErasedKeys.clear(spark, dir, "partition_key")
+    val e = intercept[Exception] { GraftLog.append(in, dir) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("monotonicity")), messages(e).mkString("; "))
+  }
+
+  test("a crashed log erase recovers: roll back without the replacement, roll forward with it") {
+    import spark.implicits._
+    val dir = tmpDir("graft-v2erasecrash-")
+    val ev = Registry.tbl(spark, sfDir, "events")
+    GraftLog.append(ShardedLog.fromEvents(ev.where(col("event_id") < 60), nShards = 1), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seg = GraftLog.listSegments(fs, dir).values.flatten.toSeq.head
+    val segPath = new org.apache.hadoop.fs.Path(seg.path)
+    val shardDir = segPath.getParent
+    val shard = shardDir.getName
+    def writeIntent(nw: String): Unit =
+      graft.streaming.FsOps.atomicWrite(spark.sessionState.newHadoopConf(), fs,
+        new org.apache.hadoop.fs.Path(dir, "_erase/intent"),
+        s"$shard\t${segPath.getName}\t.etmp-gone\t$nw".getBytes("UTF-8"))
+    // ROLL BACK: crash after the aside, before the replacement landed
+    fs.rename(segPath, new org.apache.hadoop.fs.Path(shardDir, s".eretired-${segPath.getName}"))
+    writeIntent("seg-x-y-0-0-00000000-0000-0000-0000-000000000000.log")
+    GraftLog.eraseKeys(spark, dir, Seq.empty[String].toDF("partition_key"))
+    assert(fs.exists(segPath), "roll back must restore the aside")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_erase/intent")))
+    assert(spark.read.format("graftlog").load(dir).count() ==
+      ev.where(col("event_id") < 60).count())
+    // ROLL FORWARD: crash after the replacement landed, aside not yet swept
+    val nwName = seg.path.split('/').last.replaceAll(
+      "-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\\.log$",
+      "-11111111-1111-1111-1111-111111111111.log")
+    fs.rename(segPath, new org.apache.hadoop.fs.Path(shardDir, s".eretired-${segPath.getName}"))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(shardDir, s".eretired-${segPath.getName}"),
+      fs, new org.apache.hadoop.fs.Path(shardDir, nwName), false,
+      spark.sessionState.newHadoopConf())
+    writeIntent(nwName)
+    GraftLog.eraseKeys(spark, dir, Seq.empty[String].toDF("partition_key"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(shardDir, s".eretired-${segPath.getName}")),
+      "roll forward must sweep the aside")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(shardDir, nwName)))
+    assert(spark.read.format("graftlog").load(dir).count() ==
+      ev.where(col("event_id") < 60).count())
+  }
+
   test("log-contract violations are refused loudly: non-monotonic append; straddling segment read") {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)

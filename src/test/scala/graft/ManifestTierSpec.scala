@@ -214,6 +214,43 @@ class ManifestTierSpec extends SparkSuite {
     assert(snap2.exists(_._2 == ManifestChain.SnapPq) && incs2.isEmpty)
   }
 
+  test("a JSON-tier cadence fold defers to a held maintenance lock (no stale shadow)") {
+    // r14 (caught by the maintenance soak): the JSON-tier cadence snapshot
+    // fold ran UNLOCKED — a locked Compact/Erase fold landing between the
+    // stream's chain read and its put was shadowed by the stream's
+    // higher-id snapshot with stale urls, resurrecting files maintenance
+    // then deleted (manifest readers opened missing paths). The fold now
+    // takes the same maintenance try-lock as the pq-tier and zone
+    // self-folds; busy → the always-safe incremental.
+    val base = tmpDir("graft-mt-jlock-")
+    deliver(base, 100, compactEvery = 1) // batch 0: plain incremental
+    val mdir = s"$base/manifest"
+    val fs = hfs(base)
+    val lock = new HPath(s"$base/lake/_compact/lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    try {
+      // batch 1 hits cadence on the JSON chain while a maintenance writer
+      // holds the lake — the snapshot fold must skip to an incremental
+      deliver(base, 100, skip = 100, compactEvery = 1)
+      val names = fs.listStatus(new HPath(mdir)).map(_.getPath.getName).toSeq
+      assert(!names.exists(_.endsWith(".snap.json")),
+        s"a JSON snapshot was installed under a held maintenance lock: $names")
+      // nothing lost: the incremental keeps every committed url visible
+      graft.operators.IndexMeta.invalidateAll()
+      assert(ManifestReader.read(spark, mdir).count() ==
+        spark.read.parquet(s"$base/lake").count())
+    } finally { fs.delete(lock, false); () }
+    // lock released: the next cadence folds normally
+    deliver(base, 100, skip = 200, compactEvery = 1)
+    val names2 = hfs(mdir).listStatus(new HPath(mdir)).map(_.getPath.getName).toSeq
+    assert(names2.exists(_.endsWith(".snap.json")),
+      s"cadence folding did not resume after the lock release: $names2")
+    graft.operators.IndexMeta.invalidateAll()
+    assert(ManifestReader.read(spark, mdir).count() ==
+      spark.read.parquet(s"$base/lake").count())
+  }
+
   test("a graduation racing the cadence JSON fold is never shadowed (no url loss)") {
     // r13 advice (medium): a foldManifestToParquet landing between the
     // writer's tier check and its JSON-snapshot install used to be
