@@ -103,6 +103,23 @@ object GraftLog {
     val spark = records.sparkSession
     val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val fs = new HPath(dir).getFileSystem(hconf.value)
+    // Interlock with [[eraseKeys]] — enforced, not just documented: an
+    // append racing the erase's segment-swap window could read a
+    // transiently-lowered high-water mark and mint an overlapping range
+    // (permanent straddle corruption for every committed reader). While
+    // the erase's maintenance lease is live the append is REFUSED loudly;
+    // a stale lease (dead eraser) is ignored — the next erase reclaims it.
+    val eraseLock = new HPath(dir, "_compact/lock")
+    try {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(eraseLock).getModificationTime
+      if (age <= EraseLeaseMs)
+        throw new IllegalStateException(
+          s"graftlog append refused: a maintenance writer (eraseKeys) holds " +
+            s"$eraseLock (lease age $age ms) — an append racing the erase's " +
+            "segment swap can corrupt per-shard offset ranges; retry after " +
+            "the erase completes")
+    } catch { case _: java.io.FileNotFoundException => () }
     val hw = highWater(fs, dir)
     val hwB = spark.sparkContext.broadcast(hw)
     // erased-key replay guard ([[ErasedKeys]]): a producer retry or
@@ -191,6 +208,11 @@ object GraftLog {
   /** Outcome of [[eraseKeys]]: segments rewritten, record lines removed. */
   final case class EraseStats(segmentsRewritten: Int, linesErased: Long)
 
+  /** The erase lease horizon — shared by [[eraseKeys]]'s lock and
+    * [[append]]'s interlock so both sides agree on what "live" means.
+    */
+  val EraseLeaseMs: Long = 15L * 60 * 1000
+
   private def intentPath(dir: String) = new HPath(dir, "_erase/intent")
 
   private def readLines(fs: FileSystem, p: HPath): Vector[String] = {
@@ -213,8 +235,16 @@ object GraftLog {
     * 0-count range holder. Untouched segments are not opened twice,
     * moved, or renamed.
     *
-    * Swap protocol per affected segment, under the [[LockProvider]] seam
-    * (single maintenance writer per log): an `_erase/intent` file lists
+    * Serialization domain: the log contract already serializes APPENDS
+    * per log (see [[append]]); an erase is a writer in that same domain,
+    * and the exclusion is ENFORCED — [[append]] refuses while the erase's
+    * maintenance lease is live (an append racing the swap window of a
+    * shard's LAST segment could read a transiently-lowered high-water
+    * mark and mint an overlapping range — permanent straddle corruption).
+    * Readers need no quiescing. The [[LockProvider]] seam additionally
+    * serializes erases against each other and against recovery.
+    *
+    * Swap protocol per affected segment: an `_erase/intent` file lists
     * every old→new pair first; then old renames aside to
     * `.eretired-<name>` (invisible — readers only parse `seg-*` names),
     * the filtered replacement renames in, asides and intent are swept. A
@@ -231,7 +261,7 @@ object GraftLog {
     */
   def eraseKeys(spark: SparkSession, dir: String, partitionKeys: DataFrame,
       lock: LockProvider = FsLeaseLock,
-      leaseMs: Long = 15L * 60 * 1000): EraseStats = {
+      leaseMs: Long = EraseLeaseMs): EraseStats = {
     val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new HPath(dir)
     val fs = root.getFileSystem(hconf.value)
@@ -294,6 +324,7 @@ object GraftLog {
     // future appends either way
     import spark.implicits._
     ErasedKeys.record(spark, dir, "partition_key", keys.toSeq.toDF("partition_key"))
+    ErasedKeys.foldIfQuiet(spark, dir, "partition_key", lock)
     stats
   }
 

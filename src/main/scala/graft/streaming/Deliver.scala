@@ -305,26 +305,19 @@ object Deliver {
     clearIntent(fs, lake, batchId)
     } finally { batch.unpersist(); () }
 
-    // 7. tombstone-sidecar self-fold at the manifest cadence (guarded
-    // lakes only): the `_erased` listing must stay O(1) in erase-request
-    // count, like the manifest chain and zone sidecars. AFTER the marker —
-    // folding retires set files this batch's guard frame may still be
-    // lazily referencing. Under the maintenance try-lock (an erase holding
-    // the lake lock is recording sets right now); busy or failed → skip,
-    // sets accumulate until the next cadence.
-    cfg.erasedGuardCol.foreach { k =>
-      if (graft.sources.ZoneMaps.foldCadence(batchId, cfg.manifestCompactEvery))
-        try {
-          if (cfg.lock.tryWithLock(fs, lake, Compact.DefaultLeaseMs) {
-            ErasedKeys.fold(spark, cfg.lakeDir, k)
-          }.isEmpty)
-            System.err.println(s"[graft] batch-$batchId tombstone self-fold " +
-              "skipped: a maintenance writer holds the lake lock")
-        } catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] WARNING: batch-$batchId tombstone " +
-            s"self-fold failed (${e.getMessage}) — sets accumulate until " +
-            "the next cadence or ErasedKeys.fold")
-        }
+    // 7. tombstone-sidecar self-fold at the manifest cadence: the
+    // `_erased` listings must stay O(1) in erase-request count, like the
+    // manifest chain and zone sidecars — on EVERY store this sink probes
+    // (the lake's guard, and the backup/DLQ write guards). AFTER the
+    // marker — folding retires set files this batch's guard frames may
+    // still be lazily referencing. foldIfQuiet takes each store's
+    // maintenance try-lock; busy or failed → skip, sets accumulate until
+    // the next cadence.
+    if (graft.sources.ZoneMaps.foldCadence(batchId, cfg.manifestCompactEvery)) {
+      cfg.erasedGuardCol.foreach(k =>
+        ErasedKeys.foldIfQuiet(spark, cfg.lakeDir, k, cfg.lock))
+      (cfg.errorDir.toSeq ++ cfg.backupDir.toSeq).foreach(d =>
+        ErasedKeys.foldIfQuiet(spark, d, "partition_key", cfg.lock))
     }
   }
 
@@ -340,32 +333,9 @@ object Deliver {
     cfg.erasedGuardCol match {
       case None => ok
       case Some(k) =>
-        ErasedKeys.read(ok.sparkSession, cfg.lakeDir, k) match {
-          case None => ok
-          case Some(tomb) =>
-            import org.apache.spark.sql.functions.broadcast
-            val hits = ok.join(broadcast(tomb), Seq(k), "left_semi")
-            val dropped = hits
-              .select(col(k), col("sequence_number"), col("processed_at"))
-              .persist()
-            try {
-              val n = dropped.count()
-              if (n > 0) {
-                if (cfg.erasedGuardFail)
-                  throw new IllegalStateException(
-                    s"batch $batchId carries $n row(s) whose '$k' is GDPR-erased " +
-                      s"(tombstoned under ${cfg.lakeDir}/_erased) — a replay or " +
-                      "upstream re-delivery is resurrecting erased subjects; " +
-                      "erasedGuardFail = true halts delivery instead of dropping")
-                dropped.write.mode("overwrite")
-                  .parquet(s"${cfg.lakeDir}/_erased/dropped/batch=$batchId")
-                System.err.println(s"[graft] batch-$batchId erased-key guard " +
-                  s"DROPPED $n row(s) with tombstoned '$k' (audit: " +
-                  s"${cfg.lakeDir}/_erased/dropped/batch=$batchId)")
-                ok.join(broadcast(tomb), Seq(k), "left_anti")
-              } else ok
-            } finally { dropped.unpersist(); () }
-        }
+        ErasedKeys.guardWithReceipt(ok, cfg.lakeDir, k,
+          Seq(k, "sequence_number", "processed_at"), batchId,
+          cfg.erasedGuardFail, "deliver")
     }
 
   private def intentPath(lake: HPath, batchId: Long) =

@@ -172,29 +172,48 @@ object Erase {
       fpsFor: Map[String, DataFrame],
       lakeKeys: Map[Int, DataFrame],
       logKeys: Map[Int, DataFrame]): Seq[Presence] = {
+    // a missing TARGET ROOT must fail loudly, never certify vacuously: a
+    // typo'd dir scanned as "0 hits" would read as proven-absent. (A
+    // missing COMPONENT under an existing root is legitimate — an index
+    // with no deltas yet — and counts 0.)
+    def requireStore(dir: String): String = {
+      val p = new HPath(dir)
+      require(p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+        s"certificate target does not exist: $dir — a scan of a missing " +
+          "store would certify absence vacuously; check the path")
+      dir
+    }
+    // the tombstone flag is per (store, keyCol), not per component row —
+    // one probe each (a 32-shard index has 64+ component rows)
+    val tombMemo = scala.collection.mutable.Map.empty[(String, String), Boolean]
+    def tombstoned(store: String, keyCol: String): Boolean =
+      tombMemo.getOrElseUpdate((store, keyCol),
+        ErasedKeys.read(spark, store, keyCol).isDefined)
     def row(store: String, comp: String, keyCol: String, keys: DataFrame) =
       Presence(store, comp, rawHits(spark, comp, keyCol, keys),
-        ErasedKeys.read(spark, store, keyCol).isDefined)
-    // sharded/routed indexes scan every shard — same recursion as the erase
+        tombstoned(store, keyCol))
+    // sharded/routed indexes scan every shard — same recursion as the
+    // erase; component lists are IndexErase's own (no drift possible)
     def shardRoots(dir: String): Seq[String] =
       Similarity.readSharding(spark, dir) match {
         case Some(n) => (0 until n).flatMap(sh => shardRoots(s"$dir/shard=$sh"))
         case None    => Seq(dir)
       }
     val idx = indexes.flatMap {
-      case i: IvfTarget => shardRoots(i.dir).flatMap(r =>
-        Seq("corpus", "deltas").map(c => row(i.dir, s"$r/$c", "nid", mat)))
-      case i: PqIvfTarget => shardRoots(i.dir).flatMap(r =>
-        Seq("codes", "vectors", "codes_deltas", "vectors_deltas")
-          .map(c => row(i.dir, s"$r/$c", "nid", mat)))
+      case i: IvfTarget => shardRoots(requireStore(i.dir)).flatMap(r =>
+        IndexErase.IvfComponents.map(c => row(i.dir, s"$r/$c", "nid", mat)))
+      case i: PqIvfTarget => shardRoots(requireStore(i.dir)).flatMap(r =>
+        IndexErase.PqComponents.map(c => row(i.dir, s"$r/$c", "nid", mat)))
       case i: SqIvfTarget =>
-        Seq("codes", "vectors", "codes_deltas", "vectors_deltas")
-          .map(c => row(i.dir, s"${i.dir}/$c", "nid", mat))
-      case i: EmbeddingTarget => Seq(row(i.dir, i.dir, "id", mat))
+        IndexErase.PqComponents
+          .map(c => row(requireStore(i.dir), s"${i.dir}/$c", "nid", mat))
+      case i: EmbeddingTarget =>
+        Seq(row(requireStore(i.dir), i.dir, "id", mat))
       case i: NearTarget =>
-        Seq("bands", "arrays").map(c => row(i.dir, s"${i.dir}/$c", "id", mat))
+        IndexErase.NearComponents
+          .map(c => row(requireStore(i.dir), s"${i.dir}/$c", "id", mat))
       case f: FingerprintTarget =>
-        Seq(row(f.dir, f.dir, "fp", fpsFor(f.dir)))
+        Seq(row(requireStore(f.dir), f.dir, "fp", fpsFor(f.dir)))
     }
     // the log tier is text segments, not parquet — its raw scan lives with
     // the format ([[graft.sources.v2.GraftLog.countKeyLines]])
@@ -202,15 +221,16 @@ object Erase {
       val keySet = logKeys.getOrElse(i, mat)
         .toDF("partition_key").select(col("partition_key").cast("string"))
         .collect().map(_.getString(0)).toSet
-      Presence(t.dir, t.dir,
+      Presence(t.dir, requireStore(t.dir),
         graft.sources.v2.GraftLog.countKeyLines(spark, t.dir, keySet),
-        ErasedKeys.read(spark, t.dir, "partition_key").isDefined)
+        tombstoned(t.dir, "partition_key"))
     }
     idx ++
       lakes.zipWithIndex.map { case (l, i) =>
-        row(l.dir, l.dir, l.keyCol, lakeKeys.getOrElse(i, mat)) } ++
+        row(l.dir, requireStore(l.dir), l.keyCol, lakeKeys.getOrElse(i, mat)) } ++
       logRows ++
-      tables.map(t => row(t.dir, s"${t.dir}/buckets", t.keyCol, mat))
+      tables.map(t =>
+        row(requireStore(t.dir), s"${t.dir}/buckets", t.keyCol, mat))
   }
 
   /** RAW presence count: recursive, partition-inference-free read of every
@@ -384,7 +404,10 @@ object Erase {
       // key must not reappear" guards future replays either way. IndexErase
       // component calls pass tombstone = false and record once at their
       // index root instead.
-      if (tombstone) ErasedKeys.record(spark, lakeDir, keyCol, mat)
+      if (tombstone) {
+        ErasedKeys.record(spark, lakeDir, keyCol, mat)
+        ErasedKeys.foldIfQuiet(spark, lakeDir, keyCol, lock)
+      }
       stats
     } finally { mat.unpersist(); () }
   }

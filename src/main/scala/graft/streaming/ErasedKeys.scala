@@ -51,8 +51,15 @@ object ErasedKeys {
     */
   def record(spark: SparkSession, store: String, keyCol: String,
       keys: DataFrame): Unit = {
+    val mat = keys.toDF(keyCol).distinct()
+    // an empty set is a no-op, not a sidecar: recording it would arm a
+    // vacuous guard (probe cost + "guard active" logs on every ingest,
+    // tombstoned=true in certificates) for zero erased keys — the
+    // recovery-path convention of calling an erase with no keys must not
+    // leave that behind
+    if (mat.isEmpty) return
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    keys.toDF(keyCol).distinct().coalesce(1)
+    mat.coalesce(1)
       .write.mode("overwrite").parquet(s"${dirFor(store, keyCol)}/set-$tag")
   }
 
@@ -112,5 +119,61 @@ object ErasedKeys {
           s"($store, key=$keyCol): rows matching a tombstone are dropped")
         df.join(broadcast(tomb.withColumnRenamed(keyCol, dfCol)),
           Seq(dfCol), "left_anti")
+    }
+
+  /** The RECEIPTED sink guard shared by [[Deliver]] and [[UpsertSink]]:
+    * drop rows whose `keyCol` is tombstoned under `store`, with a
+    * per-batch audit record of what was dropped (`receiptCols`, written
+    * idempotently by overwrite under `_erased/dropped/batch=<id>`), or —
+    * `failOnHit` — fail the batch loudly (the stop-the-line posture).
+    * Returns `df` unchanged when no tombstones exist.
+    */
+  def guardWithReceipt(df: DataFrame, store: String, keyCol: String,
+      receiptCols: Seq[String], batchId: Long, failOnHit: Boolean,
+      what: String): DataFrame =
+    read(df.sparkSession, store, keyCol) match {
+      case None => df
+      case Some(tomb) =>
+        val dropped = df.join(broadcast(tomb), Seq(keyCol), "left_semi")
+          .select(receiptCols.map(col): _*).persist()
+        try {
+          val n = dropped.count()
+          if (n > 0) {
+            if (failOnHit)
+              throw new IllegalStateException(
+                s"$what batch $batchId carries $n row(s) whose '$keyCol' is " +
+                  s"GDPR-erased (tombstoned under $store/_erased) — a replay or " +
+                  "upstream re-delivery is resurrecting erased subjects; " +
+                  "the fail-on-hit guard halts the sink instead of dropping")
+            dropped.write.mode("overwrite")
+              .parquet(s"$store/_erased/dropped/batch=$batchId")
+            System.err.println(s"[graft] $what batch-$batchId erased-key guard " +
+              s"DROPPED $n row(s) with tombstoned '$keyCol' (audit: " +
+              s"$store/_erased/dropped/batch=$batchId)")
+            df.join(broadcast(tomb), Seq(keyCol), "left_anti")
+          } else df
+        } finally { dropped.unpersist(); () }
+    }
+
+  /** Opportunistic [[fold]] under the store's maintenance try-lock: a fold
+    * deletes set files a concurrent probe may have just listed, so it only
+    * runs when no maintenance writer holds the store — busy or failed →
+    * skip (sets accumulate until the next chance). Called after each
+    * [[record]] by the erase entry points and at the deliver sink's
+    * cadence, so the sidecar listing stays O(1) in erase-request count on
+    * EVERY guarded store, not just the lake.
+    */
+  def foldIfQuiet(spark: SparkSession, store: String, keyCol: String,
+      lock: LockProvider = FsLeaseLock): Unit =
+    try {
+      val (fs, p) = fsFor(spark, store)
+      if (lock.tryWithLock(fs, p, Compact.DefaultLeaseMs) {
+        fold(spark, store, keyCol)
+      }.isEmpty)
+        System.err.println(s"[graft] tombstone self-fold skipped on $store: " +
+          "a maintenance writer holds the store lock")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] WARNING: tombstone self-fold failed on " +
+        s"$store (${e.getMessage}) — sets accumulate until ErasedKeys.fold")
     }
 }

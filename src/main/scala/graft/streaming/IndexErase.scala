@@ -38,6 +38,15 @@ import graft.operators.Similarity
   */
 object IndexErase {
 
+  /** The data components of each index family — shared with the erasure
+    * certificate ([[Erase.verify]]) so the erase side and the verify side
+    * can never drift: a component added here is both erased and scanned.
+    */
+  private[graft] val IvfComponents = Seq("corpus", "deltas")
+  private[graft] val PqComponents =
+    Seq("codes", "vectors", "codes_deltas", "vectors_deltas")
+  private[graft] val NearComponents = Seq("bands", "arrays")
+
   /** Per-component erase outcome: (component path, files retired, files
     * rewritten). A component absent from the index (no deltas yet) reports
     * (0, 0).
@@ -58,11 +67,9 @@ object IndexErase {
       Similarity.readSharding(spark, indexDir) match {
         case Some(n) => shardReport(n, sh =>
           eraseFromIvfIndex(spark, s"$indexDir/shard=$sh", mat, lock))
-        case None => Report(Seq(
-          s"$indexDir/corpus" ->
-            eraseComponent(spark, s"$indexDir/corpus", "nid", mat, lock),
-          s"$indexDir/deltas" ->
-            eraseComponent(spark, s"$indexDir/deltas", "nid", mat, lock)))
+        case None => Report(IvfComponents.map(c =>
+          s"$indexDir/$c" ->
+            eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
       }
     }
 
@@ -76,10 +83,9 @@ object IndexErase {
       Similarity.readSharding(spark, indexDir) match {
         case Some(n) => shardReport(n, sh =>
           eraseFromPqIvfIndex(spark, s"$indexDir/shard=$sh", mat, lock))
-        case None => Report(
-          Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
-            s"$indexDir/$c" ->
-              eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
+        case None => Report(PqComponents.map(c =>
+          s"$indexDir/$c" ->
+            eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
       }
     }
 
@@ -89,7 +95,7 @@ object IndexErase {
   def eraseFromSqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
     withTombstone(spark, indexDir, "nid", ids) { mat =>
-      Report(Seq("codes", "vectors", "codes_deltas", "vectors_deltas").map(c =>
+      Report(PqComponents.map(c =>
         s"$indexDir/$c" ->
           eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
     }
@@ -111,11 +117,9 @@ object IndexErase {
   def eraseFromNearIndex(spark: SparkSession, indexDir: String,
       ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
     withTombstone(spark, indexDir, "id", ids) { mat =>
-      Report(Seq(
-        s"$indexDir/bands" ->
-          eraseComponent(spark, s"$indexDir/bands", "id", mat, lock),
-        s"$indexDir/arrays" ->
-          eraseComponent(spark, s"$indexDir/arrays", "id", mat, lock)))
+      Report(NearComponents.map(c =>
+        s"$indexDir/$c" ->
+          eraseComponent(spark, s"$indexDir/$c", "id", mat, lock)))
     }
 
   /** Erase FINGERPRINTS from a [[CorpusIndex]] exact-dedup index. The index
@@ -167,6 +171,7 @@ object IndexErase {
       mat.count()
       val r = erase(mat)
       ErasedKeys.record(spark, indexDir, keyCol, mat)
+      ErasedKeys.foldIfQuiet(spark, indexDir, keyCol)
       r
     } finally { mat.unpersist(); () }
   }

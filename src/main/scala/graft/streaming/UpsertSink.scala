@@ -387,8 +387,9 @@ object UpsertSink {
       EraseStats(commitsRewritten, versionsRewritten, versionsDropped)
     }
     // tombstone the erased keys ([[ErasedKeys]]): an upstream replay
-    // re-delivering them can be probed by the CDC feed's guard
+    // re-delivering them is dropped by applyBatch's guard
     ErasedKeys.record(spark, tableDir, keyCol, mat)
+    ErasedKeys.foldIfQuiet(spark, tableDir, keyCol, lock)
     stats
     } finally { mat.unpersist(); () }
   }
@@ -453,29 +454,8 @@ object UpsertSink {
   private def guardErased(batch: DataFrame, batchId: Long, tableDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String],
       failOnHit: Boolean): DataFrame =
-    ErasedKeys.read(batch.sparkSession, tableDir, keyCol) match {
-      case None => batch
-      case Some(tomb) =>
-        val dropped = batch.join(broadcast(tomb), Seq(keyCol), "left_semi")
-          .select((keyCol +: opCol +: seqCols).map(col): _*).persist()
-        try {
-          val n = dropped.count()
-          if (n > 0) {
-            if (failOnHit)
-              throw new IllegalStateException(
-                s"upsert batch $batchId carries $n change row(s) whose '$keyCol' is " +
-                  s"GDPR-erased (tombstoned under $tableDir/_erased) — a replay or " +
-                  "upstream re-delivery is resurrecting erased subjects; " +
-                  "erasedGuardFail = true halts the sink instead of dropping")
-            dropped.write.mode("overwrite")
-              .parquet(s"$tableDir/_erased/dropped/batch=$batchId")
-            System.err.println(s"[graft] upsert batch-$batchId erased-key guard " +
-              s"DROPPED $n change row(s) with tombstoned '$keyCol' (audit: " +
-              s"$tableDir/_erased/dropped/batch=$batchId)")
-            batch.join(broadcast(tomb), Seq(keyCol), "left_anti")
-          } else batch
-        } finally { dropped.unpersist(); () }
-    }
+    ErasedKeys.guardWithReceipt(batch, tableDir, keyCol,
+      keyCol +: opCol +: seqCols, batchId, failOnHit, "upsert")
 
   private[graft] def applyBatch(batch0: DataFrame, batchId: Long, tableDir: String,
       keyCol: String, opCol: String, seqCols: Seq[String], nBuckets: Int = 16,

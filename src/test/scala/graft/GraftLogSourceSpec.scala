@@ -244,6 +244,27 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("monotonicity")), messages(e).mkString("; "))
   }
 
+  test("append is refused while an erase lease is live (no silent range corruption)") {
+    val dir = tmpDir("graft-v2applock-")
+    val ev = Registry.tbl(spark, sfDir, "events")
+    GraftLog.append(ShardedLog.fromEvents(ev.where(col("event_id") < 30)), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_compact/lock")
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      GraftLog.append(ShardedLog.fromEvents(
+        ev.where(col("event_id") >= 30 && col("event_id") < 60)), dir)
+    }
+    assert(e.getMessage.contains("append refused"), e.getMessage)
+    fs.delete(lock, false)
+    GraftLog.append(ShardedLog.fromEvents(
+      ev.where(col("event_id") >= 30 && col("event_id") < 60)), dir)
+    assert(spark.read.format("graftlog").load(dir).count() ==
+      ev.where(col("event_id") < 60).count())
+  }
+
   test("a crashed log erase recovers: roll back without the replacement, roll forward with it") {
     import spark.implicits._
     val dir = tmpDir("graft-v2erasecrash-")

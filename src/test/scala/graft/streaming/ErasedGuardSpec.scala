@@ -170,23 +170,34 @@ class ErasedGuardSpec extends SparkSuite {
     assert(indexed.nonEmpty)
   }
 
-  test("Deliver: tombstone sets self-fold at the manifest cadence") {
+  test("tombstone sets self-fold: at each erase's record, and at the deliver cadence") {
     val base = tmpDir("graft-ekfold-")
     val cfg = Deliver.Config(s"$base/lake", s"$base/ck", clock = clock,
       erasedGuardCol = Some("id"), manifestCompactEvery = 2)
     Deliver.deliverBatch(flatBatch(20), 0L, cfg)
-    // two erase requests land two tombstone sets
-    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(-101L).toDF("id"))
-    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(-102L).toDF("id"))
     def nSets = new java.io.File(s"$base/lake/_erased/key=id").listFiles()
       .count(_.getName.startsWith("set-"))
-    assert(nSets == 2)
+    // each erase folds right after its record — the listing stays O(1)
+    // in erase-request count without waiting for the sink's cadence
+    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(-101L).toDF("id"))
+    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(-102L).toDF("id"))
+    assert(nSets == 1, "record-time folding must keep one set")
+    // sets recorded OUT-OF-BAND (no fold) are collapsed by the sink's
+    // cadence backstop
+    ErasedKeys.record(spark, s"$base/lake", "id", Seq(-103L).toDF("id"))
+    ErasedKeys.record(spark, s"$base/lake", "id", Seq(-104L).toDF("id"))
+    assert(nSets == 3)
     Deliver.deliverBatch(flatBatch(20), 1L, cfg) // off-cadence: untouched
-    assert(nSets == 2)
+    assert(nSets == 3)
     Deliver.deliverBatch(flatBatch(20), 2L, cfg) // cadence: folds to one
     assert(nSets == 1)
     assert(ErasedKeys.read(spark, s"$base/lake", "id").get
-      .as[Long].collect().toSet == Set(-101L, -102L))
+      .as[Long].collect().toSet == Set(-101L, -102L, -103L, -104L))
+    // an EMPTY erase request records nothing (no vacuous guard)
+    val store2 = tmpDir("graft-ekempty-")
+    ErasedKeys.record(spark, store2, "id", Seq.empty[Long].toDF("id"))
+    assert(ErasedKeys.read(spark, store2, "id").isEmpty,
+      "an empty record must not arm a vacuous sidecar")
   }
 
   test("UpsertSink: a replayed CDC batch cannot resurrect an erased key") {
