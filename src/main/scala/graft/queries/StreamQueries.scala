@@ -1665,6 +1665,49 @@ object StreamQueries {
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         | CAST(SUM(event_id) AS BIGINT) AS sum_seq,
         | CAST(0 AS BIGINT) AS raw_hits
-        |FROM events WHERE day(ts) <= 6 AND user_id % 7 <> 0""".stripMargin))
+        |FROM events WHERE day(ts) <= 6 AND user_id % 7 <> 0""".stripMargin)),
+
+    // ---- CDC schema evolution (r14): the change feed GROWS a column
+    // (etype) in batch 1 and DROPS one (value) in batch 2 — the sink must
+    // neither silently lose the new column (pre-r14 the merge projected to
+    // the table's columns) nor fail on the removed one; rows keep the
+    // union schema with typed nulls, and each retained commit still reads
+    // under ITS OWN schema. Pinned: the final table equals a DuckDB replay
+    // ranked by (batch, seq) with the schema-correct NULL pattern.
+    Q("q133_upsert_schema_evolution", (s, d) => {
+      val base = tmp("graft-q133-")
+      val ev = tbl(s, d, "events")
+      def part(b: Int) = ev.where(pmod(col("event_id"), lit(3)) === b)
+      UpsertSink.applyBatch(part(0)
+        .select(col("user_id").as("id"), col("value"),
+          lit("U").as("op"), col("event_id").as("seq")),
+        0L, s"$base/t", "id", "op", Seq("seq"), nBuckets = 8, retainCommits = 3)
+      UpsertSink.applyBatch(part(1)
+        .select(col("user_id").as("id"), col("value"),
+          col("event_type").as("etype"), lit("U").as("op"),
+          col("event_id").as("seq")),
+        1L, s"$base/t", "id", "op", Seq("seq"), retainCommits = 3)
+      UpsertSink.applyBatch(part(2)
+        .select(col("user_id").as("id"), col("event_type").as("etype"),
+          lit("U").as("op"), col("event_id").as("seq")),
+        2L, s"$base/t", "id", "op", Seq("seq"), retainCommits = 3)
+      UpsertSink.readTable(s, s"$base/t").get
+        .select(col("id"), col("value"), col("etype"))
+        .orderBy(col("id"))
+    }, Some(
+      """WITH c AS (
+        |  SELECT user_id AS id, value, event_type, event_id,
+        |    event_id % 3 AS batch
+        |  FROM events),
+        |ranked AS (
+        |  SELECT id, value, event_type, batch,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |                       ORDER BY batch DESC, event_id DESC) AS rn
+        |  FROM c)
+        |SELECT id,
+        |  CASE WHEN batch <= 1 THEN value ELSE NULL END AS value,
+        |  CASE WHEN batch >= 1 THEN event_type ELSE NULL END AS etype
+        |FROM ranked WHERE rn = 1
+        |ORDER BY id""".stripMargin))
   )
 }

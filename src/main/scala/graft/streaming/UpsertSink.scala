@@ -225,7 +225,14 @@ object UpsertSink {
     if (c.versions.nonEmpty) {
       val paths = c.versions.toSeq.sortBy(_._1)
         .map { case (b, v) => s"$tableDir/buckets/b=$b/$v" }
-      spark.read.parquet(paths: _*)
+      // read with the COMMITTED schema, not footer inference: after a
+      // schema evolution the commit references bucket versions written
+      // under DIFFERENT schemas (untouched buckets keep their old files),
+      // and a raw mixed read would resolve to whichever footer listed
+      // first. The committed schema pins the columns; files lacking a
+      // column read it as null (parquet by-name resolution).
+      spark.read.schema(DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
+        .parquet(paths: _*)
     } else {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
@@ -309,7 +316,10 @@ object UpsertSink {
           val byQualDir = versions.map { case (b, v) =>
             fs.makeQualified(new HPath(dirOf(b, v))).toString -> (b, v)
           }.toMap
-          val affected = spark.read
+          // mergeSchema: retained versions may span a schema evolution —
+          // footer inference from one file would drop the other files'
+          // columns from the locate (harmless) and the REWRITE (data loss)
+          val affected = spark.read.option("mergeSchema", "true")
             .parquet(versions.map { case (b, v) => dirOf(b, v) }: _*)
             .select(col(keyCol), col("_metadata.file_path").as("__f"))
             .join(keySet, Seq(keyCol), "left_semi")
@@ -324,7 +334,8 @@ object UpsertSink {
             val tag = java.util.UUID.randomUUID().toString.take(8)
             val stage = fs.makeQualified(new HPath(table, s".erase-stage-$tag"))
             val verRe = "/buckets/b=(\\d+)/([^/]+)/[^/]+$"
-            spark.read.parquet(affected.map { case (b, v) => dirOf(b, v) }: _*)
+            spark.read.option("mergeSchema", "true")
+              .parquet(affected.map { case (b, v) => dirOf(b, v) }: _*)
               .withColumn("__graft_b",
                 regexp_extract(col("_metadata.file_path"), verRe, 1).cast("int"))
               .withColumn("__graft_ver",
@@ -524,14 +535,53 @@ object UpsertSink {
 
     // 2. merge ONLY the touched buckets' live state with the batch — rows of
     //    untouched buckets cannot contain batch keys (bucket is a pure key
-    //    function), so they need no read and no rewrite
-    val tableCols = batch.columns.filterNot(c => c == opCol || seqCols.contains(c))
+    //    function), so they need no read and no rewrite. Touched buckets
+    //    read under the COMMITTED schema (their versions may predate an
+    //    evolution; see readCommit).
+    val batchCols = batch.columns.filterNot(c => c == opCol || seqCols.contains(c))
+    val batchSchema = batch.select(batchCols.map(col): _*).schema
+    val committedSchema = current.map(c =>
+      DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
+    // SCHEMA EVOLUTION (add/remove column — the CDC reality): a change
+    // feed that GROWS a column must not silently lose it (the merge
+    // projects to the table's columns), and one that DROPS a column must
+    // not fail the sink. Both sides align by name below, missing columns
+    // typed null. A TYPE change is refused loudly: widening in place
+    // would leave untouched buckets un-widened (a mixed-type table no
+    // read can resolve) — that is a table rebuild (see nBucketsFor's
+    // resize path), not a silent cast.
+    committedSchema.foreach { ts =>
+      val conflicts = ts.filter(f => batchSchema.fields.exists(b =>
+        b.name == f.name && b.dataType != f.dataType))
+      if (conflicts.nonEmpty)
+        throw new IllegalStateException(
+          s"UpsertSink at $tableDir: batch $batchId changes the TYPE of " +
+            conflicts.map(f => s"'${f.name}' (${f.dataType.simpleString} -> " +
+              s"${batchSchema(f.name).dataType.simpleString})").mkString(", ") +
+            " — in-place type widening would leave untouched buckets " +
+            "un-widened; rebuild the table through a fresh sink " +
+            "(read + write at the new schema, then swap tableDirs)")
+    }
     val targetPaths = current.toSeq.flatMap(_.versions.toSeq)
       .collect { case (b, v) if touched(b) => s"$tableDir/buckets/b=$b/$v" }
     val target =
-      if (targetPaths.nonEmpty) spark.read.parquet(targetPaths: _*)
-      else batch.select(tableCols.map(col): _*).limit(0)
-    val merged = Upsert.applyChanges(target, batch, keyCol, opCol, seqCols: _*)
+      if (targetPaths.nonEmpty)
+        spark.read.schema(committedSchema.get).parquet(targetPaths: _*)
+      else committedSchema match {
+        case Some(ts) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
+        case None => batch.select(batchCols.map(col): _*).limit(0)
+      }
+    val tableCols =
+      (target.columns ++ batchCols.filterNot(target.columns.contains)).toSeq
+    val colTypes = (committedSchema.map(_.fields).getOrElse(Array.empty) ++
+      batchSchema.fields).map(f => f.name -> f.dataType).toMap
+    def aligned(df: DataFrame, extra: Seq[String]) =
+      df.select(tableCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(colTypes(c)).as(c)) ++ extra.map(col): _*)
+    val merged = Upsert.applyChanges(aligned(target, Nil),
+      aligned(batch, opCol +: seqCols), keyCol, opCol, seqCols: _*)
 
     val ver = f"v-$batchId%010d"
     // 3. write the touched buckets' new versions via a batch-scoped stage

@@ -389,4 +389,53 @@ class UpsertSinkSpec extends SparkSuite {
     (0L to 3L).foreach(b => assert(!historyAt(table, b).contains(10L),
       s"victim servable as-of $b"))
   }
+
+  test("schema evolution: add/remove columns across batches; history schema-stable; type change refused") {
+    val base = tmpDir("graft-upsevo-")
+    val table = s"$base/t"
+    UpsertSink.applyBatch(
+      Seq((1L, "a", "U", 1L), (2L, "b", "U", 2L)).toDF("id", "v", "op", "seq"),
+      0L, table, "id", "op", Seq("seq"), nBuckets = 4, retainCommits = 3)
+    // batch 1 GROWS a column: pre-evolution the merge silently dropped it
+    UpsertSink.applyBatch(
+      Seq((2L, "b2", 7L, "U", 10L), (3L, "c", 8L, "U", 11L))
+        .toDF("id", "v", "w", "op", "seq"),
+      1L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    val t1 = UpsertSink.readTable(spark, table).get
+    assert(t1.columns.toSet == Set("id", "v", "w"))
+    assert(t1.select($"id", $"v", $"w").as[(Long, String, Option[Long])]
+      .collect().toSet ==
+      Set((1L, "a", None), (2L, "b2", Some(7L)), (3L, "c", Some(8L))),
+      "old rows must read the new column as null; updated rows carry it")
+    // batch 2 DROPS a column (upstream removed it): the sink must not fail,
+    // and the table keeps the column (null for the new rows)
+    UpsertSink.applyBatch(
+      Seq((4L, 9L, "U", 20L)).toDF("id", "w", "op", "seq"),
+      2L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    val t2 = UpsertSink.readTable(spark, table).get
+    assert(t2.columns.toSet == Set("id", "v", "w"))
+    assert(t2.where($"id" === 4L).select($"v", $"w")
+      .as[(Option[String], Option[Long])].head() == (None, Some(9L)))
+    assert(t2.where($"id" === 2L).select($"v").as[String].head() == "b2",
+      "a dropped feed column must not erase existing values")
+    // TIME TRAVEL stays schema-stable: each commit reads under ITS schema
+    val h0 = UpsertSink.readTableAt(spark, table, 0L).get
+    assert(h0.columns.toSet == Set("id", "v"), h0.columns.mkString(","))
+    assert(h0.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    val h1 = UpsertSink.readTableAt(spark, table, 1L).get
+    assert(h1.columns.toSet == Set("id", "v", "w"))
+    assert(h1.where($"id" === 1L).select($"w").as[Option[Long]].head().isEmpty)
+    // a TYPE change is refused loudly (in-place widening would leave
+    // untouched buckets un-widened), with the rebuild recipe in the message
+    val e = intercept[IllegalStateException] {
+      UpsertSink.applyBatch(
+        Seq((5L, 1.5d, "U", 30L)).toDF("id", "w", "op", "seq"),
+        3L, table, "id", "op", Seq("seq"), retainCommits = 3)
+    }
+    assert(e.getMessage.contains("TYPE") && e.getMessage.contains("rebuild"),
+      e.getMessage)
+    // the refused batch left no commit behind; the table still reads
+    assert(UpsertSink.currentCommit(table).get.batchId == 2L)
+    assert(UpsertSink.readTable(spark, table).get.count() == 4)
+  }
 }
