@@ -1708,6 +1708,38 @@ object StreamQueries {
         |  CASE WHEN batch <= 1 THEN value ELSE NULL END AS value,
         |  CASE WHEN batch >= 1 THEN event_type ELSE NULL END AS etype
         |FROM ranked WHERE rn = 1
-        |ORDER BY id""".stripMargin))
+        |ORDER BY id""".stripMargin)),
+
+    // ---- log RETENTION (r14): the reference's 365-day replay retention
+    // (README.md:83) as an operation — without it the durable log grows
+    // forever. expireUpTo is segment-granular and deterministic; replays
+    // from TRIM_HORIZON begin after the watermark; high-water marks
+    // survive via 0-count range holders so producers can never recycle a
+    // sequence number. Pinned: the post-expiry replay equals events above
+    // the watermark exactly.
+    Q("q134_log_retention", (s, d) => {
+      val base = tmp("graft-q134-")
+      val events = tbl(s, d, "events").where(dayofmonth(col("ts")) <= 10)
+      val cut = events.agg(floor(max(col("event_id")) / lit(2.0)).cast("long"))
+        .head.getLong(0)
+      graft.sources.v2.GraftLog.append(
+        ShardedLog.fromEvents(events.where(col("event_id") <= cut)),
+        s"$base/log", maxSegmentBytes = 1 << 17)
+      graft.sources.v2.GraftLog.append(
+        ShardedLog.fromEvents(events.where(col("event_id") > cut)),
+        s"$base/log", maxSegmentBytes = 1 << 17)
+      graft.sources.v2.GraftLog.expireUpTo(s, s"$base/log", f"$cut%030d")
+      s.read.format("graftlog").load(s"$base/log")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("partition_key")).as("n_users"),
+          sum(col("sequence_number").cast("long")).as("sum_seq"))
+    }, Some(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_seq
+        |FROM events
+        |WHERE day(ts) <= 10 AND event_id >
+        |  (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events
+        |   WHERE day(ts) <= 10)""".stripMargin))
   )
 }

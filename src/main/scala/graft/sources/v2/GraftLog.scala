@@ -359,6 +359,63 @@ object GraftLog {
         }
   }
 
+  /** RETENTION: expire committed history up to `watermark` (a sequence
+    * number string, inclusive) — the reference's 365-day replay retention
+    * (README.md:83) as an operation, without which the log grows forever.
+    * Replays from TRIM_HORIZON begin after the watermark; consumers whose
+    * committed offsets are past it are unaffected; a consumer still BELOW
+    * it resumes from the oldest surviving segment (records expire
+    * regardless of consumption — the reference's semantics; the skipped
+    * range is observable as the offset jump). Deterministic and
+    * segment-granular: a segment STRADDLING the watermark is kept whole
+    * (retention is a floor, not a cut).
+    *
+    * High-water survival: if expiry covers a shard's NEWEST segment, that
+    * segment is replaced by a 0-count holder of its declared range (the
+    * erase-to-emptiness trick), so producer monotonicity can never admit
+    * a recycled sequence number. Crash-safe: the holder is created before
+    * its original is deleted; a crash between leaves a benign 0-count
+    * twin (identical range, zero extra rows) that the next expiry sweeps.
+    * Runs under the same maintenance lease as [[eraseKeys]], so appends
+    * are interlocked for its duration.
+    *
+    * Returns the number of segments removed.
+    */
+  def expireUpTo(spark: SparkSession, dir: String, watermark: String,
+      lock: LockProvider = FsLeaseLock): Int = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    lock.withLock(fs, root, EraseLeaseMs) {
+      recoverErase(fs, dir)
+      var removed = 0
+      listSegments(fs, dir).foreach { case (_, segs0) =>
+        // finish a crashed expiry first: a non-empty segment with a
+        // 0-count twin of the same range is half-expired — delete it
+        val holderRanges = segs0.filter(_.count == 0)
+          .map(s => (s.firstSeq, s.lastSeq)).toSet
+        val (dupes, segs) = segs0.partition(s =>
+          s.count > 0 && holderRanges((s.firstSeq, s.lastSeq)))
+        dupes.foreach { s =>
+          FsOps.deleteOrThrow(fs, new HPath(s.path), recursive = false)
+          removed += 1
+        }
+        val expired = segs.filter(s => s.lastSeq <= watermark && s.count > 0)
+        expired.foreach { s =>
+          if (segs.nonEmpty && s == segs.last) {
+            // the shard's newest segment: hold its range so the
+            // high-water mark survives total expiry
+            val holder = new HPath(new HPath(s.path).getParent,
+              segmentName(s.firstSeq, s.lastSeq, 0, 0))
+            fs.create(holder, false).close()
+          }
+          FsOps.deleteOrThrow(fs, new HPath(s.path), recursive = false)
+          removed += 1
+        }
+      }
+      removed
+    }
+  }
+
   /** Raw presence scan for the erasure certificate ([[graft.streaming
     * .Erase.verify]]): count log lines carrying a subject partition key —
     * a full distributed read of every segment, no offsets, no admission

@@ -244,6 +244,50 @@ class GraftLogSourceSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("monotonicity")), messages(e).mkString("; "))
   }
 
+  test("retention: expireUpTo trims history, preserves high water, committed consumers continue") {
+    import spark.implicits._
+    val dir = tmpDir("graft-v2exp-")
+    val ck = tmpDir("graft-v2expck-")
+    val ev = Registry.tbl(spark, sfDir, "events")
+    GraftLog.append(ShardedLog.fromEvents(ev.where(col("event_id") < 150)),
+      dir, maxSegmentBytes = 2048)
+    GraftLog.append(ShardedLog.fromEvents(
+      ev.where(col("event_id") >= 150 && col("event_id") < 300)),
+      dir, maxSegmentBytes = 2048)
+    assert(drain(dir, ck).map(_._2.size).sum == 300)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hwBefore = GraftLog.highWater(fs, dir)
+    val w149 = f"${149L}%030d"
+    assert(GraftLog.expireUpTo(spark, dir, w149) > 0)
+    // TRIM_HORIZON replay = exactly the surviving slice
+    val replay = spark.read.format("graftlog").load(dir)
+    assert(replay.count() ==
+      ev.where(col("event_id") >= 150 && col("event_id") < 300).count())
+    assert(replay.select(col("sequence_number")).as[String]
+      .collect().forall(_ > w149))
+    assert(GraftLog.highWater(fs, dir) == hwBefore, "expiry moved the high water")
+    assert(GraftLog.expireUpTo(spark, dir, w149) == 0, "expiry must be idempotent")
+    // TOTAL expiry: 0-count holders keep every shard's high water
+    assert(GraftLog.expireUpTo(spark, dir, f"${299L}%030d") > 0)
+    assert(spark.read.format("graftlog").load(dir).count() == 0)
+    assert(GraftLog.highWater(fs, dir) == hwBefore,
+      "total expiry must hold the high water via 0-count range holders")
+    // producer monotonicity is intact: recycled sequence numbers refused
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    val e = intercept[Exception] {
+      GraftLog.append(ShardedLog.fromEvents(ev.where(col("event_id") < 150)), dir)
+    }
+    assert(messages(e).exists(_.contains("monotonicity")), messages(e).mkString("; "))
+    // the COMMITTED consumer (offsets past the expired range) continues
+    // with exactly the fresh delta
+    GraftLog.append(ShardedLog.fromEvents(
+      ev.where(col("event_id") >= 300 && col("event_id") < 330)), dir)
+    assert(drain(dir, ck).map(_._2.size).sum ==
+      ev.where(col("event_id") >= 300 && col("event_id") < 330).count())
+  }
+
   test("append is refused while an erase lease is live (no silent range corruption)") {
     val dir = tmpDir("graft-v2applock-")
     val ev = Registry.tbl(spark, sfDir, "events")
