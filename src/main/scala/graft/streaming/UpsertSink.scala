@@ -66,11 +66,11 @@ object UpsertSink {
     *
     * RESIZE PATH: the bucket count is pinned by the table's FIRST commit
     * (a silent change would re-key the layout and orphan every existing
-    * row). To resize, build a NEW table generation: read the current table
-    * ([[readTable]]), write it through a fresh sink at the new nBuckets
-    * (one pass, I-ops), point readers at the new tableDir, retire the old
-    * one. The commit protocol's atomic-latest semantics make the cutover a
-    * reader-side path swap, not a data migration window.
+    * row). To resize, build a NEW table generation — [[rebuildTable]] is
+    * that as one call (one pass, I-ops, tombstones carried) — then point
+    * readers at the new tableDir and retire the old one. The commit
+    * protocol's atomic-latest semantics make the cutover a reader-side
+    * path swap, not a data migration window.
     */
   def nBucketsFor(expectedTableBytes: Long,
       targetBucketBytes: Long = 256L << 20): Int = {
@@ -200,6 +200,45 @@ object UpsertSink {
     */
   def readTable(spark: SparkSession, tableDir: String): Option[DataFrame] =
     currentCommit(tableDir).map(readCommit(spark, tableDir, _))
+
+  /** The REBUILD path that the resize note ([[nBucketsFor]]) and the
+    * type-change refusal in [[applyBatch]] point at, as one call: read the
+    * live table, optionally cast to a new schema (type WIDENING — the
+    * evolution applyBatch correctly refuses to do in place), and write a
+    * fresh table GENERATION at `newTableDir` with a new bucket count. The
+    * cutover is a reader-side path swap (the new dir's first commit is
+    * atomic); the old generation stays intact until the caller retires
+    * it. Time-travel history does NOT carry (the new generation starts at
+    * one commit — retention of the old dir preserves the old history);
+    * the `_erased` tombstones DO carry, so the replay guard stays armed
+    * across the swap.
+    *
+    * `castTo` maps column name → new DataType for the columns to widen;
+    * unknown names are refused (a typo must not silently no-op).
+    */
+  def rebuildTable(spark: SparkSession, tableDir: String, newTableDir: String,
+      keyCol: String, nBuckets: Int, retainCommits: Int = 2,
+      castTo: Map[String, DataType] = Map.empty): Unit = {
+    val t = readTable(spark, tableDir).getOrElse(throw new IllegalStateException(
+      s"rebuildTable: no live commit at $tableDir"))
+    val (fs, newTable) = fsFor(spark, newTableDir)
+    require(!fs.exists(new HPath(newTable, "commits")),
+      s"rebuildTable: $newTableDir already has a commit log — rebuilds write " +
+        "a FRESH generation; pick an empty dir and swap readers after")
+    val unknown = castTo.keySet -- t.columns.toSet
+    require(unknown.isEmpty,
+      s"rebuildTable: castTo names absent columns ${unknown.mkString(", ")}")
+    val projected = t.select(t.columns.map(c =>
+      castTo.get(c).map(dt => col(c).cast(dt).as(c)).getOrElse(col(c))): _*)
+    applyBatch(projected.withColumn("__op", lit("U")).withColumn("__seq", lit(0L)),
+      0L, newTableDir, keyCol, "__op", Seq("__seq"), nBuckets = nBuckets,
+      retainCommits = retainCommits, erasedGuard = false)
+    // carry the tombstones: the new generation's guard must keep dropping
+    // what the old one dropped
+    ErasedKeys.read(spark, tableDir, keyCol).foreach { tomb =>
+      ErasedKeys.record(spark, newTableDir, keyCol, tomb)
+    }
+  }
 
   /** Retained commit history, oldest → newest. Depth is bounded by the
     * writer's `retainCommits` — O(retain) tiny JSON reads, never O(table).
@@ -559,8 +598,8 @@ object UpsertSink {
             conflicts.map(f => s"'${f.name}' (${f.dataType.simpleString} -> " +
               s"${batchSchema(f.name).dataType.simpleString})").mkString(", ") +
             " — in-place type widening would leave untouched buckets " +
-            "un-widened; rebuild the table through a fresh sink " +
-            "(read + write at the new schema, then swap tableDirs)")
+            "un-widened; rebuild a fresh generation with " +
+            "UpsertSink.rebuildTable(castTo = ...), then swap tableDirs")
     }
     val targetPaths = current.toSeq.flatMap(_.versions.toSeq)
       .collect { case (b, v) if touched(b) => s"$tableDir/buckets/b=$b/$v" }

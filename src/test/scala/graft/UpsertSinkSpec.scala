@@ -438,4 +438,51 @@ class UpsertSinkSpec extends SparkSuite {
     assert(UpsertSink.currentCommit(table).get.batchId == 2L)
     assert(UpsertSink.readTable(spark, table).get.count() == 4)
   }
+
+  test("rebuildTable: resize + type widening as one call; tombstones carry over") {
+    import org.apache.spark.sql.types.LongType
+    val base = tmpDir("graft-upsrb-")
+    val t1 = s"$base/t1"
+    val t2 = s"$base/t2"
+    UpsertSink.applyBatch(
+      Seq((1L, "a", 1), (2L, "b", 2), (3L, "c", 3))
+        .toDF("id", "v", "w")
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", $"id"),
+      0L, t1, "id", "op", Seq("seq"), nBuckets = 4)
+    UpsertSink.eraseKeys(spark, t1, "id", Seq(2L).toDF("id"))
+    // one call: new generation at 16 buckets with w widened int -> long
+    UpsertSink.rebuildTable(spark, t1, t2, "id", nBuckets = 16,
+      castTo = Map("w" -> LongType))
+    val nt = UpsertSink.readTable(spark, t2).get
+    assert(nt.schema("w").dataType == LongType, nt.schema.simpleString)
+    assert(nt.select($"id", $"v", $"w").as[(Long, String, Long)]
+      .collect().toSet == Set((1L, "a", 1L), (3L, "c", 3L)))
+    assert(UpsertSink.currentCommit(t2).get.nBuckets == 16)
+    // the widened table accepts long-typed feeds (the refusal is gone)
+    UpsertSink.applyBatch(
+      Seq((4L, "d", 9L, "U", 50L)).toDF("id", "v", "w", "op", "seq"),
+      1L, t2, "id", "op", Seq("seq"))
+    assert(UpsertSink.readTable(spark, t2).get.where($"id" === 4L).count() == 1)
+    // tombstones carried: the erased subject stays dropped in the NEW
+    // generation (replay guard continuity across the swap)
+    UpsertSink.applyBatch(
+      Seq((2L, "boo", 9L, "U", 60L)).toDF("id", "v", "w", "op", "seq"),
+      2L, t2, "id", "op", Seq("seq"))
+    assert(UpsertSink.readTable(spark, t2).get.where($"id" === 2L).count() == 0,
+      "a carried tombstone must keep dropping the erased subject")
+    // misuse refused: rebuilding ONTO an existing generation, or casting a
+    // column that does not exist
+    val e1 = intercept[IllegalArgumentException] {
+      UpsertSink.rebuildTable(spark, t1, t2, "id", nBuckets = 8)
+    }
+    assert(e1.getMessage.contains("FRESH generation"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      UpsertSink.rebuildTable(spark, t1, s"$base/t3", "id", nBuckets = 8,
+        castTo = Map("nope" -> LongType))
+    }
+    assert(e2.getMessage.contains("absent columns"), e2.getMessage)
+    // the old generation is untouched (readers swap when ready)
+    assert(UpsertSink.readTable(spark, t1).get.count() == 2)
+  }
 }

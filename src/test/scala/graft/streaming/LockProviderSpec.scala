@@ -53,8 +53,12 @@ class LockProviderSpec extends SparkSuite {
       s"$base/lake", Seq("day"), lock = lock)
     Erase.eraseKeys(spark, s"$base/lake", "id", Seq(1L).toDF("id"), lock = lock)
     Compact.recover(spark, s"$base/lake", lock = lock)
-    assert(lock.acquired.get == 4,
-      s"expected 4 locked passes, saw ${lock.acquired.get}")
+    // 5 = the four maintenance ops + the erase's tombstone self-fold
+    // (ErasedKeys.foldIfQuiet, r14), which must ride the SAME seam — an
+    // unlocked fold racing a locked maintenance pass could delete set
+    // files its probe just listed
+    assert(lock.acquired.get == 5,
+      s"expected 5 locked passes (4 ops + tombstone fold), saw ${lock.acquired.get}")
     assert(lakeState(base) == Set((2L, "b"), (3L, "C2")))
     // Retention needs the hour layout; count its acquisition separately
     val base2 = tmpDir("graft-lockseam-ret-")
