@@ -103,22 +103,27 @@ object GraftLog {
     val spark = records.sparkSession
     val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val fs = new HPath(dir).getFileSystem(hconf.value)
-    // Interlock with [[eraseKeys]] — enforced, not just documented: an
-    // append racing the erase's segment-swap window could read a
+    // Interlock with [[eraseKeys]]/[[expireUpTo]] — enforced, not just
+    // documented, and LockProvider-INDEPENDENT (a custom provider leaves
+    // no _compact/lock to probe): maintenance writes an `_erase/active`
+    // marker for its duration, re-touched just before the swap phase, so
+    // an append racing the segment-swap window — which could read a
     // transiently-lowered high-water mark and mint an overlapping range
-    // (permanent straddle corruption for every committed reader). While
-    // the erase's maintenance lease is live the append is REFUSED loudly;
-    // a stale lease (dead eraser) is ignored — the next erase reclaims it.
-    val eraseLock = new HPath(dir, "_compact/lock")
+    // (permanent straddle corruption for every committed reader) — is
+    // REFUSED loudly while the marker is fresh. A stale marker (dead
+    // maintenance pass) is ignored; the next maintenance run sweeps it.
+    // The high-water broadcast below is read ONCE, here, inside the
+    // refused-if-active window — an erase STARTING later cannot lower
+    // what this append already read (erases preserve declared ranges).
     try {
       val age = System.currentTimeMillis() -
-        fs.getFileStatus(eraseLock).getModificationTime
+        fs.getFileStatus(activeMarker(dir)).getModificationTime
       if (age <= EraseLeaseMs)
         throw new IllegalStateException(
-          s"graftlog append refused: a maintenance writer (eraseKeys) holds " +
-            s"$eraseLock (lease age $age ms) — an append racing the erase's " +
+          s"graftlog append refused: a maintenance pass (erase/retention) is " +
+            s"active on $dir (marker age $age ms) — an append racing its " +
             "segment swap can corrupt per-shard offset ranges; retry after " +
-            "the erase completes")
+            "it completes")
     } catch { case _: java.io.FileNotFoundException => () }
     val hw = highWater(fs, dir)
     val hwB = spark.sparkContext.broadcast(hw)
@@ -215,6 +220,19 @@ object GraftLog {
 
   private def intentPath(dir: String) = new HPath(dir, "_erase/intent")
 
+  /** The maintenance-active marker [[append]]'s interlock probes (written
+    * by [[eraseKeys]]/[[expireUpTo]], LockProvider-independent).
+    */
+  private def activeMarker(dir: String) = new HPath(dir, "_erase/active")
+
+  private def touchMarker(hconf: Configuration, fs: FileSystem,
+      dir: String): Unit =
+    FsOps.atomicWrite(hconf, fs, activeMarker(dir),
+      "maintenance-active\n".getBytes("UTF-8"))
+
+  private def dropMarker(fs: FileSystem, dir: String): Unit =
+    FsOps.deleteOrThrow(fs, activeMarker(dir), recursive = false)
+
   private def readLines(fs: FileSystem, p: HPath): Vector[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -272,6 +290,9 @@ object GraftLog {
       .collect().map(_.getString(0)).toSet
     val stats = lock.withLock(fs, root, leaseMs) {
       recoverErase(fs, dir)
+      // arm the append interlock for the whole pass (see [[append]])
+      touchMarker(hconf.value, fs, dir)
+      try {
       val segs = listSegments(fs, dir).values.flatten.toSeq
       if (segs.isEmpty || keys.isEmpty) EraseStats(0, 0L)
       else {
@@ -301,6 +322,9 @@ object GraftLog {
           }.collect().toSeq
         if (rewrites.isEmpty) EraseStats(0, 0L)
         else {
+          // re-touch before the SWAP phase: the scan above may have run
+          // longer than the interlock's freshness horizon
+          touchMarker(hconf.value, fs, dir)
           FsOps.atomicWrite(hconf.value, fs, intentPath(dir),
             rewrites.map { case (sh, old, tmp, nw, _) => s"$sh\t$old\t$tmp\t$nw" }
               .mkString("\n").getBytes("UTF-8"))
@@ -318,6 +342,7 @@ object GraftLog {
           EraseStats(rewrites.size, rewrites.map(_._5).sum)
         }
       }
+      } finally dropMarker(fs, dir)
     }
     // tombstone AFTER success (a failed erase must not declare the keys
     // gone), even when the scan was a no-op — "must not reappear" guards
@@ -334,6 +359,9 @@ object GraftLog {
     */
   private def recoverErase(fs: FileSystem, dir: String): Unit = {
     val root = new HPath(dir)
+    // a crashed pass leaves its append-interlock marker; sweep it (the
+    // caller re-arms its own)
+    if (fs.exists(activeMarker(dir))) dropMarker(fs, dir)
     val ip = intentPath(dir)
     if (fs.exists(ip)) {
       FsOps.readString(fs, ip).split('\n').filter(_.nonEmpty).foreach { l =>
@@ -383,12 +411,28 @@ object GraftLog {
     */
   def expireUpTo(spark: SparkSession, dir: String, watermark: String,
       lock: LockProvider = FsLeaseLock): Int = {
+    require(watermark.nonEmpty && watermark.forall(_.isDigit),
+      s"expireUpTo watermark '$watermark' must be a digit string: sequence " +
+        "comparisons are lexicographic over fixed-width zero-padded numbers")
     val root = new HPath(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(hconf)
     lock.withLock(fs, root, EraseLeaseMs) {
       recoverErase(fs, dir)
+      touchMarker(hconf, fs, dir) // append interlock (see [[append]])
+      try {
       var removed = 0
       listSegments(fs, dir).foreach { case (_, segs0) =>
+        // WIDTH check against the log's own sequence spelling: an
+        // unpadded watermark ("149" vs "000…149") compares lexically
+        // below every padded seq and would silently expire the WHOLE log
+        segs0.headOption.foreach(s0 => require(
+          watermark.length == s0.lastSeq.length,
+          s"expireUpTo watermark '$watermark' (width ${watermark.length}) " +
+            s"does not match the log's sequence-number width " +
+            s"(${s0.lastSeq.length}, e.g. '${s0.lastSeq}') — zero-pad it " +
+            "(ShardedLog producers: f\"$seq%030d\"); an unpadded watermark " +
+            "would lexically expire everything"))
         // finish a crashed expiry first: a non-empty segment with a
         // 0-count twin of the same range is half-expired — delete it
         val holderRanges = segs0.filter(_.count == 0)
@@ -399,9 +443,16 @@ object GraftLog {
           FsOps.deleteOrThrow(fs, new HPath(s.path), recursive = false)
           removed += 1
         }
-        val expired = segs.filter(s => s.lastSeq <= watermark && s.count > 0)
+        // expire data segments below the watermark AND superseded 0-count
+        // holders from earlier total expiries (skipping them would leak
+        // one empty segment per shard per cycle — unbounded growth in the
+        // operation whose purpose is bounding the log). The shard's LAST
+        // segment is the high-water carrier: a data segment there is
+        // replaced by a fresh holder; an existing holder there stays.
+        val expired = segs.filter(s => s.lastSeq <= watermark &&
+          (s.count > 0 || s != segs.last))
         expired.foreach { s =>
-          if (segs.nonEmpty && s == segs.last) {
+          if (s == segs.last) {
             // the shard's newest segment: hold its range so the
             // high-water mark survives total expiry
             val holder = new HPath(new HPath(s.path).getParent,
@@ -413,6 +464,7 @@ object GraftLog {
         }
       }
       removed
+      } finally dropMarker(fs, dir)
     }
   }
 

@@ -51,16 +51,20 @@ object ErasedKeys {
     */
   def record(spark: SparkSession, store: String, keyCol: String,
       keys: DataFrame): Unit = {
-    val mat = keys.toDF(keyCol).distinct()
-    // an empty set is a no-op, not a sidecar: recording it would arm a
-    // vacuous guard (probe cost + "guard active" logs on every ingest,
-    // tombstoned=true in certificates) for zero erased keys — the
-    // recovery-path convention of calling an erase with no keys must not
-    // leave that behind
-    if (mat.isEmpty) return
-    val tag = java.util.UUID.randomUUID().toString.take(12)
-    mat.coalesce(1)
-      .write.mode("overwrite").parquet(s"${dirFor(store, keyCol)}/set-$tag")
+    // persist: the emptiness probe and the write are two actions over a
+    // possibly-derived frame — without it the scan+distinct runs twice
+    val mat = keys.toDF(keyCol).distinct().persist()
+    try {
+      // an empty set is a no-op, not a sidecar: recording it would arm a
+      // vacuous guard (probe cost + "guard active" logs on every ingest,
+      // tombstoned=true in certificates) for zero erased keys — the
+      // recovery-path convention of calling an erase with no keys must not
+      // leave that behind
+      if (mat.isEmpty) return
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      mat.coalesce(1)
+        .write.mode("overwrite").parquet(s"${dirFor(store, keyCol)}/set-$tag")
+    } finally { mat.unpersist(); () }
   }
 
   /** The distinct tombstoned keys for `store`/`keyCol`, or None when no
@@ -167,11 +171,21 @@ object ErasedKeys {
       lock: LockProvider = FsLeaseLock): Unit =
     try {
       val (fs, p) = fsFor(spark, store)
-      if (lock.tryWithLock(fs, p, Compact.DefaultLeaseMs) {
-        fold(spark, store, keyCol)
-      }.isEmpty)
-        System.err.println(s"[graft] tombstone self-fold skipped on $store: " +
-          "a maintenance writer holds the store lock")
+      // cheap pre-check BEFORE any lock traffic: the common case (no
+      // sidecar, or already folded) must not pay mkdir/create/delete of a
+      // _compact/lock — a deliver stream runs this on up to three stores
+      // every cadence batch, erasure activity or not
+      val d = new HPath(dirFor(store, keyCol))
+      val nSets =
+        if (!fs.exists(d)) 0
+        else fs.listStatus(d).count(_.getPath.getName.startsWith("set-"))
+      if (nSets > 1) {
+        if (lock.tryWithLock(fs, p, Compact.DefaultLeaseMs) {
+          fold(spark, store, keyCol)
+        }.isEmpty)
+          System.err.println(s"[graft] tombstone self-fold skipped on $store: " +
+            "a maintenance writer holds the store lock")
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] WARNING: tombstone self-fold failed on " +
         s"$store (${e.getMessage}) — sets accumulate until ErasedKeys.fold")

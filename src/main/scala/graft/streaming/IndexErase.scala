@@ -63,7 +63,7 @@ object IndexErase {
     */
   def eraseFromIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
-    withTombstone(spark, indexDir, "nid", ids) { mat =>
+    withTombstone(spark, indexDir, "nid", ids, lock) { mat =>
       Similarity.readSharding(spark, indexDir) match {
         case Some(n) => shardReport(n, sh =>
           eraseFromIvfIndex(spark, s"$indexDir/shard=$sh", mat, lock))
@@ -79,7 +79,7 @@ object IndexErase {
     */
   def eraseFromPqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
-    withTombstone(spark, indexDir, "nid", ids) { mat =>
+    withTombstone(spark, indexDir, "nid", ids, lock) { mat =>
       Similarity.readSharding(spark, indexDir) match {
         case Some(n) => shardReport(n, sh =>
           eraseFromPqIvfIndex(spark, s"$indexDir/shard=$sh", mat, lock))
@@ -94,7 +94,7 @@ object IndexErase {
     */
   def eraseFromSqIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame,
       lock: LockProvider = FsLeaseLock): Report =
-    withTombstone(spark, indexDir, "nid", ids) { mat =>
+    withTombstone(spark, indexDir, "nid", ids, lock) { mat =>
       Report(PqComponents.map(c =>
         s"$indexDir/$c" ->
           eraseComponent(spark, s"$indexDir/$c", "nid", mat, lock)))
@@ -106,7 +106,7 @@ object IndexErase {
     */
   def eraseFromEmbeddingIndex(spark: SparkSession, indexDir: String,
       ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
-    withTombstone(spark, indexDir, "id", ids) { mat =>
+    withTombstone(spark, indexDir, "id", ids, lock) { mat =>
       Report(Seq(
         indexDir -> eraseComponent(spark, indexDir, "id", mat, lock)))
     }
@@ -116,7 +116,7 @@ object IndexErase {
     */
   def eraseFromNearIndex(spark: SparkSession, indexDir: String,
       ids: DataFrame, lock: LockProvider = FsLeaseLock): Report =
-    withTombstone(spark, indexDir, "id", ids) { mat =>
+    withTombstone(spark, indexDir, "id", ids, lock) { mat =>
       Report(NearComponents.map(c =>
         s"$indexDir/$c" ->
           eraseComponent(spark, s"$indexDir/$c", "id", mat, lock)))
@@ -137,7 +137,7 @@ object IndexErase {
     */
   def eraseFingerprints(spark: SparkSession, indexDir: String,
       fps: DataFrame, lock: LockProvider = FsLeaseLock): Report =
-    withTombstone(spark, indexDir, "fp", fps) { mat =>
+    withTombstone(spark, indexDir, "fp", fps, lock) { mat =>
       Report(Seq(
         indexDir -> eraseComponent(spark, indexDir, "fp", mat, lock)))
     }
@@ -161,7 +161,8 @@ object IndexErase {
     * append addressed at either level hits a tombstone.
     */
   private def withTombstone(spark: SparkSession, indexDir: String,
-      keyCol: String, ids: DataFrame)(erase: DataFrame => Report): Report = {
+      keyCol: String, ids: DataFrame,
+      lock: LockProvider)(erase: DataFrame => Report): Report = {
     // materialize the id set BEFORE the erase: `ids` is lazily planned and
     // may derive from the index/corpus being erased — re-executing it
     // after the rewrite would scan retired files (or resolve empty and
@@ -171,7 +172,9 @@ object IndexErase {
       mat.count()
       val r = erase(mat)
       ErasedKeys.record(spark, indexDir, keyCol, mat)
-      ErasedKeys.foldIfQuiet(spark, indexDir, keyCol)
+      // the fold rides the CALLER's lock seam: on a deployment with a
+      // custom provider an FsLeaseLock fold would be effectively unlocked
+      ErasedKeys.foldIfQuiet(spark, indexDir, keyCol, lock)
       r
     } finally { mat.unpersist(); () }
   }

@@ -230,14 +230,17 @@ object UpsertSink {
       s"rebuildTable: castTo names absent columns ${unknown.mkString(", ")}")
     val projected = t.select(t.columns.map(c =>
       castTo.get(c).map(dt => col(c).cast(dt).as(c)).getOrElse(col(c))): _*)
-    applyBatch(projected.withColumn("__op", lit("U")).withColumn("__seq", lit(0L)),
-      0L, newTableDir, keyCol, "__op", Seq("__seq"), nBuckets = nBuckets,
-      retainCommits = retainCommits, erasedGuard = false)
-    // carry the tombstones: the new generation's guard must keep dropping
-    // what the old one dropped
+    // carry the tombstones BEFORE the first commit publishes: a crash in
+    // between must never leave a complete-looking generation whose replay
+    // guard is unarmed (a CDC replay into it would resurrect every erased
+    // subject, and the fresh-generation refusal below would block the
+    // natural retry from repairing it)
     ErasedKeys.read(spark, tableDir, keyCol).foreach { tomb =>
       ErasedKeys.record(spark, newTableDir, keyCol, tomb)
     }
+    applyBatch(projected.withColumn("__op", lit("U")).withColumn("__seq", lit(0L)),
+      0L, newTableDir, keyCol, "__op", Seq("__seq"), nBuckets = nBuckets,
+      retainCommits = retainCommits, erasedGuard = false)
   }
 
   /** Retained commit history, oldest → newest. Depth is bounded by the

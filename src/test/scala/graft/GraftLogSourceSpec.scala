@@ -258,6 +258,13 @@ class GraftLogSourceSpec extends SparkSuite {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hwBefore = GraftLog.highWater(fs, dir)
+    // an UNPADDED watermark would lexically expire the whole log — refused
+    val eW = intercept[IllegalArgumentException] {
+      GraftLog.expireUpTo(spark, dir, "149")
+    }
+    assert(eW.getMessage.contains("width"), eW.getMessage)
+    assert(spark.read.format("graftlog").load(dir).count() == 300,
+      "the refused watermark must not have expired anything")
     val w149 = f"${149L}%030d"
     assert(GraftLog.expireUpTo(spark, dir, w149) > 0)
     // TRIM_HORIZON replay = exactly the surviving slice
@@ -288,25 +295,38 @@ class GraftLogSourceSpec extends SparkSuite {
       ev.where(col("event_id") >= 300 && col("event_id") < 330).count())
   }
 
-  test("append is refused while an erase lease is live (no silent range corruption)") {
+  test("append is refused while a maintenance pass is active (no silent range corruption)") {
     val dir = tmpDir("graft-v2applock-")
     val ev = Registry.tbl(spark, sfDir, "events")
     GraftLog.append(ShardedLog.fromEvents(ev.where(col("event_id") < 30)), dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = new org.apache.hadoop.fs.Path(dir, "_compact/lock")
-    fs.mkdirs(lock.getParent)
-    fs.create(lock, false).close()
+    // the marker is provider-independent (a custom LockProvider leaves no
+    // _compact/lock file to probe) — simulate a live erase/retention pass
+    val marker = new org.apache.hadoop.fs.Path(dir, "_erase/active")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
     val e = intercept[IllegalStateException] {
       GraftLog.append(ShardedLog.fromEvents(
         ev.where(col("event_id") >= 30 && col("event_id") < 60)), dir)
     }
     assert(e.getMessage.contains("append refused"), e.getMessage)
-    fs.delete(lock, false)
+    fs.delete(marker, false)
     GraftLog.append(ShardedLog.fromEvents(
       ev.where(col("event_id") >= 30 && col("event_id") < 60)), dir)
     assert(spark.read.format("graftlog").load(dir).count() ==
       ev.where(col("event_id") < 60).count())
+    // a maintenance pass sweeps and re-arms its own marker, so an erase
+    // right after a crashed pass still completes and unlocks appends
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+    import spark.implicits._
+    GraftLog.eraseKeys(spark, dir, Seq.empty[String].toDF("partition_key"))
+    assert(!fs.exists(marker), "the erase must sweep and release the marker")
+    GraftLog.append(ShardedLog.fromEvents(
+      ev.where(col("event_id") >= 60 && col("event_id") < 70)), dir)
+    assert(spark.read.format("graftlog").load(dir).count() ==
+      ev.where(col("event_id") < 70).count())
   }
 
   test("a crashed log erase recovers: roll back without the replacement, roll forward with it") {
