@@ -472,7 +472,17 @@ object Deliver {
           col("partition_key"), col("sequence_number"), col("env.data.*"),
           col("env.metadata.op").as("op"), col("processed_at"),
           col("year"), col("month"), col("day"), col("hour"))
-        val okC = if (cfg.compact) ok.coalesce(1) else ok
+        // per-table erased-key replay guard: registry lakes erase per
+        // table subdir (LakeTarget(s"$lake/table=<t>", key)), so each
+        // table's tombstones live — and are probed — under its own root
+        val okG = cfg.erasedGuardCol match {
+          case Some(k) => ErasedKeys.guardWithReceipt(ok,
+            s"${cfg.lakeDir}/table=$t", k,
+            Seq(k, "sequence_number", "processed_at"), batchId,
+            cfg.erasedGuardFail, s"deliver[$t]")
+          case None => ok
+        }
+        val okC = if (cfg.compact) okG.coalesce(1) else okG
         withInt64Timestamps(okC.sparkSession) {
           cfg.bloomFilterCols.foldLeft(
             okC.write.mode("overwrite")

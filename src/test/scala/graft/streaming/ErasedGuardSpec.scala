@@ -114,6 +114,38 @@ class ErasedGuardSpec extends SparkSuite {
     assert(ex.getMessage.contains("GDPR-erased"), ex.getMessage)
   }
 
+  test("Deliver registry path: a replay cannot resurrect a table's erased subjects") {
+    val base = tmpDir("graft-ekreg-")
+    val cfg = Deliver.Config(s"$base/lake", s"$base/ck", clock = clock,
+      schemas = Map("events" -> payloadSchema), erasedGuardCol = Some("id"))
+    val wire = ShardedLog.fromEvents(
+      graft.queries.Registry.tbl(spark, sfDir, "events").limit(40))
+    Deliver.deliverRegistryBatch(wire, 0L, cfg)
+    val tdir = s"$base/lake/table=events"
+    val subjects = spark.read.parquet(tdir).select($"id").distinct()
+      .where(pmod($"id", lit(5)) === 0)
+    val subjectIds = subjects.as[Long].collect().toSet
+    assert(subjectIds.nonEmpty)
+    // erase the table subdir (the registry-lake erase shape)
+    Erase.eraseKeys(spark, tdir, "id", subjectIds.toSeq.toDF("id"))
+    spark.catalog.refreshByPath(tdir)
+    assert(spark.read.parquet(tdir)
+      .where($"id".isin(subjectIds.toSeq: _*)).count() == 0)
+    // marker-lost replay of the whole batch
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/lake", "_commits", f"${0L}%010d"))
+    Deliver.deliverRegistryBatch(wire, 0L, cfg)
+    spark.catalog.refreshByPath(tdir)
+    assert(spark.read.parquet(tdir)
+      .where($"id".isin(subjectIds.toSeq: _*)).count() == 0,
+      "registry replay resurrected erased subjects")
+    assert(spark.read.parquet(tdir).count() > 0,
+      "non-subject rows must re-deliver")
+    val receipt = spark.read.parquet(s"$tdir/_erased/dropped/batch=0")
+    assert(receipt.select($"id").distinct().as[Long].collect().toSet
+      .subsetOf(subjectIds) && receipt.count() > 0)
+  }
+
   test("CorpusIndex: a replayed batch cannot re-index an erased fingerprint") {
     val base = tmpDir("graft-ekfp-")
     val docs = graft.queries.Registry.tbl(spark, sfDir, "documents")

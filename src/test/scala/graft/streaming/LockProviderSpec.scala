@@ -53,13 +53,18 @@ class LockProviderSpec extends SparkSuite {
       s"$base/lake", Seq("day"), lock = lock)
     Erase.eraseKeys(spark, s"$base/lake", "id", Seq(1L).toDF("id"), lock = lock)
     Compact.recover(spark, s"$base/lake", lock = lock)
-    // 5 = the four maintenance ops + the erase's tombstone self-fold
-    // (ErasedKeys.foldIfQuiet, r14), which must ride the SAME seam — an
-    // unlocked fold racing a locked maintenance pass could delete set
-    // files its probe just listed
-    assert(lock.acquired.get == 5,
-      s"expected 5 locked passes (4 ops + tombstone fold), saw ${lock.acquired.get}")
-    assert(lakeState(base) == Set((2L, "b"), (3L, "C2")))
+    assert(lock.acquired.get == 4,
+      s"expected 4 locked passes, saw ${lock.acquired.get}")
+    // the tombstone self-fold (ErasedKeys.foldIfQuiet, r14) must ride the
+    // SAME seam — an unlocked fold racing a locked maintenance pass could
+    // delete set files its probe just listed. Its cheap pre-check only
+    // locks once >= 2 sets exist, so a SECOND erase pins it: one acquire
+    // for the erase itself + one for the fold.
+    Erase.eraseKeys(spark, s"$base/lake", "id", Seq(2L).toDF("id"), lock = lock)
+    assert(lock.acquired.get == 6,
+      s"expected 6 locked passes (5 ops + the 2nd erase's tombstone fold), " +
+        s"saw ${lock.acquired.get}")
+    assert(lakeState(base) == Set((3L, "C2")))
     // Retention needs the hour layout; count its acquisition separately
     val base2 = tmpDir("graft-lockseam-ret-")
     Seq((1L, 2024, 1, 1, 0), (2L, 2024, 1, 2, 0))
