@@ -655,9 +655,17 @@ object Dedup {
     * id, pos), never gram text.
     */
   private def gramTable(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, parallelism: Option[Int]): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    docs.where(size(toks) >= k)
+    // the CorpusPipeline.Config.parallelism discipline: tokenize + k-gram
+    // + per-gram hashing is CPU-per-row bound, and a small/compact corpus
+    // scans as 1-3 partitions — Some(n) pins an explicit doc exchange so
+    // the expensive stage runs at cluster width (measured on q103: the
+    // gram stage ran on 2-3 of 32 cores). None inherits upstream
+    // partitioning — right when the scan already provides width.
+    val wide = parallelism.map(p => docs.repartition(p, col(idCol)))
+      .getOrElse(docs)
+    wide.where(size(toks) >= k)
       .select(col(idCol).as("id"),
         posexplode(shingles(toks, k)).as(Seq("pos0", "gram")))
       .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
@@ -668,8 +676,9 @@ object Dedup {
     * corpus-wide (across documents or repeated within one): (id, pos).
     */
   private def flaggedGramPositions(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, minCount: Int): DataFrame = {
-    val grams = gramTable(docs, idCol, textCol, k)
+      textCol: String, k: Int, minCount: Int,
+      parallelism: Option[Int]): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, k, parallelism)
     val dup = grams.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount).select(col("fp"))
     grams.join(dup, Seq("fp"), "left_semi").select(col("id"), col("pos"))
@@ -718,8 +727,10 @@ object Dedup {
     * nothing here is quadratic, unlike the shingle self-join family.
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 10, minCount: Int = 2): DataFrame =
-    mergeSpans(flaggedGramPositions(docs, idCol, textCol, k, minCount), k)
+      k: Int = 10, minCount: Int = 2,
+      parallelism: Option[Int] = None): DataFrame =
+    mergeSpans(flaggedGramPositions(docs, idCol, textCol, k, minCount,
+      parallelism), k)
 
   /** Repeated-span removal with keep-first semantics: every duplicated
     * k-gram keeps its corpus-first occurrence (ordered by (id, pos)); all
@@ -744,8 +755,9 @@ object Dedup {
     * shuffle; the corpus-wide work stays in the keyed stages above.
     */
   def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 10, minCount: Int = 2): DataFrame = {
-    val grams = gramTable(docs, idCol, textCol, k)
+      k: Int = 10, minCount: Int = 2,
+      parallelism: Option[Int] = None): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, k, parallelism)
     // keeper per duplicated gram = min (id, pos), folded into the SAME
     // aggregation as the occurrence count: min(struct) is map-side
     // combinable, so a boilerplate gram repeated millions of times costs

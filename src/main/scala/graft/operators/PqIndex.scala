@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,17 +69,22 @@ object PqIndex {
     val dsub = dim / m
     val vec = corpus.select(col("id"), l2_normalize(col(embCol)).as("en"))
     val sample = fitSample(vec, maxFitRows).cache()
-    val n = sample.count()
-    val k = math.min(ksub.toLong, n).toInt
+    // ONE collect feeds all m sub-fits (each slices the same rows locally) —
+    // the previous per-subspace distributed KMeans ran m × ~10 stage
+    // barriers over this same bounded sample; the cache still serves the
+    // band aggregation below
+    val rowsArr = Similarity.collectFitRows(sample, "en")
+    val n = rowsArr.length
+    val k = math.min(ksub, n)
     require(k >= 1, "empty corpus: nothing to fit PQ codebooks on")
+    rowsArr.foreach(r => require(r.length == dim,
+      s"embedding dim ${r.length} in the fit sample does not match dim=$dim"))
     val books = new Array[Double](m * k * dsub)
     (0 until m).foreach { j =>
-      val sliced = sample.select(
-        array_to_vector(slice(col("en"), j * dsub + 1, dsub)).as("__features"))
-      val model = Similarity.fitQuantizer(sliced, k, seed + j, iters)
-      model.clusterCenters.zipWithIndex.foreach { case (ctr, c) =>
-        val a = ctr.toArray
-        System.arraycopy(a, 0, books, (j * k + c) * dsub, dsub)
+      val sliced = rowsArr.map(a => java.util.Arrays.copyOfRange(a, j * dsub, (j + 1) * dsub))
+      val cents = Similarity.fitCentroidsLocal(sliced, k, seed + j, iters)
+      cents.zipWithIndex.foreach { case (ctr, c) =>
+        System.arraycopy(ctr, 0, books, (j * k + c) * dsub, dsub)
       }
     }
     val cb = typedLit(books.toSeq)
@@ -203,8 +206,8 @@ object PqIndex {
     val c0 = corpus.select(col("id"), col("embedding"))
     val (kEff, books, band) =
       fitCodebooks(c0, "embedding", dim, m, ksub, seed, maxFitRows)
-    val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
-    val coarse = Similarity.fitQuantizer(fitSample(cVec, maxFitRows), nlist, seed)
+    val coarseCents = Similarity.fitQuantizer(fitSample(c0, maxFitRows),
+      "embedding", nlist, seed)
     // rebuild discipline (Similarity.buildIvfIndex's delete-first rule):
     // the codebooks row is this index's geometry/commit point and is
     // written LAST — an in-place rebuild with changed dim/m that crashes
@@ -213,20 +216,18 @@ object PqIndex {
     // into a loud missing-path error instead
     Similarity.deleteIndexData(spark, indexDir,
       Seq("codebooks", "codes", "vectors", "centroids"))
-    val assigned = coarse.transform(cVec)
+    val assigned = Similarity.assignCells(c0, coarseCents)
       .withColumn("code", withCodeCol(col("embedding"), books, m, kEff))
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
         norm2(toDouble(col("embedding"))).as("nn"),
-        col("code"), col(coarse.getPredictionCol).as("cell"))
+        col("code"), col("cell"))
       .cache()
     assigned.select(col("nid"), col("code"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
     assigned.select(col("nid"), col("ne"), col("nn"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
     assigned.unpersist()
-    val centroids = coarse.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      (i, ctr.toArray.toSeq)
-    }.toSeq
+    val centroids = coarseCents.zipWithIndex.map { case (ctr, i) => (i, ctr) }
     spark.createDataFrame(centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // the distortion band is an index-build-time property (a function of
@@ -387,9 +388,9 @@ object PqIndex {
       maxFitRows: Int = 100000): Unit = {
     require(nShards > 1, s"nShards must be > 1 for a routed index, got $nShards")
     val spark = corpus.sparkSession
-    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
-    val router = Similarity.fitQuantizer(fitSample(cVec, maxFitRows), nShards, seed)
-    val routerCents = router.clusterCenters.map(_.toArray.toSeq).toSeq
+    val routerCents = Similarity.fitQuantizer(
+      fitSample(corpus.select(col("id"), col("embedding")), maxFitRows),
+      "embedding", nShards, seed)
     val routed = Similarity.assignCells(
         corpus.select(col("id"), col("embedding")), routerCents)
       .withColumnRenamed("cell", "__shard")
@@ -570,8 +571,10 @@ object PqIndex {
       .select(col("qid"), col("qe"), col("qn"), col("tbl"), col("cell"))
     val probeRows = probePlan.collect().toSeq
     val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    // local relation: driver-side broadcast build, no per-serve RDD stage
+    // (the Similarity.ivfIndexQuery rationale)
     val probes = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows), probePlan.schema)
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
     // base ∪ append deltas on both tiers (incremental ingest), cell-pruned
     val codes = Similarity.readWithDeltas(spark, s"$indexDir/codes",
       s"$indexDir/codes_deltas", cells, Seq("nid", "code", "cell"))

@@ -1,8 +1,6 @@
 package graft.operators
 
 import java.security.MessageDigest
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,21 +95,147 @@ object Similarity {
 
   /** Coarse-quantizer KMeans fit — the one fit every ANN builder uses.
     * Quantizer cells only need to CO-LOCATE neighbors, not converge, so
-    * the fit runs few Lloyd iterations from a random-sample init instead
-    * of the 20-iteration k-means|| default: every Lloyd iteration AND
-    * every k-means|| init step is a full distributed pass over the fit
-    * sample, so on a bounded sample the per-pass scheduling cost dominates
-    * the arithmetic — locally that made the fit ~70% of q100's wall
-    * (r11 bench adjudication), and on a cluster it is 20+ stage barriers
-    * where 8 suffice. Recall is gated independently: every serve path
-    * carries a machine-checked recall contract, and the AnnRecall /
-    * PqRecall / CapRecall scale tools re-measure after quantizer changes.
-    * Expects the features pre-vectorized in `__features`.
+    * the fit runs few Lloyd iterations from a random-sample init.
+    *
+    * The fit is DRIVER-LOCAL (r14): the fit set is already a bounded
+    * sample ([[fitSample]], ≤ maxFitRows ≈ 100k rows × dim doubles —
+    * tens of MB, the same driver-metadata scale as the collected probe
+    * plans and centroid tables), but the previous Spark-ML fit ran
+    * every Lloyd iteration as a full distributed pass: ~10 stage
+    * barriers per fit to do arithmetic a driver does in milliseconds,
+    * and the PQ builder pays that m+1 times per index. One TakeOrdered
+    * collect replaces them all; on a cluster the same barriers are the
+    * cost, so the trade improves with scale, and the sample bound keeps
+    * driver memory flat regardless of corpus size. Iteration is
+    * multi-threaded over FIXED row chunks with partial sums merged in
+    * chunk order, so results are bit-deterministic for a given
+    * (sample, k, seed) on any machine/thread count — tighter than the
+    * Spark-ML fit, whose reduce order could vary with partitioning.
+    * Recall is gated independently: every serve path carries a
+    * machine-checked recall contract, and the AnnRecall / PqRecall /
+    * CapRecall scale tools re-measure after quantizer changes.
+    *
+    * Returns exactly min(k, sample rows) centroids (an empty cell keeps
+    * its previous centroid, the Spark-ML behavior); ties in assignment
+    * resolve to the lowest cell, matching [[graft.functions.NearestCell]].
     */
-  private[operators] def fitQuantizer(fitSet: DataFrame, k: Int, seed: Long,
-      iters: Int = 8): org.apache.spark.ml.clustering.KMeansModel =
-    new KMeans().setK(k).setSeed(seed).setMaxIter(iters).setInitMode("random")
-      .setFeaturesCol("__features").fit(fitSet)
+  private[operators] def fitQuantizer(fitSet: DataFrame, embCol: String,
+      k: Int, seed: Long, iters: Int = 8): Seq[Seq[Double]] =
+    fitCentroidsLocal(collectFitRows(fitSet, embCol), k, seed, iters)
+      .map(_.toSeq).toSeq
+
+  /** Collect a (sampled) fit set's embedding column as flat arrays — the
+    * one action a quantizer fit costs.
+    */
+  private[operators] def collectFitRows(fitSet: DataFrame,
+      embCol: String): Array[Array[Double]] =
+    fitSet.select(toDouble(col(embCol)).as("__e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Deterministic local Lloyd iterations (see [[fitQuantizer]]). */
+  private[graft] def fitCentroidsLocal(rows: Array[Array[Double]], k0: Int,
+      seed: Long, iters: Int): Array[Array[Double]] = {
+    val n = rows.length
+    require(n > 0, "empty fit sample: nothing to fit a quantizer on")
+    val dim = rows(0).length
+    var ri = 0
+    while (ri < n) {
+      require(rows(ri).length == dim,
+        s"ragged fit sample: row $ri has dim ${rows(ri).length}, expected $dim")
+      ri += 1
+    }
+    val k = math.max(1, math.min(k0, n))
+    // seeded Fisher–Yates prefix: k distinct sample rows as the init
+    val rnd = new java.util.Random(seed)
+    val idx = Array.tabulate(n)(identity)
+    var j = 0
+    while (j < k) {
+      val swap = j + rnd.nextInt(n - j)
+      val t = idx(j); idx(j) = idx(swap); idx(swap) = t
+      j += 1
+    }
+    var cents = Array.tabulate(k)(c => rows(idx(c)).clone())
+    val assign = new Array[Int](n)
+    val chunk = 8192
+    val nChunks = (n + chunk - 1) / chunk
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      // 1. assignment — parallel over fixed chunks; ties -> lowest cell
+      //    (the NearestCell rule), each chunk writing a disjoint slice
+      val centsLocal = cents
+      val changed = new java.util.concurrent.atomic.LongAdder
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val lo = ci * chunk
+        val hi = math.min(n, lo + chunk)
+        var r = lo
+        var localChanged = 0L
+        while (r < hi) {
+          val v = rows(r)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val ctr = centsLocal(c)
+            var d = 0.0
+            var q = 0
+            while (q < dim) { val x = ctr(q) - v(q); d += x * x; q += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (assign(r) != best) { assign(r) = best; localChanged += 1 }
+          r += 1
+        }
+        changed.add(localChanged)
+      }
+      // the first pass must always compute means (assign starts all-0);
+      // afterwards an unchanged assignment is the Lloyd fixpoint
+      moved = it == 0 || changed.sum() > 0
+      // 2. means — per-chunk partial sums merged IN CHUNK ORDER, so the
+      //    floating-point accumulation order is fixed across machines
+      val sums = new Array[Array[Double]](nChunks)
+      val cnts = new Array[Array[Long]](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val s = new Array[Double](k * dim)
+        val cn = new Array[Long](k)
+        val lo = ci * chunk
+        val hi = math.min(n, lo + chunk)
+        var r = lo
+        while (r < hi) {
+          val off = assign(r) * dim
+          val v = rows(r)
+          var q = 0
+          while (q < dim) { s(off + q) += v(q); q += 1 }
+          cn(assign(r)) += 1
+          r += 1
+        }
+        sums(ci) = s; cnts(ci) = cn
+      }
+      val total = new Array[Double](k * dim)
+      val totalN = new Array[Long](k)
+      var ci = 0
+      while (ci < nChunks) {
+        val s = sums(ci); val cn = cnts(ci)
+        var p = 0
+        while (p < k * dim) { total(p) += s(p); p += 1 }
+        var c = 0
+        while (c < k) { totalN(c) += cn(c); c += 1 }
+        ci += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (totalN(c) == 0) cents(c) // empty cell: keep previous centroid
+        else {
+          val a = new Array[Double](dim)
+          val off = c * dim
+          var q = 0
+          while (q < dim) { a(q) = total(off + q) / totalN(c); q += 1 }
+          a
+        }
+      }
+      it += 1
+    }
+    cents
+  }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket
     * plus all buckets within `probeBits` sign flips (multi-probe LSH —
@@ -199,22 +323,19 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxFitRows: Int = 100000): DataFrame = {
     val nl = if (nlist > 0) nlist else nlistFor(corpus.count())
-    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
     // Fit the coarse quantizer on a bounded, deterministic, corpus-SPREAD
     // sample (top maxFitRows by id-hash — a uniform draw, where an id-prefix
     // would mirror ingest order and skew the centroids once the corpus
     // outgrows the sample): KMeans over the FULL corpus is a multi-pass
     // scale-killer at 100 TB, and centroid quality saturates long before
     // 100k rows. The full corpus is still assigned to cells exactly once.
-    val fitSet = fitSample(cVec, maxFitRows)
-    val model = fitQuantizer(fitSet, nl, seed)
-    val assigned = model.transform(cVec)
+    val c0 = corpus.select(col("id"), col("embedding"))
+    val cents = fitQuantizer(fitSample(c0, maxFitRows), "embedding", nl, seed)
+    val assigned = assignCells(c0, cents)
       .select(col("id").as("nid"), col("embedding").as("ne"),
-        norm2(col("embedding")).as("nn"), col(model.getPredictionCol).as("cell"))
+        norm2(col("embedding")).as("nn"), col("cell"))
     // rank each query's centroids; probe the nprobe nearest cells
-    val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      (i, ctr.toArray.toSeq)
-    }.toSeq
+    val centroids = cents.zipWithIndex.map { case (ctr, i) => (i, ctr) }
     val centDf = broadcast(queries.sparkSession.createDataFrame(centroids)
       .toDF("cell", "centroid"))
     val qe = queries.select(col("qid"), toDouble(col("embedding")).as("qe"),
@@ -238,14 +359,12 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, indexDir: String, nlist: Int = 16,
       seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
     val nl0 = if (nlist > 0) nlist else nlistFor(corpus.count())
-    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
-    val fitSet = fitSample(cVec, maxFitRows).cache()
-    // clamp k to the sample size (the fitCodebooks discipline): KMeans
-    // with k > n is a hard internal error, and a sub-nlist corpus — e.g.
-    // a small space-routed shard — quantizes losslessly at k = n anyway
-    val nl = math.max(1L, math.min(nl0.toLong, fitSet.count())).toInt
-    val model = fitQuantizer(fitSet, nl, seed)
-    fitSet.unpersist()
+    val c0 = corpus.select(col("id"), col("embedding"))
+    // k clamps to the sample size inside the local fit (the fitCodebooks
+    // discipline): a sub-nlist corpus — e.g. a small space-routed shard —
+    // quantizes losslessly at k = n anyway. One collect, no cache/count.
+    val cents = fitQuantizer(fitSample(c0, maxFitRows), "embedding", nl0, seed)
+    val nl = cents.size
     // REBUILD discipline (the EmbeddingIndex.seed delete-first rule):
     // remove any existing corpus/centroids BEFORE the new geometry lands —
     // otherwise an in-place rebuild with changed dim/nlist that crashes
@@ -259,16 +378,14 @@ object Similarity {
     // build an extra action. Geometry still lands BEFORE the cells (the
     // EmbeddingIndex ordering: a crash mid-build leaves geometry, never
     // unlabeled cells a later probe would have to guess at).
-    writeIvfGeometry(corpus.sparkSession, indexDir,
-      model.clusterCenters.head.size, nl)
-    model.transform(cVec)
+    writeIvfGeometry(corpus.sparkSession, indexDir, cents.head.size, nl)
+    // assignment through the same NearestCell expression the append path
+    // uses, so built and appended rows quantize identically by construction
+    assignCells(c0, cents)
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
-        norm2(toDouble(col("embedding"))).as("nn"),
-        col(model.getPredictionCol).as("cell"))
+        norm2(toDouble(col("embedding"))).as("nn"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/corpus")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      (i, ctr.toArray.toSeq)
-    }.toSeq
+    val centroids = cents.zipWithIndex.map { case (ctr, i) => (i, ctr) }
     corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
@@ -599,8 +716,12 @@ object Similarity {
     // query's vector — validate here, before any cell is read
     indexDim.foreach(d => validateProbeRows(probeRows, d, indexDir))
     val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    // LOCAL relation, not parallelize: the rows are already on the driver
+    // and only feed a broadcast — a LocalTableScan builds that broadcast
+    // driver-side with zero tasks, where an RDD scan billed every serve a
+    // defaultParallelism-wide stage
     val probes = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows), probePlan.schema)
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
     // corpus ∪ append deltas (incremental ingest), both cell-pruned — an
     // appended row is served by exactly the plan a built row gets
     val assigned = readWithDeltas(spark, s"$indexDir/corpus",
@@ -698,9 +819,9 @@ object Similarity {
       nlist: Int = 0, seed: Long = 42L, maxFitRows: Int = 100000): Unit = {
     require(nShards > 1, s"nShards must be > 1 for a routed index, got $nShards")
     val spark = corpus.sparkSession
-    val cVec = corpus.withColumn("__features", array_to_vector(col("embedding")))
-    val router = fitQuantizer(fitSample(cVec, maxFitRows), nShards, seed)
-    val routerCents = router.clusterCenters.map(_.toArray.toSeq).toSeq
+    val routerCents = fitQuantizer(
+      fitSample(corpus.select(col("id"), col("embedding")), maxFitRows),
+      "embedding", nShards, seed)
     val routed = assignCells(corpus.select(col("id"), col("embedding")), routerCents)
       .withColumnRenamed("cell", "__shard")
     val present = routed.groupBy(col("__shard")).count()
@@ -836,10 +957,8 @@ object Similarity {
         both.withColumn("__old", lit(sh))
       }.reduce(_ unionByName _)
       // 2. fresh router on the current distribution
-      val router = fitQuantizer(
-        fitSample(cur.withColumn("__features", array_to_vector(col("embedding"))),
-          maxFitRows), nShards, seed)
-      val newCents = router.clusterCenters.map(_.toArray.toSeq).toSeq
+      val newCents = fitQuantizer(fitSample(cur, maxFitRows),
+        "embedding", nShards, seed)
       // 3. new assignment; persist — membership feeds counts AND rebuilds
       val assigned = assignCells(cur, newCents)
         .withColumnRenamed("cell", "__new").persist()
@@ -1124,7 +1243,6 @@ object Similarity {
       targetCellSize: Int = 256, maxClusters: Int = 1024,
       quantizerIters: Int = 8): DataFrame = {
     val vec = docs.select(col(idCol).as("id"), toDouble(col(embCol)).as("e"))
-      .withColumn("__features", array_to_vector(col("e")))
     val k =
       if (nClusters > 0) nClusters
       else {
@@ -1139,16 +1257,17 @@ object Similarity {
     // not converge — few Lloyd iterations give the same recall at a
     // fraction of the fit cost (which is O(sample·k·iters·dim) and k
     // autoscales with the corpus until maxClusters)
-    val model = fitQuantizer(fitSample(vec, maxFitRows), k, seed, quantizerIters)
+    val cents = fitQuantizer(fitSample(vec, maxFitRows), "e", k, seed,
+      quantizerIters)
     // distance to OWN centroid via a cell-indexed literal (≤ maxClusters ×
     // dim doubles ≈ 0.5 MB) — no join, so the operator's only join stays
     // the banded pair join below
-    val centLit = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val centLit = typedLit(cents)
     val wRank = Window.partitionBy(col("cell"))
       .orderBy(col("cdist"), col("id"))
-    val assigned = model.transform(vec)
-      .select(col("id"), col("e"), norm2(col("e")).as("nrm"),
-        col(model.getPredictionCol).as("cell"))
+    val assigned = vec
+      .withColumn("cell", graft.functions.NearestCell.nearest_cell(col("e"), cents))
+      .select(col("id"), col("e"), norm2(col("e")).as("nrm"), col("cell"))
       .withColumn("cdist", l2Distance(col("e"), element_at(centLit, col("cell") + 1)))
       .withColumn("band",
         ((row_number().over(wRank) - 1) / targetCellSize).cast("int"))

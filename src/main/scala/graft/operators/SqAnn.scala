@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -144,26 +142,23 @@ object SqAnn {
     val spark = corpus.sparkSession
     val c0 = corpus.select(col("id"), col("embedding"))
     val grid = fitGrid(c0, "embedding", maxFitRows)
-    val cVec = c0.withColumn("__features", array_to_vector(col("embedding")))
-    val coarse = Similarity.fitQuantizer(
-      Similarity.fitSample(cVec, maxFitRows), nlist, seed)
+    val coarseCents = Similarity.fitQuantizer(
+      Similarity.fitSample(c0, maxFitRows), "embedding", nlist, seed)
     Similarity.deleteIndexData(spark, indexDir,
       Seq("sqmeta", "codes", "vectors", "centroids"))
-    val assigned = coarse.transform(cVec)
+    val assigned = Similarity.assignCells(c0, coarseCents)
       .withColumn("code",
         SqFunctions.sq8Encode(l2_normalize(col("embedding")), grid))
       .select(col("id").as("nid"), toDouble(col("embedding")).as("ne"),
         norm2(toDouble(col("embedding"))).as("nn"),
-        col("code"), col(coarse.getPredictionCol).as("cell"))
+        col("code"), col("cell"))
       .cache()
     assigned.select(col("nid"), col("code"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
     assigned.select(col("nid"), col("ne"), col("nn"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
     assigned.unpersist()
-    val centroids = coarse.clusterCenters.zipWithIndex.map { case (ctr, i) =>
-      (i, ctr.toArray.toSeq)
-    }.toSeq
+    val centroids = coarseCents.zipWithIndex.map { case (ctr, i) => (i, ctr) }
     spark.createDataFrame(centroids).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     spark.createDataFrame(Seq(
@@ -201,8 +196,10 @@ object SqAnn {
       .select(col("qid"), col("qe"), col("qn"), col("qn8"), col("cell"))
     val probeRows = probePlan.collect().toSeq
     val cells = probeRows.map(_.getAs[Int]("cell")).distinct
+    // local relation: driver-side broadcast build, no per-serve RDD stage
+    // (the Similarity.ivfIndexQuery rationale)
     val probes = spark.createDataFrame(
-      spark.sparkContext.parallelize(probeRows), probePlan.schema)
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
     val codes = Similarity.readWithDeltas(spark, s"$indexDir/codes",
       s"$indexDir/codes_deltas", cells, Seq("nid", "code", "cell"))
     val adc = codes.join(

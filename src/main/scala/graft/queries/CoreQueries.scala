@@ -103,7 +103,16 @@ object CoreQueries {
       // any scale for high-cardinality keys, and 3× faster than decimal
       val rev = tbl(s, d, "lineitem").groupBy(col("l_orderkey"))
         .agg(Agg.money4Sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      rev.join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // top-k BEFORE the join (r14): l_orderkey ⊆ o_orderkey with o_orderkey
+      // unique (the star schema's FK), so the global top-10 by
+      // (revenue, l_orderkey) IS the top-10 by (revenue, o_orderkey) after
+      // the 1:1 inner join — TakeOrdered runs on the agg output and the
+      // join broadcasts 10 rows against the orders scan, instead of
+      // building a broadcast of the ENTIRE orders table (impossible at
+      // 100 TB; the pre-r14 shape only worked because orders fit under the
+      // broadcast threshold at bench SFs)
+      val top = rev.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      broadcast(top).join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     }, Some(

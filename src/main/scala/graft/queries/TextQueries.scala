@@ -1420,7 +1420,11 @@ object TextQueries {
     // the trailing-mutation grams — so spans cover whole docs on one side
     // and stop short of the tail on the other, exercising the merge.
     Q("q103_repeated_spans", (s, d) =>
-      Dedup.repeatedSpans(withPlanted(s, d), "doc_id", "text", k = 10)
+      // pin the gram-stage width (the q47/q70 measured trap: a compact
+      // parquet corpus scans as 2-3 partitions and the CPU-bound
+      // tokenize+md5 gram stage serializes on them)
+      Dedup.repeatedSpans(withPlanted(s, d), "doc_id", "text", k = 10,
+          parallelism = Some(s.sparkContext.defaultParallelism))
         .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
           col("span_tokens"))
         .orderBy(col("doc_id"), col("span_start")),
@@ -1453,7 +1457,8 @@ object TextQueries {
     // side and stay whole on the keeper side; within-doc template repeats
     // strip all but the first occurrence.
     Q("q104_strip_repeated_spans", (s, d) =>
-      Dedup.stripRepeatedSpans(withPlanted(s, d), "doc_id", "text", k = 10)
+      Dedup.stripRepeatedSpans(withPlanted(s, d), "doc_id", "text", k = 10,
+          parallelism = Some(s.sparkContext.defaultParallelism))
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("clean_text").cast("binary")).as("clean_fp"))
         .orderBy(col("doc_id")),
