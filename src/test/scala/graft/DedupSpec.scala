@@ -190,11 +190,33 @@ class DedupSpec extends SparkSuite {
 
   test("cluster convergence on a long path needs more than one round") {
     // 12-vertex path: hash-min propagates one hop per round, so this
-    // exercises the iteration + localCheckpoint loop well past round 1
+    // exercises the iteration + localCheckpoint loop well past round 1.
+    // localEdgeLimit = 0 pins the DISTRIBUTED path — the r14 local
+    // union-find fast path would otherwise absorb this graph
     val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs).as[(Long, Long)].collect()
+    val got = Dedup.clusters(pairs, localEdgeLimit = 0L).as[(Long, Long)].collect()
     assert(got.length == 12 && got.forall(_._2 == 0L),
       s"all path members must reach label 0, got ${got.filter(_._2 != 0L).toSeq}")
+  }
+
+  test("local union-find fast path is identical to the distributed loop") {
+    // pseudo-random graph with chains, stars, dups and self-contained
+    // components; seeded so the case is reproducible
+    val rnd = new scala.util.Random(271828)
+    val pairs = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"local/distributed divergence: " +
+      s"${(local.toSet diff dist.toSet).take(5)} vs ${(dist.toSet diff local.toSet).take(5)}")
+  }
+
+  test("local fast path: empty pair set yields an empty labeling") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(pairs).count() == 0L)
   }
 
   test("near-decontamination flags mutated bench copies, not clean docs") {
