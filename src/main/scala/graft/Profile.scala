@@ -72,6 +72,14 @@ object Profile {
         println(f"[job] total job time ${js.map(j => j._2.end - j._2.start).sum / 1e3}%.3fs over ${js.size} jobs")
       }
       if (sys.env.contains("GRAFT_EXPLAIN")) q.run(spark, sfDir).explain("formatted")
+      if (sys.env.contains("GRAFT_PLANTIME")) (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        val df = q.run(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        println(f"[plan] ${q.name}: build ${(t1 - t0) / 1e9}%.3f s, " +
+          f"analyze+optimize+plan ${(System.nanoTime() - t1) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }
