@@ -117,9 +117,11 @@ object StreamQueries {
       // batch; size them to the STATE volume, not the session default — a
       // join holding hours of two event streams would raise this, this
       // bounded test corpus lowers it (each partition costs per-batch state
-      // store files regardless of how empty it is)
+      // store files regardless of how empty it is; r14 A/B on this corpus:
+      // 4 vs 8 partitions is −12% wall, the per-batch commit fan-out is
+      // the measured cost)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       // INNER stream-stream join: every result row emits in the data batch
       // that completes the match; the trailing no-data micro-batch exists
       // only to advance the watermark and evict state, producing zero rows
